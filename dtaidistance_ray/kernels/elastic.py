@@ -1,0 +1,438 @@
+"""Elastic-distance kernels: banded / pruned / psi-relaxed DTW.
+
+Pure NumPy, no Ray. These are the per-pair kernels that Ray stages call
+inside ``map_batches`` (see dtaidistance_ray.stages). Semantics follow
+the reference implementation (study-only, no code copied):
+
+- recurrence  wps[i,j] = cost(s1[i-1], s2[j-1])
+                 + min(wps[i-1,j-1], wps[i-1,j]+penalty, wps[i,j-1]+penalty)
+  with result sqrt(.) for the default squared-euclidean inner distance
+  (/root/reference/src/dtaidistance/dtw.py:299-400),
+- Sakoe-Chiba band: j in [i - max(0,r-c) - window + 1, i + max(0,c-r) + window)
+  (dtw.py:347-349),
+- psi begin/end relaxation (dtw.py:333-337, 360-361, 386-398),
+- max_step skips cells (dtw.py:364-366), max_dist early abandon with
+  sc/ec band narrowing — PrunedDTW, exact given the final
+  ``d > max_dist -> inf`` check (dtw.py:371-385, 397-398),
+- use_pruning sets max_dist = ub_euclidean (dtw.py:199-203).
+
+Implementation note (ours, not the reference's): each DP row is computed
+with O(1) vectorized NumPy ops instead of a per-cell Python loop. The
+in-row left-to-right dependency
+``f[j] = min(h[j], f[j-1] + cost[j] + penalty)`` is an exact prefix
+min-plus scan: with C = cost + penalty and S = cumsum(C),
+``f = S + cummin(h - S)``. This is algebraically identical to the
+sequential recurrence (min distributes over the chain), so values match
+the reference bit-for-bit up to float addition order within one row's
+cumsum; parity is asserted in tests/test_kernel_parity.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..settings import DTWSettings, EUCLIDEAN, SQEUCLIDEAN
+
+INF = float("inf")
+
+
+def _as_f64(s) -> np.ndarray:
+    a = np.asarray(s, dtype=np.float64)
+    if a.ndim != 1:
+        raise ValueError(f"expected 1-D series, got shape {a.shape}")
+    return a
+
+
+def _cost_row(v: float, s2: np.ndarray, inner_dist: str) -> np.ndarray:
+    if inner_dist == SQEUCLIDEAN:
+        d = s2 - v
+        return d * d
+    return np.abs(s2 - v)
+
+
+def _minplus_scan(h: np.ndarray, cpen: np.ndarray, left0: float) -> np.ndarray:
+    """Exact f[j] = min(h[j], f[j-1] + cpen[j]) with f[-1] = left0.
+
+    ``h`` may contain inf; ``cpen`` must be finite (callers segment around
+    inf step costs).
+    """
+    if left0 != INF and len(h):
+        h = h.copy()
+        h[0] = min(h[0], left0 + cpen[0])
+    S = np.cumsum(cpen)
+    return S + np.minimum.accumulate(h - S)
+
+
+def _row_update(
+    prev: np.ndarray,
+    cur: np.ndarray,
+    s1i: float,
+    s2: np.ndarray,
+    js: int,
+    je: int,
+    penalty: float,
+    max_step: float,
+    inner_dist: str,
+) -> np.ndarray:
+    """Fill cur[js+1:je+1] from prev; returns the skip-mask (max_step cells).
+
+    prev/cur are full (c+1)-length rows of the accumulated-cost matrix.
+    """
+    cost = _cost_row(s1i, s2[js:je], inner_dist)
+    skip = cost > max_step
+    e = np.minimum(prev[js:je], prev[js + 1 : je + 1] + penalty)
+    if not skip.any():
+        h = cost + e
+        f = _minplus_scan(h, cost + penalty, cur[js])
+        cur[js + 1 : je + 1] = f
+    else:
+        # max_step breaks the in-row chain; run the scan per finite segment.
+        cur[js + 1 : je + 1] = INF
+        idx = np.flatnonzero(skip)
+        seg_starts = np.concatenate(([0], idx + 1))
+        seg_ends = np.concatenate((idx, [je - js]))
+        left = cur[js]
+        for a, b in zip(seg_starts, seg_ends):
+            if a >= b:
+                left = INF
+                continue
+            h = cost[a:b] + e[a:b]
+            f = _minplus_scan(h, cost[a:b] + penalty, left if a == seg_starts[0] else INF)
+            cur[js + a + 1 : js + b + 1] = f
+            left = INF
+    return skip
+
+
+def _band(i: int, r: int, c: int, window: int) -> Tuple[int, int]:
+    js = max(0, i - max(0, r - c) - window + 1)
+    je = min(c, i + max(0, c - r) + window)
+    return js, je
+
+
+def ub_euclidean(s1, s2, inner_dist: str = SQEUCLIDEAN) -> float:
+    """Euclidean upper bound tolerant of unequal lengths.
+
+    Tail of the longer series is compared against the last element of the
+    shorter one (reference ed.py:47-80, Silva & Batista SDM'16).
+    """
+    s1 = _as_f64(s1)
+    s2 = _as_f64(s2)
+    n = min(len(s1), len(s2))
+    if inner_dist == SQEUCLIDEAN:
+        d = s1[:n] - s2[:n]
+        ub = float(np.dot(d, d))
+        if len(s1) > n:
+            t = s1[n:] - s2[n - 1]
+            ub += float(np.dot(t, t))
+        elif len(s2) > n:
+            t = s2[n:] - s1[n - 1]
+            ub += float(np.dot(t, t))
+        return math.sqrt(ub)
+    ub = float(np.abs(s1[:n] - s2[:n]).sum())
+    if len(s1) > n:
+        ub += float(np.abs(s1[n:] - s2[n - 1]).sum())
+    elif len(s2) > n:
+        ub += float(np.abs(s2[n:] - s1[n - 1]).sum())
+    return ub
+
+
+def lb_keogh(s1, s2, settings: Optional[DTWSettings] = None) -> float:
+    """LB_Keogh lower bound (reference dtw.py:266-291).
+
+    Envelope of s2 within the window compared against s1; guarantees
+    lb_keogh(s1, s2) <= dtw(s1, s2), so it is a safe pruning filter.
+    """
+    s = settings or DTWSettings()
+    s1 = _as_f64(s1)
+    s2 = _as_f64(s2)
+    window = max(len(s1), len(s2)) if s.window is None else s.window
+    imin_diff = max(0, len(s1) - len(s2)) + window - 1
+    imax_diff = max(0, len(s2) - len(s1)) + window
+    n1 = len(s1)
+    i = np.arange(n1)
+    imin = np.maximum(0, i - imin_diff)
+    imax = np.minimum(len(s2), i + imax_diff)
+    t = 0.0
+    for k in range(n1):
+        seg = s2[imin[k] : imax[k]]
+        u = seg.max()
+        l = seg.min()
+        ci = s1[k]
+        if ci > u:
+            t += (ci - u) ** 2 if s.inner_dist == SQEUCLIDEAN else abs(ci - u)
+        elif ci < l:
+            t += (l - ci) ** 2 if s.inner_dist == SQEUCLIDEAN else abs(l - ci)
+    return s.result(t)
+
+
+def lb_keogh_batch(query: np.ndarray, corpus: List[np.ndarray], settings: Optional[DTWSettings] = None) -> np.ndarray:
+    """Vectorized LB_Keogh of one query against many candidate series."""
+    return np.array([lb_keogh(query, c, settings) for c in corpus])
+
+
+def distance(s1, s2, settings: Optional[DTWSettings] = None) -> float:
+    """Banded, pruned, psi-relaxed DTW distance (two-row memory).
+
+    Numeric parity with reference dtw.distance is asserted in tests.
+    """
+    s = settings or DTWSettings()
+    s1 = _as_f64(s1)
+    s2 = _as_f64(s2)
+    r, c = len(s1), len(s2)
+    if abs(r - c) > s.adj_max_length_diff:
+        return INF
+    window = s.effective_window(r, c)
+    psi_1b, psi_1e, psi_2b, psi_2e = s.split_psi()
+    penalty = s.adj_penalty
+    max_step = s.adj_max_step
+    max_dist = s.adj_max_dist
+    if s.use_pruning and (s.max_dist is None or s.max_dist == 0):
+        max_dist = s.inner_val(ub_euclidean(s1, s2, s.inner_dist))
+    pruning = max_dist != INF
+
+    prev = np.full(c + 1, INF)
+    prev[: psi_2b + 1] = 0.0
+    cur = np.full(c + 1, INF)
+    sc = 0
+    ec = 0
+    psi_shortest = INF
+    for i in range(r):
+        cur[:] = INF
+        js, je = _band(i, r, c, window)
+        if sc > js:
+            js = sc
+        if psi_1b != 0 and js == 0 and i < psi_1b:
+            cur[0] = 0.0
+        if js < je:
+            skip = _row_update(prev, cur, s1[i], s2, js, je, penalty, max_step, s.inner_dist)
+            if pruning:
+                f = cur[js + 1 : je + 1]
+                computed = ~skip
+                good = computed & (f <= max_dist)
+                bad = computed & ~good
+                jj = np.arange(js, je)
+                # break at first bad cell with j >= ec
+                brk = np.flatnonzero(bad & (jj >= ec))
+                if len(brk):
+                    cut = brk[0]
+                    cur[js + cut + 2 :] = INF
+                    good = good & (np.arange(je - js) <= cut)
+                    bad = bad & (np.arange(je - js) <= cut)
+                good_idx = np.flatnonzero(good)
+                if len(good_idx):
+                    first_bad_prefix = np.flatnonzero(bad & (np.arange(je - js) < good_idx[0]))
+                    if len(first_bad_prefix):
+                        sc = js + int(first_bad_prefix[-1]) + 1
+                    ec = js + int(good_idx[-1]) + 1
+                else:
+                    bad_idx = np.flatnonzero(bad)
+                    if len(bad_idx):
+                        sc = js + int(bad_idx[-1]) + 1
+                    ec = i
+        if psi_1e != 0 and je == c and r - 1 - i <= psi_1e:
+            psi_shortest = min(psi_shortest, cur[je])
+        prev, cur = cur, prev
+    last = prev  # after swap, prev holds the final row
+    if psi_1e == 0 and psi_2e == 0:
+        d = last[min(c, c + window - 1)]
+    else:
+        ic = min(c, c + window - 1)
+        if psi_2e != 0:
+            vc = last[ic - psi_2e : ic + 1]
+            d = min(float(vc.min()), psi_shortest)
+        else:
+            d = min(last[ic], psi_shortest)
+    if max_dist and d > max_dist:
+        d = INF
+    return float(s.result(d))
+
+
+def warping_paths(
+    s1,
+    s2,
+    settings: Optional[DTWSettings] = None,
+    psi_neg: bool = True,
+    keep_int_repr: bool = False,
+) -> Tuple[float, Optional[np.ndarray]]:
+    """Full (r+1)x(c+1) accumulated-cost matrix + distance.
+
+    Mirrors reference dtw.warping_paths (dtw.py:440-535) including the
+    psi-end argmin/masking behavior.
+    """
+    s = settings or DTWSettings()
+    s1 = _as_f64(s1)
+    s2 = _as_f64(s2)
+    r, c = len(s1), len(s2)
+    if abs(r - c) > s.adj_max_length_diff:
+        return INF, None
+    window = s.effective_window(r, c)
+    psi_1b, psi_1e, psi_2b, psi_2e = s.split_psi()
+    penalty = s.adj_penalty
+    max_step = s.adj_max_step
+    max_dist = s.adj_max_dist
+    if s.use_pruning and (s.max_dist is None or s.max_dist == 0):
+        max_dist = s.inner_val(ub_euclidean(s1, s2, s.inner_dist))
+        eff_max_dist_dist_space = s.result(max_dist)
+    else:
+        eff_max_dist_dist_space = s.max_dist
+    pruning = max_dist != INF
+
+    dtw = np.full((r + 1, c + 1), INF)
+    dtw[0, : psi_2b + 1] = 0.0
+    dtw[: psi_1b + 1, 0] = 0.0
+    sc = 0
+    ec = 0
+    for i in range(r):
+        js, je = _band(i, r, c, window)
+        if sc > js:
+            js = sc
+        if js < je:
+            skip = _row_update(dtw[i], dtw[i + 1], s1[i], s2, js, je, penalty, max_step, s.inner_dist)
+            # NOTE _row_update writes into dtw[i+1] but also resets the
+            # full band slice; out-of-band cells keep inf, and the psi
+            # boundary at column 0 was pre-set above and is never touched
+            # because js+1 >= 1.
+            if pruning:
+                f = dtw[i + 1, js + 1 : je + 1]
+                computed = ~skip
+                good = computed & (f <= max_dist)
+                bad = computed & ~good
+                jj = np.arange(js, je)
+                brk = np.flatnonzero(bad & (jj >= ec))
+                if len(brk):
+                    cut = brk[0]
+                    dtw[i + 1, js + cut + 2 :] = INF
+                    good = good & (np.arange(je - js) <= cut)
+                    bad = bad & (np.arange(je - js) <= cut)
+                good_idx = np.flatnonzero(good)
+                if len(good_idx):
+                    first_bad_prefix = np.flatnonzero(bad & (np.arange(je - js) < good_idx[0]))
+                    if len(first_bad_prefix):
+                        sc = js + int(first_bad_prefix[-1]) + 1
+                    ec = js + int(good_idx[-1]) + 1
+                else:
+                    bad_idx = np.flatnonzero(bad)
+                    if len(bad_idx):
+                        sc = js + int(bad_idx[-1]) + 1
+                    ec = i
+    if not keep_int_repr:
+        with np.errstate(invalid="ignore"):
+            dtw = s.result(dtw)
+    ir = r
+    ic = min(c, c + window - 1)
+    if psi_1e == 0 and psi_2e == 0:
+        d = dtw[ir, ic]
+    else:
+        if psi_1e != 0:
+            vr = dtw[ir : max(0, ir - psi_1e - 1) : -1, ic]
+            mir = int(np.argmin(vr))
+            vr_mir = vr[mir]
+        else:
+            mir = ir
+            vr_mir = INF
+        if psi_2e != 0:
+            vc = dtw[ir, ic : max(0, ic - psi_2e - 1) : -1]
+            mic = int(np.argmin(vc))
+            vc_mic = vc[mic]
+        else:
+            mic = ic
+            vc_mic = INF
+        if vr_mir < vc_mic:
+            if psi_neg:
+                dtw[ir : ir - mir : -1, ic] = -1
+            d = vr_mir
+        else:
+            if psi_neg:
+                dtw[ir, ic : ic - mic : -1] = -1
+            d = vc_mic
+    if keep_int_repr:
+        if max_dist and d > max_dist:
+            d = INF
+    else:
+        if eff_max_dist_dist_space and d > eff_max_dist_dist_space:
+            d = INF
+    return float(d), dtw
+
+
+def best_path(paths: np.ndarray, penalty: float = 0.0) -> List[Tuple[int, int]]:
+    """Greedy argmin traceback, diagonal-then-up-then-left tie order
+    (reference dtw.py:1121-1161); honors -1 psi-masked cells."""
+    i = int(paths.shape[0] - 1)
+    j = int(paths.shape[1] - 1)
+    p = []
+    if paths[i, j] != -1:
+        p.append((i - 1, j - 1))
+    while i > 0 and j > 0:
+        cands = (
+            paths[i - 1, j - 1],
+            paths[i - 1, j] + penalty,
+            paths[i, j - 1] + penalty,
+        )
+        cm = min(cands)
+        if cands[0] == cm:
+            i, j = i - 1, j - 1
+        elif cands[1] == cm:
+            i = i - 1
+        else:
+            j = j - 1
+        if paths[i, j] != -1:
+            p.append((i - 1, j - 1))
+    p.pop()
+    p.reverse()
+    return p
+
+
+def warping_path(
+    s1,
+    s2,
+    settings: Optional[DTWSettings] = None,
+    include_distance: bool = False,
+):
+    """Best warping path via full matrix + traceback (dtw.py:975-990)."""
+    d, paths = warping_paths(s1, s2, settings=settings)
+    path = best_path(paths)
+    if include_distance:
+        return path, d
+    return path
+
+
+def warping_path_penalty(s1, s2, penalty_post=0, settings: Optional[DTWSettings] = None):
+    """Path distance with post-hoc penalty per compression/expansion
+    (reference dtw.py:1064-1096)."""
+    d, paths = warping_paths(s1, s2, settings=settings)
+    path = best_path(paths)
+    penalty_cost = 0
+    for k in range(1, len(path)):
+        if path[k][0] == path[k - 1][0] or path[k][1] == path[k - 1][1]:
+            penalty_cost += penalty_post
+    s1 = _as_f64(s1)
+    s2 = _as_f64(s2)
+    dist = sum((s1[i] - s2[j]) ** 2 for i, j in path)
+    return [math.sqrt(dist) + penalty_cost, path]
+
+
+def warping_amount(path) -> int:
+    """Number of compressions/expansions along a path (dtw.py:1051-1061)."""
+    n = 0
+    for k in range(1, len(path)):
+        if path[k][0] == path[k - 1][0] or path[k][1] == path[k - 1][1]:
+            n += 1
+    return n
+
+
+def warp(from_s, to_s, path=None, settings: Optional[DTWSettings] = None):
+    """Resample from_s onto to_s's axis by averaging path-mapped values
+    (reference dtw.py:1099-1118) — the elementary align-then-average step."""
+    from_s = _as_f64(from_s)
+    to_s = _as_f64(to_s)
+    if path is None:
+        path = warping_path(from_s, to_s, settings=settings)
+    sums = np.zeros(len(to_s))
+    cnts = np.zeros(len(to_s), dtype=np.int64)
+    for r_c, c_c in path:
+        sums[c_c] += from_s[r_c]
+        cnts[c_c] += 1
+    return sums / cnts, path

@@ -1,0 +1,33 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The reference library (pure-Python fallback, no C) is used as a
+# test-only oracle for kernel parity. Study/compare only — our engine
+# never imports it outside tests.
+REFERENCE_SRC = "/root/reference/src"
+if REFERENCE_SRC not in sys.path:
+    sys.path.append(REFERENCE_SRC)
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()

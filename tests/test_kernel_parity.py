@@ -1,0 +1,196 @@
+"""Kernel parity vs the reference library (pure-Python oracle).
+
+Golden cases from the reference's own tests (tests/test_dtw.py,
+tests/test_penalty.py, tests/test_warping.py) plus randomized parity
+over the full settings grid.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from dtaidistance_ray import DTWSettings
+from dtaidistance_ray.kernels import (
+    best_path,
+    dba,
+    dba_loop,
+    distance,
+    lb_keogh,
+    ub_euclidean,
+    warp,
+    warping_path,
+    warping_paths,
+)
+
+ref_dtw = pytest.importorskip("dtaidistance.dtw")
+ref_ed = pytest.importorskip("dtaidistance.ed")
+from dtaidistance import dtw_barycenter as ref_dba  # noqa: E402
+
+S1 = [0, 0, 1, 2, 1, 0, 1, 0, 0]
+S2 = [0, 1, 2, 0, 0, 0, 0, 0, 0]
+
+
+class TestGolden:
+    def test_basic_sqrt2(self):
+        assert distance(S1, S2) == pytest.approx(math.sqrt(2))
+
+    def test_basic_euclidean_inner(self):
+        assert distance(S1, S2, DTWSettings(inner_dist="euclidean")) == pytest.approx(2.0)
+
+    def test_penalty_golden(self):
+        # reference tests/test_penalty.py:9-20
+        s1 = [0.0, 1, 2, 1, 0, 1, 2, 1, 0, 1, 2, 1, 0]
+        s2 = [2.0, 1, 0, 1, 2, 1, 0, 1, 2, 1, 0, 1, 2]
+        assert distance(s1, s2) == pytest.approx(math.sqrt(10))
+        assert distance(s1, s2, DTWSettings(penalty=1)) == pytest.approx(math.sqrt(14))
+
+    def test_psi_shifted_sine_zero(self):
+        # reference tests/test_warping.py:169-288
+        x = np.arange(0, 20, 0.5)
+        s1 = np.sin(x)
+        s2 = np.sin(x - 1)
+        for window in (None, 3, 25):
+            d = distance(s1, s2, DTWSettings(psi=2, window=window))
+            rd = ref_dtw.distance(s1, s2, psi=2, window=window)
+            assert d == pytest.approx(rd)
+            assert d == pytest.approx(0.0, abs=1e-10)
+
+    def test_window(self):
+        for w in (1, 2, 3, 5):
+            assert distance(S1, S2, DTWSettings(window=w)) == pytest.approx(
+                ref_dtw.distance(S1, S2, window=w)
+            )
+
+    def test_ub_euclidean(self):
+        for a, b in [(S1, S2), (S1, S2[:5]), (S1[:4], S2)]:
+            assert ub_euclidean(a, b) == pytest.approx(ref_dtw.ub_euclidean(a, b))
+
+    def test_lb_keogh(self):
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            a = rng.normal(size=rng.integers(5, 30))
+            b = rng.normal(size=rng.integers(5, 30))
+            for w in (None, 3):
+                assert lb_keogh(a, b, DTWSettings(window=w)) == pytest.approx(
+                    ref_dtw.lb_keogh(a, b, window=w)
+                )
+                assert lb_keogh(a, b, DTWSettings(window=w)) <= distance(
+                    a, b, DTWSettings(window=w)
+                ) + 1e-9
+
+
+def _param_grid():
+    return [
+        dict(),
+        dict(window=2),
+        dict(window=5),
+        dict(psi=2),
+        dict(psi=(2, 0, 1, 3)),
+        dict(penalty=0.5),
+        dict(penalty=1.0, window=4),
+        dict(max_step=1.5),
+        dict(max_dist=2.0),
+        dict(max_dist=0.5),
+        dict(use_pruning=True),
+        dict(use_pruning=True, window=3),
+        dict(inner_dist="euclidean"),
+        dict(inner_dist="euclidean", penalty=0.3, window=4),
+        dict(psi=1, penalty=0.25),
+        dict(max_length_diff=3),
+        dict(max_step=1.0, max_dist=3.0),
+        dict(psi=2, use_pruning=True),
+    ]
+
+
+class TestRandomParity:
+    def test_distance_parity_random(self):
+        rng = np.random.default_rng(42)
+        for trial in range(30):
+            n1 = int(rng.integers(3, 40))
+            n2 = int(rng.integers(3, 40))
+            a = np.round(rng.normal(size=n1) * 3, 3)
+            b = np.round(rng.normal(size=n2) * 3, 3)
+            for kw in _param_grid():
+                ours = distance(a, b, DTWSettings(**kw))
+                theirs = ref_dtw.distance(a, b, **kw)
+                assert ours == pytest.approx(theirs, rel=1e-9, abs=1e-12), (
+                    f"trial={trial} kw={kw} ours={ours} theirs={theirs}"
+                )
+
+    def test_distance_parity_integer_tokens(self):
+        # token tables: integer-valued series (input_hint payload)
+        rng = np.random.default_rng(7)
+        for trial in range(15):
+            a = rng.integers(0, 50, size=int(rng.integers(4, 60))).astype(np.float64)
+            b = rng.integers(0, 50, size=int(rng.integers(4, 60))).astype(np.float64)
+            for kw in [dict(), dict(window=8), dict(use_pruning=True), dict(psi=3)]:
+                assert distance(a, b, DTWSettings(**kw)) == pytest.approx(
+                    ref_dtw.distance(a, b, **kw), rel=1e-9
+                )
+
+    def test_warping_paths_matrix_parity(self):
+        rng = np.random.default_rng(3)
+        for trial in range(10):
+            a = np.round(rng.normal(size=int(rng.integers(3, 20))), 3)
+            b = np.round(rng.normal(size=int(rng.integers(3, 20))), 3)
+            for kw in [dict(), dict(window=3), dict(psi=2), dict(penalty=0.5)]:
+                d1, m1 = warping_paths(a, b, DTWSettings(**kw))
+                d2, m2 = ref_dtw.warping_paths(a, b, **kw)
+                assert d1 == pytest.approx(d2, rel=1e-9, abs=1e-12), kw
+                np.testing.assert_allclose(m1, m2, rtol=1e-9, atol=1e-12)
+
+    def test_best_path_parity(self):
+        rng = np.random.default_rng(11)
+        for trial in range(15):
+            a = np.round(rng.normal(size=int(rng.integers(4, 25))), 3)
+            b = np.round(rng.normal(size=int(rng.integers(4, 25))), 3)
+            for kw in [dict(), dict(psi=2), dict(window=4)]:
+                p1 = warping_path(a, b, DTWSettings(**kw))
+                p2 = ref_dtw.warping_path(a, b, **kw)
+                assert p1 == p2, kw
+
+    def test_warp_parity(self):
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=15)
+        b = rng.normal(size=12)
+        w1, p1 = warp(a, b)
+        w2, p2 = ref_dtw.warp(a, b)
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-12)
+        assert p1 == p2
+
+
+class TestDBAParity:
+    def test_dba_single_sweep(self):
+        rng = np.random.default_rng(17)
+        seqs = [rng.integers(0, 30, size=20).astype(np.float64) for _ in range(6)]
+        c = seqs[0]
+        ours = dba(seqs, c)
+        theirs = ref_dba.dba(seqs, c)
+        np.testing.assert_allclose(ours, np.asarray(theirs), rtol=1e-12)
+
+    def test_dba_loop(self):
+        rng = np.random.default_rng(19)
+        seqs = [rng.integers(0, 30, size=16).astype(np.float64) for _ in range(5)]
+        ours = dba_loop(seqs, c=None, max_it=5, thr=0.0001)
+        theirs = ref_dba.dba_loop(seqs, c=None, max_it=5, thr=0.0001)
+        np.testing.assert_allclose(ours, np.asarray(theirs), rtol=1e-12)
+
+    def test_dba_with_window(self):
+        rng = np.random.default_rng(23)
+        seqs = [rng.normal(size=18) for _ in range(4)]
+        ours = dba_loop(seqs, max_it=3, settings=DTWSettings(window=5))
+        theirs = ref_dba.dba_loop(seqs, max_it=3, window=5)
+        np.testing.assert_allclose(ours, np.asarray(theirs), rtol=1e-10)
+
+    def test_dba_partial_merge_invariance(self):
+        # partition the members arbitrarily -> identical merged result
+        from dtaidistance_ray.kernels import dba_finalize, dba_merge, dba_partial
+
+        rng = np.random.default_rng(29)
+        seqs = [rng.integers(0, 100, size=24).astype(np.float64) for _ in range(9)]
+        c = seqs[0]
+        whole = dba_finalize(*dba_partial(seqs, c))
+        parts = [dba_partial(seqs[i : i + 3], c) for i in range(0, 9, 3)]
+        merged = dba_finalize(*dba_merge(parts))
+        np.testing.assert_array_equal(whole, merged)  # bit-exact (integer sums)
