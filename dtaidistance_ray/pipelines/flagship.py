@@ -1,0 +1,201 @@
+"""Flagship pipeline: rollup + downsample + retention over a token table.
+
+End-to-end:  token table (doc_id, tokens, n_tok, source)
+  -> bucketize by event time (tier-0 width)
+  -> per (source, bucket): continuous aggregates + DBA representative
+  -> gap-fill missing buckets per source
+  -> Gorilla/delta-of-delta encode
+  -> per-shard checkpointed parquet (lineage manifest, resumable)
+  -> promote: tier t representatives -> tier t+1 (coarser buckets)
+
+``rollup_oracle`` is the single-process reference implementation (same
+kernels, same canonical ordering); the distributed pipeline's output is
+bit-equal to it at every tier — the north rule's "rolled-up point
+equality per retention tier".
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.synth import TokenTableSpec, token_table, token_table_arrow, derive_ts
+from ..stages.rollup import (
+    RollupConfig,
+    _rollup_group_base,
+    _rollup_group_upper,
+    bucketize,
+    encode_tier,
+    gap_fill_tier,
+    rollup_base_tier,
+    rollup_next_tier,
+)
+from ..state.checkpoint import completed_shards, write_shard_atomic
+
+TIER_SCHEMA_COLS = [
+    "source",
+    "bucket",
+    "agg_count",
+    "agg_n_tok_sum",
+    "agg_token_sum",
+    "agg_token_min",
+    "agg_token_max",
+    "agg_token_mean",
+    "repr_series",
+    "gap_filled",
+]
+
+
+def source_shard(source: str, num_shards: int) -> int:
+    """Stable shard id (crc32, process-independent)."""
+    return zlib.crc32(source.encode()) % num_shards
+
+
+def build_tiers(ds, spec: TokenTableSpec, cfg: RollupConfig) -> Dict[int, "object"]:
+    """Lazy Datasets per tier (no gap-fill/encode), tier i keyed by
+    bucket of width cfg.tier_widths[i]."""
+    tiers: Dict[int, object] = {}
+    b = bucketize(ds, cfg.tier_widths[0], spec)
+    tiers[0] = rollup_base_tier(b, cfg)
+    for t in range(1, len(cfg.tier_widths)):
+        tiers[t] = rollup_next_tier(
+            tiers[t - 1], cfg.tier_widths[t - 1], cfg.tier_widths[t], cfg
+        )
+    return tiers
+
+
+def run_flagship(
+    spec: TokenTableSpec,
+    cfg: Optional[RollupConfig] = None,
+    out_dir: Optional[str] = None,
+    num_shards: int = 16,
+    resume: bool = True,
+) -> dict:
+    """Run the full pipeline; returns metrics (and writes checkpointed
+    parquet when out_dir is given)."""
+    cfg = cfg or RollupConfig()
+    t0 = time.perf_counter()
+    input_fp = f"synth:{spec.num_rows}:{spec.seed}:{spec.num_sources}:{spec.vocab}"
+    shash = cfg.settings_hash()
+
+    metrics: dict = {"tiers": {}, "skipped_shards": {}, "num_rows": spec.num_rows}
+    ds = token_table(spec)
+
+    skip: Dict[int, set] = {}
+    if out_dir and resume:
+        for t in range(len(cfg.tier_widths)):
+            skip[t] = completed_shards(out_dir, t, shash, input_fp)
+            metrics["skipped_shards"][t] = sorted(skip[t])
+        done_all = set.intersection(*skip.values()) if skip else set()
+        if done_all:
+            # prune finished sources at the read: shard is a pure function
+            # of source, so the filter pushes to the first map stage.
+            def drop_done(batch: pa.Table) -> pa.Table:
+                keep = [
+                    source_shard(s, num_shards) not in done_all
+                    for s in batch["source"].to_pylist()
+                ]
+                return batch.filter(pa.array(keep))
+
+            ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    tiers = build_tiers(ds, spec, cfg)
+    for t in range(len(cfg.tier_widths)):
+        tier_ds = encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t])
+        if out_dir is None:
+            metrics["tiers"][t] = {"rows": tier_ds.count()}
+            continue
+        # checkpointed write: one task per shard, atomic rename + manifest
+        def write_shard(g: pd.DataFrame, tier=t) -> pd.DataFrame:
+            ws = time.perf_counter()
+            shard = int(g["shard"].iloc[0])
+            g = g.sort_values(["source", "bucket"], kind="mergesort").drop(columns=["shard"])
+            table = pa.Table.from_pandas(g, preserve_index=False)
+            m = write_shard_atomic(
+                out_dir, tier, shard, table, shash, input_fp, time.perf_counter() - ws
+            )
+            return pd.DataFrame({"shard": [shard], "rows": [m.num_rows]})
+
+        def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["shard"] = [source_shard(s, num_shards) for s in batch["source"]]
+            return batch
+
+        written = (
+            tier_ds.map_batches(add_shard, batch_format="pandas")
+            .groupby("shard")
+            .map_groups(write_shard, batch_format="pandas")
+        )
+        rows = written.to_pandas()
+        metrics["tiers"][t] = {
+            "rows": int(rows["rows"].sum()) if len(rows) else 0,
+            "shards_written": len(rows),
+        }
+    metrics["wall_time_s"] = time.perf_counter() - t0
+    metrics["sequences_per_sec"] = spec.num_rows / metrics["wall_time_s"]
+    metrics["settings_hash"] = shash
+    metrics["input_fingerprint"] = input_fp
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# single-process oracle (same kernels, canonical order, no Ray)
+# ---------------------------------------------------------------------------
+
+
+def rollup_oracle(spec: TokenTableSpec, cfg: Optional[RollupConfig] = None) -> Dict[int, pd.DataFrame]:
+    """Reference run for tier-equality tests: same kernels and ordering,
+    plain pandas on the driver."""
+    cfg = cfg or RollupConfig()
+    table = token_table_arrow(spec)
+    df = table.to_pandas()
+    ids = np.array([int(d[1:]) for d in df["doc_id"]], dtype=np.int64)
+    df["ts"] = derive_ts(ids, spec)
+    df["bucket"] = df["ts"] // cfg.tier_widths[0]
+
+    def apply_groups(frame: pd.DataFrame, keys, fn) -> pd.DataFrame:
+        out = [fn(g) for _, g in frame.groupby(keys, sort=True)]
+        return pd.concat(out, ignore_index=True)
+
+    tiers: Dict[int, pd.DataFrame] = {}
+    tiers[0] = apply_groups(df, ["source", "bucket"], lambda g: _rollup_group_base(g, cfg))
+    for t in range(1, len(cfg.tier_widths)):
+        ratio = cfg.tier_widths[t] // cfg.tier_widths[t - 1]
+        child = tiers[t - 1].rename(columns={"bucket": "child_bucket"})
+        child["bucket"] = child["child_bucket"] // ratio
+        tiers[t] = apply_groups(
+            child, ["source", "bucket"], lambda g: _rollup_group_upper(g, cfg)
+        )
+    # gap-fill (same semantics as stages.rollup.gap_fill_tier)
+    for t in tiers:
+        from ..stages.rollup import gap_fill_tier as _  # noqa: F401
+
+        filled = []
+        for _, g in tiers[t].groupby("source", sort=True):
+            g = g.sort_values("bucket", kind="mergesort")
+            lo, hi = int(g["bucket"].min()), int(g["bucket"].max())
+            grid = np.arange(lo, hi + 1, dtype=np.int64)
+            missing = np.setdiff1d(grid, g["bucket"].to_numpy())
+            if len(missing):
+                fill_df = pd.DataFrame(
+                    {
+                        "source": g["source"].iloc[0],
+                        "bucket": missing,
+                        "agg_count": 0,
+                        "agg_n_tok_sum": 0,
+                        "agg_token_sum": 0,
+                        "agg_token_min": np.nan,
+                        "agg_token_max": np.nan,
+                        "agg_token_mean": np.nan,
+                        "repr_series": [[] for _ in missing],
+                        "gap_filled": True,
+                    }
+                )
+                g = pd.concat([g, fill_df], ignore_index=True)
+            filled.append(g.sort_values("bucket", kind="mergesort"))
+        tiers[t] = pd.concat(filled, ignore_index=True)
+    return tiers

