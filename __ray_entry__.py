@@ -1,44 +1,323 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship rollup+downsample on a small deterministic token
+               table (Ray already initialised by the driver).
+queries()    — one callable per implemented operator/pipeline
+               (SURVEY.md §2 + training-data ops); each takes sf_dir.
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query;
+               non-SQL ops (DTW/DBA/sketches) are rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/shutdown() here (driver owns the session). The token
+table is not part of the driver's testdata, so token queries synthesize
+it deterministically (sources.synth) and materialize a parquet copy
+under /tmp for the DuckDB oracle to read.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_TOK_DIR = "/tmp/dtair_tokens"
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else "0.01"
+
+
+def _token_spec(sf_dir: str):
+    from dtaidistance_ray.sources.synth import TokenTableSpec
+
+    sf = float(_sf_of(sf_dir))
+    # correctness-sized table: 10% of the bench-sized table, floor 400
+    return TokenTableSpec(num_rows=max(400, int(sf * 200_000)))
+
+
+def _ensure_token_parquet(sf_dir: str) -> str:
+    """Materialize the synthetic token table (+ts/bucket cols) for the
+    DuckDB oracle; driver-side pyarrow only, cached per sf."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dtaidistance_ray.sources.synth import derive_ts, token_table_arrow
+
+    spec = _token_spec(sf_dir)
+    path = os.path.join(_TOK_DIR, f"sf{_sf_of(sf_dir)}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(_TOK_DIR, exist_ok=True)
+    t = token_table_arrow(spec)
+    ids = np.arange(spec.num_rows, dtype=np.int64)
+    ts = derive_ts(ids, spec)
+    t = t.append_column("ts", pa.array(ts, type=pa.int64()))
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; returns the tier-0 rollup."""
+    from dtaidistance_ray.pipelines.flagship import build_tiers
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
+
+    spec = _token_spec("/root/testdata/sf0.001")
+    cfg = RollupConfig()
+    tiers = build_tiers(token_table(spec), spec, cfg)
+    return encode_tier(gap_fill_tier(tiers[0]), cfg.tier_widths[0])
+
+
+# ---------------------------------------------------------------------------
+# token-table queries (synthetic input; SQL oracles read the /tmp copy)
+# ---------------------------------------------------------------------------
+
+
+def _q_tokens_stats_by_source(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from dtaidistance_ray.sources.synth import token_table
+
+    _ensure_token_parquet(sf_dir)
+    spec = _token_spec(sf_dir)
+    ds = token_table(spec)
+
+    def per_row(batch: pd.DataFrame) -> pd.DataFrame:
+        sums = [int(np.asarray(t).sum()) for t in batch["tokens"]]
+        mins = [int(np.asarray(t).min()) for t in batch["tokens"]]
+        maxs = [int(np.asarray(t).max()) for t in batch["tokens"]]
+        return pd.DataFrame(
+            {
+                "source": batch["source"],
+                "n_tok": batch["n_tok"].astype("int64"),
+                "tok_sum": pd.array(sums, dtype="int64"),
+                "tok_min": pd.array(mins, dtype="int64"),
+                "tok_max": pd.array(maxs, dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(per_row, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tok", alias_name="n_tok_sum"),
+            Sum("tok_sum", alias_name="token_sum"),
+            Min("tok_min", alias_name="token_min"),
+            Max("tok_max", alias_name="token_max"),
+        )
+    )
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_docs", "n_tok_sum", "token_sum", "token_min", "token_max"):
+            batch[c] = batch[c].astype("int64")
+        return batch
+
+    return out.map_batches(fix, batch_format="pandas")
+
+
+def _sql_tokens_stats_by_source(sf: str) -> str:
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+       CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS token_sum,
+       CAST(min(list_aggregate(tokens, 'min')) AS BIGINT) AS token_min,
+       CAST(max(list_aggregate(tokens, 'max')) AS BIGINT) AS token_max
+FROM read_parquet('{_TOK_DIR}/sf{sf}.parquet')
+GROUP BY source
+"""
+
+
+def _q_tokens_rollup_tier0_aggs(sf_dir: str):
+    """Tier-0 continuous aggregates (SQL-checkable projection of the
+    flagship rollup; the DBA representative is covered rows-only)."""
+    import pandas as pd
+
+    from dtaidistance_ray.pipelines.flagship import build_tiers
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig
+
+    _ensure_token_parquet(sf_dir)
+    spec = _token_spec(sf_dir)
+    cfg = RollupConfig()
+    t0 = build_tiers(token_table(spec), spec, cfg)[0]
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[
+            ["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]
+        ].copy()
+        # int/int division is bit-deterministic in both engines: no rounding
+        out["agg_token_mean"] = batch["agg_token_mean"]
+        for c in ("agg_count", "agg_n_tok_sum", "agg_token_sum"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return t0.map_batches(project, batch_format="pandas")
+
+
+def _sql_tokens_rollup_tier0(sf: str) -> str:
+    return f"""
+SELECT source,
+       CAST(ts // 3600 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS agg_count,
+       CAST(sum(n_tok) AS BIGINT) AS agg_n_tok_sum,
+       CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS agg_token_sum,
+       CAST(sum(list_aggregate(tokens, 'sum')) AS DOUBLE) / sum(n_tok)
+           AS agg_token_mean
+FROM read_parquet('{_TOK_DIR}/sf{sf}.parquet')
+GROUP BY 1, 2
+"""
+
+
+def _q_tokens_rollup_tier1_aggs(sf_dir: str):
+    import pandas as pd
+
+    from dtaidistance_ray.pipelines.flagship import build_tiers
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig
+
+    _ensure_token_parquet(sf_dir)
+    spec = _token_spec(sf_dir)
+    cfg = RollupConfig()
+    t1 = build_tiers(token_table(spec), spec, cfg)[1]
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]].copy()
+        for c in ("agg_count", "agg_n_tok_sum", "agg_token_sum"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return t1.map_batches(project, batch_format="pandas")
+
+
+def _sql_tokens_rollup_tier1(sf: str) -> str:
+    return f"""
+SELECT source,
+       CAST(ts // 14400 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS agg_count,
+       CAST(sum(n_tok) AS BIGINT) AS agg_n_tok_sum,
+       CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS agg_token_sum
+FROM read_parquet('{_TOK_DIR}/sf{sf}.parquet')
+GROUP BY 1, 2
+"""
+
+
+def _q_tokens_rollup_tier0_full(sf_dir: str):
+    """Full tier-0 rollup incl. DBA representative + gap-fill + Gorilla
+    payload (rows-only: DTW/DBA are not SQL-expressible)."""
+    from dtaidistance_ray.pipelines.flagship import build_tiers
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
+
+    spec = _token_spec(sf_dir)
+    cfg = RollupConfig()
+    tiers = build_tiers(token_table(spec), spec, cfg)
+    return encode_tier(gap_fill_tier(tiers[0]), cfg.tier_widths[0])
+
+
+def _q_tokens_rollup_tier2_full(sf_dir: str):
+    from dtaidistance_ray.pipelines.flagship import build_tiers
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
+
+    spec = _token_spec(sf_dir)
+    cfg = RollupConfig()
+    tiers = build_tiers(token_table(spec), spec, cfg)
+    return encode_tier(gap_fill_tier(tiers[2]), cfg.tier_widths[2])
+
+
+def _q_dtw_distance_matrix(sf_dir: str):
+    """All-pairs banded+pruned DTW over a 48-series sample of the token
+    table (condensed pair rows). Non-SQL; parity vs the reference
+    library is asserted in tests/test_kernel_parity.py."""
+    from dtaidistance_ray.stages.distance_matrix import distance_matrix_sample
+
+    return distance_matrix_sample(_token_spec(sf_dir), n=48)
+
+
+def _q_subsequence_knn(sf_dir: str):
+    from dtaidistance_ray.stages.search import subsequence_knn_tokens
+
+    return subsequence_knn_tokens(_token_spec(sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dtaidistance_ray.stages import ann, dedup, events, text
+    from dtaidistance_ray.stages.relational import lineitem_pricing_summary, revenue_by_nation
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # events-table rollup engine (SQL oracles)
+        "rollup_events_hourly": events.rollup_hourly,
+        "rollup_events_daily_from_hourly": events.rollup_daily_from_hourly,
+        "rollup_events_hourly_gapfill": events.rollup_hourly_gapfill,
+        "events_sessionize": events.sessionize,
+        "events_top_users_by_value": events.top_users_by_value,
+        # relational ops
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "revenue_by_nation": revenue_by_nation,
+        # text / training-data ops
+        "dedup_exact_documents": text.dedup_exact,
+        "doc_token_counts": text.token_counts,
+        "doc_quality_scores": text.quality_scores,
+        "doc_lang_id": text.lang_id,
+        "doc_fingerprints": text.fingerprints,
+        # near-dup suite
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # similarity search
+        "ann_cosine_topk": ann.ann_topk,
+        "embedding_label_centroids": ann.label_centroids,
+        "znormal_embeddings": ann.znormal_embeddings,
+        "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        # token-table engine (synthetic input)
+        "tokens_stats_by_source": _q_tokens_stats_by_source,
+        "tokens_rollup_tier0_aggs": _q_tokens_rollup_tier0_aggs,
+        "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
+        "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
+        "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
+        "dtw_distance_matrix": _q_dtw_distance_matrix,
+        "subsequence_knn": _q_subsequence_knn,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dtaidistance_ray.stages import ann, events, text
+    from dtaidistance_ray.stages.relational import LINEITEM_PRICING_SQL, REVENUE_BY_NATION_SQL
+
+    # correctness gate runs at sf0.01; materialize the oracle's token
+    # parquet for that sf regardless of call order
+    try:
+        _ensure_token_parquet("/root/testdata/sf0.01")
+    except Exception:
+        pass
+    sf = "0.01"
+    return {
+        "rollup_events_hourly": events.ROLLUP_HOURLY_SQL,
+        "rollup_events_daily_from_hourly": events.ROLLUP_DAILY_SQL,
+        "rollup_events_hourly_gapfill": events.ROLLUP_GAPFILL_SQL,
+        "events_sessionize": events.SESSIONIZE_SQL,
+        "events_top_users_by_value": events.TOP_USERS_SQL,
+        "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
+        "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "dedup_exact_documents": text.DEDUP_EXACT_SQL,
+        "doc_token_counts": text.TOKEN_COUNTS_SQL,
+        "doc_quality_scores": text.QUALITY_SQL,
+        "ann_cosine_topk": ann.ANN_TOPK_SQL,
+        "embedding_label_centroids": ann.LABEL_CENTROIDS_SQL,
+        "znormal_embeddings": ann.ZNORMAL_SQL,
+        "tokens_stats_by_source": _sql_tokens_stats_by_source(sf),
+        "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
+        "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),
+    }

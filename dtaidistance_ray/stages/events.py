@@ -1,0 +1,245 @@
+"""Event-stream rollup operators over the TPC-H-ish ``events`` table.
+
+These exercise the same rollup engine shapes (time bucketing, grouped
+continuous aggregates, gap-fill, tier promotion, sessionization) on a
+real timestamped table, so every one of them has a DuckDB SQL oracle.
+
+Exactness strategy: ``value`` is 2-decimal data, so all sums are
+computed as scaled int64 cents (exact under any partitioning /
+summation order) and divided back to doubles at the end; the oracle SQL
+uses the identical formulation, so value-hashes match bit-for-bit with
+no rounding tolerance games.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def read_events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _add_hour(batch: pa.Table) -> pa.Table:
+    return batch.append_column("bucket", pc.floor_temporal(batch["ts"], unit="hour"))
+
+
+def _add_cents(batch: pd.DataFrame) -> pd.DataFrame:
+    batch["value_cents"] = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+    return batch
+
+
+def rollup_hourly(sf_dir: str):
+    """count/sum/min/max/mean of value per (event_type, hour)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+    ds = ds.map_batches(_add_hour, batch_format="pyarrow").map_batches(
+        _add_cents, batch_format="pandas"
+    )
+    out = ds.groupby(["event_type", "bucket"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_cents", alias_name="cents"),
+        Min("value", alias_name="value_min"),
+        Max("value", alias_name="value_max"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype("int64")
+        batch["value_sum"] = batch["cents"] / 100.0
+        batch["value_mean"] = batch["cents"] / 100.0 / batch["n_events"]
+        return batch[
+            ["event_type", "bucket", "n_events", "value_sum", "value_min", "value_max", "value_mean"]
+        ]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+ROLLUP_HOURLY_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*) AS value_mean
+FROM events GROUP BY 1, 2
+"""
+
+
+def rollup_daily_from_hourly(sf_dir: str):
+    """Tier promotion: hourly partials -> daily aggregates (sums of
+    sums, min of mins) — the continuous-aggregate pattern with a
+    combiner-style pre-aggregation inside map_batches before the wide
+    shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+    ds = ds.map_batches(_add_hour, batch_format="pyarrow").map_batches(
+        _add_cents, batch_format="pandas"
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["event_type", "bucket"], as_index=False).agg(
+            n_events=("value", "size"),
+            cents=("value_cents", "sum"),
+            value_min=("value", "min"),
+            value_max=("value", "max"),
+        )
+
+    hourly = ds.map_batches(partial, batch_format="pandas")
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        return batch.append_column("day", pc.floor_temporal(batch["bucket"], unit="day"))
+
+    daily = (
+        hourly.map_batches(to_day, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("cents", alias_name="cents"),
+            Min("value_min", alias_name="value_min"),
+            Max("value_max", alias_name="value_max"),
+        )
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype("int64")
+        batch["value_sum"] = batch["cents"] / 100.0
+        return batch[["event_type", "day", "n_events", "value_sum", "value_min", "value_max"]]
+
+    return daily.map_batches(finish, batch_format="pandas")
+
+
+ROLLUP_DAILY_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events GROUP BY 1, 2
+"""
+
+
+def rollup_hourly_gapfill(sf_dir: str):
+    """Hourly counts per event_type with missing hours filled
+    (n_events = 0) over each type's [min, max] hour range."""
+    from ray.data.aggregate import Count
+
+    ds = read_events(sf_dir, columns=["ts", "event_type"])
+    ds = ds.map_batches(_add_hour, batch_format="pyarrow")
+    hourly = ds.groupby(["event_type", "bucket"]).aggregate(Count(alias_name="n_events"))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        grid = pd.date_range(g["bucket"].min(), g["bucket"].max(), freq="1h")
+        out = pd.DataFrame({"bucket": grid})
+        out["event_type"] = g["event_type"].iloc[0]
+        out = out.merge(g[["bucket", "n_events"]], on="bucket", how="left")
+        out["n_events"] = out["n_events"].fillna(0).astype("int64")
+        return out[["event_type", "bucket", "n_events"]]
+
+    return hourly.groupby("event_type").map_groups(fill, batch_format="pandas")
+
+
+ROLLUP_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+)
+SELECT g.event_type, g.bucket,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN hourly h
+  ON g.event_type = h.event_type AND g.bucket = h.bucket
+"""
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800):
+    """Session stats per user: a new session starts when the gap to the
+    previous event exceeds gap_s (streaming-shaped op as sorted
+    map_groups per user — the partition key is the session key)."""
+    ds = read_events(sf_dir, columns=["ts", "user_id", "value"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds()
+        new_sess = (gaps.isna() | (gaps > gap_s)).astype("int64")
+        cents = int(np.round(g["value"].to_numpy() * 100).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(new_sess.sum())],
+                "n_events": [len(g)],
+                "value_sum": [cents / 100.0],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+FROM ordered GROUP BY user_id
+"""
+
+
+def top_users_by_value(sf_dir: str, k: int = 20):
+    """Distributed top-k: per-batch partial aggregation, then global
+    groupby + sort + limit (exact cents ordering, ties by user_id)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_events(sf_dir, columns=["user_id", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _add_cents(batch)
+        return batch.groupby("user_id", as_index=False).agg(
+            cents=("value_cents", "sum"), n_events=("value", "size")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_sum"] = batch["cents"] / 100.0
+        batch["n_events"] = batch["n_events"].astype("int64")
+        return batch[["user_id", "value_sum", "n_events"]]
+
+    return (
+        agg.map_batches(finish, batch_format="pandas")
+        .sort(["value_sum", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_USERS_SQL = """
+SELECT user_id,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+ORDER BY value_sum DESC, user_id LIMIT 20
+"""

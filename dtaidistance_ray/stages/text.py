@@ -1,0 +1,210 @@
+"""Text analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline components: exact dedup, token
+counting, quality scoring, language ID, document fingerprinting. The
+stateful stages (compiled regexes, stopword tables) are actor pools —
+the callable classes compile state once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+
+def read_documents(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup by content hash: keep the smallest doc_id per md5(text).
+
+    Hash-partitioned groupby on the digest — the canonical exact-dedup
+    shuffle; at scale the digest is the ONE partition key and survivors
+    never co-locate full texts (only hash + id move)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["text_md5"] = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]]
+        return batch[["doc_id", "text_md5"]]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+class TokenCounter:
+    """Whitespace + BPE-ish regex token counting (actor-pool stage)."""
+
+    def __init__(self):
+        self.ws = re.compile(r"\s+")
+        # BPE-ish: words, numbers, or single non-space symbols
+        self.bpeish = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"]
+        batch["ws_tokens"] = [len(self.ws.split(t.strip())) if t.strip() else 0 for t in texts]
+        batch["bpeish_tokens"] = [len(self.bpeish.findall(t)) for t in texts]
+        batch["n_chars_check"] = [len(t) for t in texts]
+        return batch[["doc_id", "ws_tokens", "bpeish_tokens", "n_chars_check"]]
+
+
+def token_counts(sf_dir: str):
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(TokenCounter, batch_format="pandas", concurrency=2)
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT)
+           AS bpeish_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_check
+FROM documents
+"""
+
+
+class QualityScorer:
+    """Length / punctuation / stopword-ratio quality heuristics."""
+
+    STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "that", "for", "it")
+
+    def __init__(self):
+        self.word = re.compile(r"[A-Za-z]+")
+        self.punct = re.compile(r"[.,;:!?]")
+        self.stop = set(self.STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t in batch["text"]:
+            words = self.word.findall(t.lower())
+            nw = len(words)
+            npunct = len(self.punct.findall(t))
+            nstop = sum(1 for w in words if w in self.stop)
+            nchars = len(t)
+            rows.append(
+                (
+                    nw,
+                    npunct,
+                    round(npunct / nchars, 6) if nchars else 0.0,
+                    round(nstop / nw, 6) if nw else 0.0,
+                )
+            )
+        out = pd.DataFrame(
+            rows, columns=["n_words", "n_punct", "punct_ratio", "stopword_ratio"]
+        )
+        out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return out
+
+
+def quality_scores(sf_dir: str):
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+
+
+QUALITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> x IN ('the','and','of','a','to','in','is','that','for','it'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE ROUND(CAST(n_punct AS DOUBLE) / length(text), 6) END AS punct_ratio,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) END AS stopword_ratio
+FROM w
+"""
+
+
+class LangId:
+    """Character n-gram language heuristic (en/de/fr/es + other).
+
+    Deterministic scoring against tiny built-in trigram profiles; a
+    rows-only correctness check (not SQL-expressible) — accuracy vs the
+    table's ``lang`` column is reported as a metric column."""
+
+    PROFILES = {
+        "en": ["the", "and", "ing", " th", "he ", "ion", " of", "of ", "ed ", "is "],
+        "de": ["der", "ein", "ich", "sch", "und", " de", "die", "en ", "ch ", "cht"],
+        "fr": ["les", " de", "de ", "ent", "ion", "que", " le", "la ", "des", "ait"],
+        "es": [" de", "de ", "los", "la ", "que", "ión", "ent", "el ", " la", "ado"],
+    }
+
+    def __init__(self):
+        self.tables = {
+            lang: {g: i for i, g in enumerate(grams)} for lang, grams in self.PROFILES.items()
+        }
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for t in batch["text"]:
+            t = t.lower()
+            grams = [t[i : i + 3] for i in range(max(0, len(t) - 2))]
+            best, best_score = "other", 2
+            for lang, table in self.tables.items():
+                score = sum(1 for g in grams if g in table)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        out = batch[["doc_id"]].copy()
+        out["pred_lang"] = preds
+        if "lang" in batch.columns:
+            out["actual_lang"] = batch["lang"].to_numpy()
+        return out
+
+
+def lang_id(sf_dir: str):
+    ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+class Fingerprinter:
+    """Rolling polynomial hash fingerprint (Karp-Rabin over bytes) —
+    deterministic 63-bit document fingerprint + crc32."""
+
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        crcs = []
+        for t in batch["text"]:
+            h = 0
+            for b in t.encode():
+                h = (h * self.BASE + b) % self.MOD
+            fps.append(h)
+            crcs.append(zlib.crc32(t.encode()))
+        out = batch[["doc_id"]].copy()
+        out["fingerprint"] = pd.array(fps, dtype="int64")
+        out["crc32"] = pd.array(crcs, dtype="int64")
+        return out
+
+
+def fingerprints(sf_dir: str):
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=2)
