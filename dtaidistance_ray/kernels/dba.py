@@ -33,7 +33,15 @@ def dba_partial(
     c: np.ndarray,
     settings: Optional[DTWSettings] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """One partition's contribution to a DBA sweep: (sum[t], count[t])."""
+    """One partition's contribution to a DBA sweep: (sum[t], count[t]).
+
+    Dispatches to the batched vectorized DP (kernels.dba_batch) when the
+    settings allow; results are bit-identical either way."""
+    seqs = list(seqs)
+    from .dba_batch import batch_supported, batched_dba_partial
+
+    if seqs and batch_supported(settings):
+        return batched_dba_partial(seqs, np.asarray(c, dtype=np.float64), settings)
     t = len(c)
     sums = np.zeros(t, dtype=np.float64)
     counts = np.zeros(t, dtype=np.int64)

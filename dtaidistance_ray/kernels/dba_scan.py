@@ -1,0 +1,231 @@
+"""Cross-group batched DBA partials for the scan-based rollup.
+
+One vectorized DP serves ALL (member, center) pairs in a batch even
+when every group has a different center: the per-row cost uses a
+per-member center value C[k, i], so members of many groups co-batch.
+Members are bucketed into size classes (padded R x M work area) under a
+memory budget, keeping padding waste bounded.
+
+This is the combiner-side kernel of the tier-0 downsample: a map_batches
+task calls ``scan_dba_partials`` on its batch fragment; the emitted
+(key, sums, counts) partial accumulators merge associatively in a tiny
+keyed shuffle. Member values are integer tokens, so float64 partial
+sums are exact and the merged result is bit-identical to a sequential
+sweep regardless of partitioning.
+
+Traceback choices follow the reference best_path tie order
+(diag > up > left on un-penalized neighbor values, dtw.py:1148-1155),
+identical to kernels.dba_batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..settings import DTWSettings
+
+INF = float("inf")
+
+_CHOICE_BUDGET = 32 * 1024 * 1024  # bytes of int8 choice matrix per sub-batch
+
+
+def _dp_choices(
+    C: np.ndarray,
+    c_lens: np.ndarray,
+    S: np.ndarray,
+    s_lens: np.ndarray,
+    window: Optional[int],
+    penalty: float,
+) -> np.ndarray:
+    """Batched DP over (B) pairs with per-member centers.
+
+    C (B, R) padded centers, S (B, M) padded members; returns the int8
+    choice matrix (B, R+1, M+1). Rows beyond a member's center length
+    are computed but never read by its traceback."""
+    B, R = C.shape
+    M = S.shape[1]
+    col = np.arange(M)
+    choice = np.empty((B, R + 1, M + 1), dtype=np.int8)
+    prev = np.full((B, M + 1), INF)
+    cur = np.full((B, M + 1), INF)
+    prev[:, 0] = 0.0
+    if window is None:
+        d_rs = np.zeros(B, dtype=np.int64)
+        d_sr = np.zeros(B, dtype=np.int64)
+        wdefault = int(max(R, M))
+    else:
+        d_rs = np.maximum(0, c_lens - s_lens)  # r - m, clipped
+        d_sr = np.maximum(0, s_lens - c_lens)
+        wdefault = window
+    for i in range(R):
+        js = np.maximum(0, i - d_rs - wdefault + 1)
+        je = np.minimum(s_lens, i + d_sr + wdefault)
+        # restrict all row ops to the chunk's union band [lo, hi) —
+        # with a narrow Sakoe-Chiba window this skips most columns
+        lo = int(js.min())
+        hi = int(je.max())
+        if lo >= hi:
+            cur[:, :] = INF
+            choice[:, i + 1, :] = 0
+            prev, cur = cur, prev
+            continue
+        w = hi - lo
+        csl = col[lo:hi]
+        valid = (csl[None, :] >= js[:, None]) & (csl[None, :] < je[:, None])
+        diff = S[:, lo:hi] - C[:, i][:, None]
+        cost = diff * diff
+        diag = prev[:, lo:hi]
+        up = prev[:, lo + 1 : hi + 1] + penalty
+        h = np.where(valid, cost + np.minimum(diag, up), INF)
+        cpen = cost + penalty
+        Ssum = np.cumsum(cpen, axis=1)
+        f = Ssum + np.minimum.accumulate(h - Ssum, axis=1)
+        f = np.where(valid, f, INF)
+        cur[:, :] = INF
+        cur[:, lo + 1 : hi + 1] = f
+        up_nop = prev[:, lo + 1 : hi + 1]
+        left_nop = np.empty_like(f)
+        left_nop[:, 0] = INF if lo == 0 else np.inf
+        left_nop[:, 1:] = f[:, :-1]
+        ch = np.where(up_nop < diag, 1, 0).astype(np.int8)
+        choice[:, i + 1, lo + 1 : hi + 1] = np.where(
+            left_nop < np.minimum(diag, up_nop), 2, ch
+        )
+        prev, cur = cur, prev
+    return choice
+
+
+def _batched_traceback(
+    choice: np.ndarray, c_lens: np.ndarray, s_lens: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Walk all members' paths simultaneously (vectorized gather steps).
+
+    Returns flat (member_idx, center_idx, seq_idx) arrays over every
+    path point of every member (order irrelevant: accumulation sums are
+    integer-exact / per-bin)."""
+    B = choice.shape[0]
+    i = c_lens.astype(np.int64).copy()
+    j = s_lens.astype(np.int64).copy()
+    max_steps = int((c_lens + s_lens).max())
+    ks = np.arange(B)
+    out_k: List[np.ndarray] = []
+    out_i: List[np.ndarray] = []
+    out_j: List[np.ndarray] = []
+    out_k.append(ks.copy())
+    out_i.append(i - 1)
+    out_j.append(j - 1)
+    active = (i > 1) | (j > 1)
+    while active.any():
+        ka = ks[active]
+        ia = i[active]
+        ja = j[active]
+        ch = choice[ka, ia, ja]
+        move_up = (ja == 1) | ((ia > 1) & ((ch == 0) | (ch == 1)))
+        move_left = (ia == 1) | ((ja > 1) & ((ch == 0) | (ch == 2)))
+        i[active] = ia - move_up
+        j[active] = ja - move_left
+        out_k.append(ka)
+        out_i.append(i[active] - 1)
+        out_j.append(j[active] - 1)
+        active = (i > 1) | (j > 1)
+    return np.concatenate(out_k), np.concatenate(out_i), np.concatenate(out_j)
+
+
+def scan_dba_partials(
+    group_keys: Sequence,
+    seqs: List[np.ndarray],
+    centers: Dict,
+    settings: Optional[DTWSettings] = None,
+) -> Dict:
+    """Partial DBA accumulators for one batch fragment.
+
+    group_keys[k] is the (hashable) group key of seqs[k]; centers maps
+    key -> center array. Returns key -> (sums, counts). Only groups
+    present in ``centers`` are swept (inactive/converged groups skip)."""
+    s = settings or DTWSettings()
+    window = s.window if s.window else None
+    penalty = s.adj_penalty
+
+    # collect active members with their per-member centers
+    idx = [k for k, g in enumerate(group_keys) if g in centers]
+    if not idx:
+        return {}
+    out: Dict = {}
+    for g in {group_keys[k] for k in idx}:
+        c = centers[g]
+        out[g] = (np.zeros(len(c), dtype=np.float64), np.zeros(len(c), dtype=np.int64))
+
+    # size classes by CENTER length only (1.25x ladder): the row-loop
+    # count per call is then bounded by the ladder sum (~1.5 * max R)
+    # independent of how members' lengths scatter, which keeps the
+    # per-row Python dispatch floor amortized even on small batch
+    # fragments. Member lengths within a class just set that class's
+    # padded M; the per-member Sakoe-Chiba bands (and the banded union
+    # row slice) bound the actual computed area.
+    def size_class(x: int) -> int:
+        n = 16
+        while n < x:
+            n = (n * 5 + 3) // 4
+        return n
+
+    def m_class(x: int) -> int:  # coarse member ladder (4x)
+        n = 16
+        while n < x:
+            n *= 4
+        return n
+
+    classes: Dict[Tuple[int, int], List[int]] = {}
+    for k in idx:
+        r = size_class(len(centers[group_keys[k]]))
+        classes.setdefault((r, m_class(len(seqs[k]))), []).append(k)
+
+    # flat accumulator layout: one big (sum, count) vector with a slot
+    # range per group; integer member values make the bincount sums
+    # exact in any order
+    group_list = list(out.keys())
+    group_slot = {g: n for n, g in enumerate(group_list)}
+    offsets = np.zeros(len(group_list) + 1, dtype=np.int64)
+    for n, g in enumerate(group_list):
+        offsets[n + 1] = offsets[n] + len(centers[g])
+    total = int(offsets[-1])
+    big_sums = np.zeros(total, dtype=np.float64)
+    big_counts = np.zeros(total, dtype=np.int64)
+
+    for (R, _mc), members in classes.items():
+        M = max(len(seqs[k]) for k in members)
+        per_member_bytes = (R + 1) * (M + 1)
+        bmax = max(1, _CHOICE_BUDGET // per_member_bytes)
+        # longest members first so each sub-chunk's padded M is tight
+        members = sorted(members, key=lambda k: -len(seqs[k]))
+        for lo in range(0, len(members), bmax):
+            chunk = members[lo : lo + bmax]
+            B = len(chunk)
+            M = max(len(seqs[k]) for k in chunk)
+            C = np.zeros((B, R), dtype=np.float64)
+            S = np.zeros((B, M), dtype=np.float64)
+            c_lens = np.empty(B, dtype=np.int64)
+            s_lens = np.empty(B, dtype=np.int64)
+            slot_off = np.empty(B, dtype=np.int64)
+            for b, k in enumerate(chunk):
+                g = group_keys[k]
+                c = centers[g]
+                x = seqs[k]
+                C[b, : len(c)] = c
+                S[b, : len(x)] = x
+                c_lens[b] = len(c)
+                s_lens[b] = len(x)
+                slot_off[b] = offsets[group_slot[g]]
+            choice = _dp_choices(C, c_lens, S, s_lens, window, penalty)
+            fk, fi, fj = _batched_traceback(choice, c_lens, s_lens)
+            flat_idx = slot_off[fk] + fi
+            vals = S[fk, fj]
+            big_sums += np.bincount(flat_idx, weights=vals, minlength=total)
+            big_counts += np.bincount(flat_idx, minlength=total)
+
+    for n, g in enumerate(group_list):
+        s_, c_ = out[g]
+        s_ += big_sums[offsets[n] : offsets[n + 1]]
+        c_ += big_counts[offsets[n] : offsets[n + 1]]
+    return out

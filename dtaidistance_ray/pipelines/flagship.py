@@ -37,18 +37,7 @@ from ..stages.rollup import (
 )
 from ..state.checkpoint import completed_shards, write_shard_atomic
 
-TIER_SCHEMA_COLS = [
-    "source",
-    "bucket",
-    "agg_count",
-    "agg_n_tok_sum",
-    "agg_token_sum",
-    "agg_token_min",
-    "agg_token_max",
-    "agg_token_mean",
-    "repr_series",
-    "gap_filled",
-]
+from ..stages.rollup import TIER_SCHEMA_COLS  # noqa: E402  (canonical schema)
 
 
 def source_shard(source: str, num_shards: int) -> int:
@@ -56,12 +45,25 @@ def source_shard(source: str, num_shards: int) -> int:
     return zlib.crc32(source.encode()) % num_shards
 
 
-def build_tiers(ds, spec: TokenTableSpec, cfg: RollupConfig) -> Dict[int, "object"]:
-    """Lazy Datasets per tier (no gap-fill/encode), tier i keyed by
-    bucket of width cfg.tier_widths[i]."""
+def build_tiers(
+    ds, spec: TokenTableSpec, cfg: RollupConfig, use_scan: bool = True
+) -> Dict[int, "object"]:
+    """Datasets per tier (no gap-fill/encode), tier i keyed by bucket of
+    width cfg.tier_widths[i].
+
+    Tier 0 (the only tier whose input is large) defaults to the
+    scan-based combiner path (stages.rollup_scan) — no full-data
+    shuffle; upper tiers consume the tiny tier-0 result via per-group
+    map_groups. use_scan=False keeps the shuffle path (used by tests to
+    assert both produce bit-identical output)."""
     tiers: Dict[int, object] = {}
     b = bucketize(ds, cfg.tier_widths[0], spec)
-    tiers[0] = rollup_base_tier(b, cfg)
+    if use_scan:
+        from ..stages.rollup_scan import scan_rollup_base_tier
+
+        tiers[0] = scan_rollup_base_tier(b, cfg)
+    else:
+        tiers[0] = rollup_base_tier(b, cfg)
     for t in range(1, len(cfg.tier_widths)):
         tiers[t] = rollup_next_tier(
             tiers[t - 1], cfg.tier_widths[t - 1], cfg.tier_widths[t], cfg

@@ -35,6 +35,20 @@ from ..sources.synth import TokenTableSpec, derive_ts
 from ..codec import dod_encode, gorilla_encode
 
 
+TIER_SCHEMA_COLS = [
+    "source",
+    "bucket",
+    "agg_count",
+    "agg_n_tok_sum",
+    "agg_token_sum",
+    "agg_token_min",
+    "agg_token_max",
+    "agg_token_mean",
+    "repr_series",
+    "gap_filled",
+]
+
+
 @dataclass(frozen=True)
 class RollupConfig:
     """Retention policy + DBA knobs for the rollup pipeline."""

@@ -1,0 +1,258 @@
+"""Scan-based tier-0 rollup: combiner partials instead of a data shuffle.
+
+The map_groups formulation (stages.rollup.rollup_base_tier) shuffles the
+full token table to co-locate groups. At 100 TB that shuffle is the
+bottleneck — and it is unnecessary, because every per-group quantity the
+tier needs is an associative partial:
+
+  aggregates   count/sum/min/max of integer tokens   (order-free exact)
+  DBA sweep    (sum[t], count[t]) accumulators       (order-free exact
+               for integer members; kernels/dba_scan.py)
+
+So tier 0 runs as rounds of *scans*:
+
+  round C   map_batches partial stats per (source, bucket) fragment
+            -> tiny keyed merge -> continuous aggregates + initial
+            centers (tokens of the min-doc_id row, the reference
+            dba_loop c=None seed)
+  round k   broadcast active centers (ray.put, fetched once per task)
+            -> map_batches: cross-group batched DP partials
+            -> tiny keyed merge of (sums, counts) vectors
+            -> finalize new centers; groups with mean abs change <= thr
+            freeze (reference dba_loop convergence, dtw_barycenter.py:149-160)
+
+Only (key, accumulator) rows ever shuffle — KB-scale per block — while
+the token data streams through map_batches untouched. Skew: a hot
+(source, bucket) group no longer lands in one task; its members are
+swept wherever their blocks are and the partials merge, which is the
+salting story with salt = physical block (exact, not approximate).
+
+Scale note: centers are collected on the driver between rounds (K x
+len(center) floats; K = #groups is independent of row count). For
+key-spaces too large for one driver, range-partition the keys and run
+the rounds per key-shard — the round structure is unchanged.
+
+Output is bit-identical to rollup_base_tier / the single-process oracle
+(asserted in tests/test_rollup.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.dba_scan import scan_dba_partials
+from ..settings import DTWSettings
+from .rollup import RollupConfig
+
+
+def _key_of(src, bucket) -> Tuple[str, int]:
+    return (src, int(bucket))
+
+
+def _pack_centers(centers: Dict) -> Tuple[list, np.ndarray, np.ndarray]:
+    """Dict -> (keys, offsets, flat) for cheap broadcast/deserialize:
+    two numpy arrays unpickle in O(1) passes vs thousands of objects."""
+    keys = list(centers.keys())
+    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    for n, k in enumerate(keys):
+        offsets[n + 1] = offsets[n] + len(centers[k])
+    flat = np.empty(int(offsets[-1]), dtype=np.float64)
+    for n, k in enumerate(keys):
+        flat[offsets[n] : offsets[n + 1]] = centers[k]
+    return keys, offsets, flat
+
+
+def _unpack_centers(packed) -> Dict:
+    keys, offsets, flat = packed
+    return {k: flat[offsets[n] : offsets[n + 1]] for n, k in enumerate(keys)}
+
+
+def _batch_arrays(batch) -> Tuple[list, list]:
+    """pyarrow batch -> (group keys, token views) without pandas
+    object-column conversion; token views are zero-copy slices of the
+    Arrow values buffer."""
+    import pyarrow as pa
+
+    tok = batch.column("tokens")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    offs = tok.offsets.to_numpy()
+    flat = tok.values.to_numpy().astype(np.float64)
+    seqs = [flat[offs[i] : offs[i + 1]] for i in range(len(tok))]
+    srcs = batch.column("source").to_pylist()
+    buckets = batch.column("bucket").to_numpy()
+    keys = [(s, int(b)) for s, b in zip(srcs, buckets)]
+    return keys, seqs
+
+
+def _stats_partial(batch) -> pd.DataFrame:
+    keys, seqs = _batch_arrays(batch)
+    doc_ids = batch.column("doc_id").to_pylist()
+    agg: Dict[Tuple, list] = {}
+    for k, seq, d in zip(keys, seqs, doc_ids):
+        m = agg.get(k)
+        s_ = float(seq.sum())
+        mn = float(seq.min())
+        mx = float(seq.max())
+        if m is None:
+            agg[k] = [1, len(seq), s_, mn, mx, d, seq]
+        else:
+            m[0] += 1
+            m[1] += len(seq)
+            m[2] += s_
+            if mn < m[3]:
+                m[3] = mn
+            if mx > m[4]:
+                m[4] = mx
+            if d < m[5]:
+                m[5] = d
+                m[6] = seq
+    rows = [
+        {
+            "source": k[0],
+            "bucket": k[1],
+            "agg_count": m[0],
+            "agg_n_tok_sum": m[1],
+            "agg_token_sum": int(m[2]),
+            "agg_token_min": m[3],
+            "agg_token_max": m[4],
+            "min_doc_id": m[5],
+            "min_doc_tokens": m[6].tolist(),
+        }
+        for k, m in agg.items()
+    ]
+    return pd.DataFrame(rows)
+
+
+def _make_sweep_fn(centers_ref, dtw: DTWSettings):
+    """Stateless sweep task: centers fetched from the object store per
+    task (local shared-memory read — broadcast once via ray.put, never
+    shipped per batch). Stateless tasks avoid per-round actor-pool
+    startup; the kernel workspace is module-global per worker process,
+    so warm buffers survive across tasks anyway."""
+
+    def sweep(batch) -> pd.DataFrame:
+        import ray
+
+        centers = _unpack_centers(ray.get(centers_ref))
+        keys, seqs = _batch_arrays(batch)
+        parts = scan_dba_partials(keys, seqs, centers, dtw)
+        rows = []
+        for (src, bucket), (sums, counts) in parts.items():
+            rows.append(
+                {
+                    "source": src,
+                    "bucket": bucket,
+                    "sums": sums.tolist(),
+                    "counts": counts.tolist(),
+                }
+            )
+        if not rows:
+            return pd.DataFrame({"source": [], "bucket": [], "sums": [], "counts": []})
+        return pd.DataFrame(rows)
+
+    return sweep
+
+
+def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
+    """Tier-0 rollup via combiner scans; returns a Ray Dataset with the
+    same schema (and bit-identical content) as rollup_base_tier."""
+    import ray
+    import ray.data as rd
+
+    # one block per CPU: sweep tasks are compute-bound and the batched
+    # kernel amortizes best over LARGE fragments (more members per size
+    # class), so fragments are as big as parallelism allows
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    ds = bucketed_ds.repartition(ncpu)
+    ds = ds.materialize() if cache else ds
+
+    # partial rows number (#keys x #blocks) — KB-to-MB scale — so the
+    # merge runs on the driver (at larger key-spaces: tree-merge tasks
+    # or key-range shards; same associative merge either way)
+    stats_parts = ds.map_batches(_stats_partial, batch_format="pyarrow").to_pandas()
+    merged_stats: Dict[Tuple, dict] = {}
+    for row in stats_parts.itertuples(index=False):
+        k = _key_of(row.source, row.bucket)
+        m = merged_stats.get(k)
+        if m is None:
+            merged_stats[k] = {
+                "agg_count": row.agg_count,
+                "agg_n_tok_sum": row.agg_n_tok_sum,
+                "agg_token_sum": row.agg_token_sum,
+                "agg_token_min": row.agg_token_min,
+                "agg_token_max": row.agg_token_max,
+                "min_doc_id": row.min_doc_id,
+                "min_doc_tokens": row.min_doc_tokens,
+            }
+        else:
+            m["agg_count"] += row.agg_count
+            m["agg_n_tok_sum"] += row.agg_n_tok_sum
+            m["agg_token_sum"] += row.agg_token_sum
+            m["agg_token_min"] = min(m["agg_token_min"], row.agg_token_min)
+            m["agg_token_max"] = max(m["agg_token_max"], row.agg_token_max)
+            if row.min_doc_id < m["min_doc_id"]:
+                m["min_doc_id"] = row.min_doc_id
+                m["min_doc_tokens"] = row.min_doc_tokens
+    from .rollup import TIER_SCHEMA_COLS
+
+    if not merged_stats:  # empty input (e.g. full resume skip)
+        return rd.from_pandas(pd.DataFrame({c: [] for c in TIER_SCHEMA_COLS}))
+    keys_sorted = sorted(merged_stats.keys())
+    stats = pd.DataFrame(
+        [
+            {"source": k[0], "bucket": k[1], **merged_stats[k]}
+            for k in keys_sorted
+        ]
+    )
+    centers: Dict = {
+        k: np.asarray(merged_stats[k]["min_doc_tokens"], dtype=np.float64)
+        for k in keys_sorted
+    }
+    final_centers: Dict = dict(centers)
+    active = dict(centers)
+
+    for _ in range(cfg.dba_max_it):
+        if not active:
+            break
+        centers_ref = ray.put(_pack_centers(active))
+        parts = ds.map_batches(
+            _make_sweep_fn(centers_ref, cfg.dtw), batch_format="pyarrow"
+        ).to_pandas()
+        acc: Dict[Tuple, Tuple[np.ndarray, np.ndarray]] = {}
+        for row in parts.itertuples(index=False):
+            k = _key_of(row.source, row.bucket)
+            s_ = np.asarray(row.sums, dtype=np.float64)
+            c_ = np.asarray(row.counts, dtype=np.int64)
+            if k in acc:
+                acc[k][0] = acc[k][0] + s_
+                acc[k][1] = acc[k][1] + c_
+            else:
+                acc[k] = [s_, c_]
+        next_active: Dict = {}
+        for k, (sums, counts) in acc.items():
+            avg = np.zeros_like(sums)
+            nz = counts > 0
+            avg[nz] = sums[nz] / counts[nz]  # empty bins -> 0.0 (C reference)
+            final_centers[k] = avg
+            prev = active[k]
+            diff = float(np.abs(avg - prev).sum()) / len(avg)
+            if cfg.dba_thr is None or diff > cfg.dba_thr:
+                next_active[k] = avg
+        active = next_active
+
+    out = stats.drop(columns=["min_doc_id", "min_doc_tokens"]).copy()
+    out["agg_token_mean"] = out["agg_token_sum"] / out["agg_n_tok_sum"]
+    out["repr_series"] = [
+        final_centers[_key_of(s, b)].tolist() for s, b in zip(out["source"], out["bucket"])
+    ]
+    out["gap_filled"] = False
+    from .rollup import TIER_SCHEMA_COLS
+
+    return rd.from_pandas(out[TIER_SCHEMA_COLS])
