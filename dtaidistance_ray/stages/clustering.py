@@ -1,0 +1,286 @@
+"""Clustering layer: hierarchical (prototype merge), linkage tree,
+k-means with DBA update.
+
+Distance pairs are computed by the Ray distance-matrix service
+(stages.distance_matrix); the n^2 -> n contraction itself is
+sequential by nature and runs driver-side, as the reference does
+(clustering/hierarchical.py:35-137 — "distance to prototype"
+clustering: merged series' rows are inf-ed out, distances are NOT
+recomputed). KMeans distributes the assignment step (scorer tasks
+against broadcast means) and the update step (per-cluster DBA).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..kernels.dba import dba_loop
+from ..kernels.elastic import distance as dtw_distance
+from ..settings import DTWSettings
+
+
+def _full_triu_matrix(seqs, settings: Optional[DTWSettings], use_ray: bool = True) -> np.ndarray:
+    n = len(seqs)
+    m = np.full((n, n), np.inf)
+    if use_ray and n > 8:
+        import ray
+
+        from .distance_matrix import distance_matrix
+
+        pairs = distance_matrix(seqs, settings).to_pandas()
+        for i, j, d in zip(pairs["i"], pairs["j"], pairs["d"]):
+            m[int(i), int(j)] = d
+    else:
+        for i in range(n):
+            for j in range(i + 1, n):
+                m[i, j] = dtw_distance(seqs[i], seqs[j], settings)
+    return m
+
+
+class Hierarchical:
+    """Prototype-merge hierarchical clustering, reference semantics:
+    repeatedly merge the global argmin pair (i1 <- i2), inf out i2,
+    stop at max_dist; distances to the merged prototype are not
+    recomputed (hierarchical.py:88-109)."""
+
+    def __init__(
+        self,
+        settings: Optional[DTWSettings] = None,
+        max_dist: float = float("inf"),
+        merge_hook: Optional[Callable] = None,
+        order_hook: Optional[Callable] = None,
+        use_ray: bool = True,
+    ):
+        self.settings = settings
+        self.max_dist = max_dist
+        self.merge_hook = merge_hook
+        self.order_hook = order_hook
+        self.use_ray = use_ray
+
+    def fit(self, seqs: List[np.ndarray]) -> Dict[int, Set[int]]:
+        nb = len(seqs)
+        dists = _full_triu_matrix(seqs, self.settings, self.use_ray)
+        cluster_idx: Dict[int, Set[int]] = {}
+        deleted: Set[int] = set()
+        min_value = np.min(dists)
+        min_idxs = np.argwhere(dists == min_value)
+        min_idx = self.order_hook(min_idxs) if self.order_hook else min_idxs[0, :]
+        while min_value <= self.max_dist and not np.isinf(min_value):
+            i1, i2 = int(min_idx[0]), int(min_idx[1])
+            if self.merge_hook:
+                result = self.merge_hook(i2, i1, min_value)
+                if result:
+                    i1, i2 = result
+            if i1 not in cluster_idx:
+                cluster_idx[i1] = {i1}
+            if i2 in cluster_idx:
+                cluster_idx[i1].update(cluster_idx[i2])
+                del cluster_idx[i2]
+            else:
+                cluster_idx[i1].add(i2)
+            dists[:i2, i2] = np.inf
+            dists[i2, i2 + 1 :] = np.inf
+            deleted.add(i2)
+            if len(deleted) == nb - 1:
+                break
+            min_value = np.min(dists)
+            min_idxs = np.argwhere(dists == min_value)
+            min_idx = self.order_hook(min_idxs) if self.order_hook else min_idxs[0, :]
+        for i in range(nb):
+            if i not in deleted and i not in cluster_idx:
+                cluster_idx[i] = {i}
+        return cluster_idx
+
+
+class HierarchicalTree:
+    """Records a SciPy-compatible linkage while running Hierarchical
+    (reference hierarchical.py:411-464)."""
+
+    def __init__(self, model: Optional[Hierarchical] = None, **kwargs):
+        self._model = model or Hierarchical(**kwargs)
+        self._model.max_dist = float("inf")
+        self.linkage: List[Tuple] = []
+
+    def fit(self, seqs: List[np.ndarray]):
+        self.linkage = []
+        n = len(seqs)
+        new_nodes = {i: i for i in range(n)}
+        old_hook = self._model.merge_hook
+
+        def merge_hook(from_idx, to_idx, dist_):
+            new_idx = n + len(self.linkage)
+            self.linkage.append((new_nodes[from_idx], new_nodes[to_idx], dist_, 0))
+            new_nodes[to_idx] = new_idx
+            new_nodes[from_idx] = None
+            if old_hook:
+                return old_hook(from_idx, to_idx, dist_)
+
+        self._model.merge_hook = merge_hook
+        result = self._model.fit(seqs)
+        self._model.merge_hook = old_hook
+        return result
+
+
+def linkage_complete(seqs: List[np.ndarray], settings: Optional[DTWSettings] = None,
+                     use_ray: bool = True) -> np.ndarray:
+    """Complete-linkage agglomerative tree, SciPy-compatible (n-1)x4 Z
+    matrix. Self-implemented (no scipy in this environment); matches
+    scipy.cluster.hierarchy.linkage(method='complete') conventions:
+    merged pair ids sorted ascending, new cluster id n + step."""
+    n = len(seqs)
+    m = _full_triu_matrix(seqs, settings, use_ray)
+    d = np.where(np.isinf(m), 0.0, m)
+    d = d + d.T  # symmetric, 0 diag
+    active = {i: (i, 1) for i in range(n)}  # pos -> (cluster id, count)
+    cur = d.copy()
+    np.fill_diagonal(cur, np.inf)
+    Z = np.empty((n - 1, 4))
+    for r in range(n - 1):
+        pi, pj = np.unravel_index(int(np.argmin(cur)), cur.shape)
+        if pi > pj:
+            pi, pj = pj, pi
+        v = cur[pi, pj]
+        id_i, cnt_i = active[pi]
+        id_j, cnt_j = active[pj]
+        lo, hi = sorted((id_i, id_j))
+        Z[r] = (float(lo), float(hi), float(v), float(cnt_i + cnt_j))
+        # complete linkage: new cluster's distance = max of the two
+        for pk in list(active.keys()):
+            if pk in (pi, pj):
+                continue
+            cur[pi, pk] = cur[pk, pi] = max(cur[pi, pk], cur[pj, pk])
+        del active[pj]
+        active[pi] = (n + r, cnt_i + cnt_j)
+        cur[pj, :] = np.inf
+        cur[:, pj] = np.inf
+    return Z
+
+
+# ---------------------------------------------------------------------------
+# k-means with DBA update
+# ---------------------------------------------------------------------------
+
+
+class KMeans:
+    """k-means over series with DTW assignment and DBA barycenter
+    update (reference clustering/kmeans.py:241-419 semantics: assign ->
+    drop_stddev trim -> empty-cluster re-seed with most dissimilar ->
+    DBA update -> converge on assignment stability / mean shift).
+
+    Distribution: the assignment step scores batches against broadcast
+    means inside Ray tasks; the update step runs one DBA per cluster.
+    Init is deterministic (seeded k-means++ with an explicit rng)."""
+
+    def __init__(
+        self,
+        k: int,
+        max_it: int = 10,
+        thr: float = 0.0001,
+        drop_stddev: Optional[float] = None,
+        settings: Optional[DTWSettings] = None,
+        seed: int = 0,
+        use_ray: bool = True,
+    ):
+        self.k = k
+        self.max_it = max_it
+        self.thr = thr
+        self.drop_stddev = drop_stddev
+        self.settings = settings
+        self.seed = seed
+        self.use_ray = use_ray
+        self.means: List[np.ndarray] = []
+        self.cluster_idx: Dict[int, Set[int]] = {}
+
+    def _kmeanspp_init(self, seqs) -> List[np.ndarray]:
+        rng = np.random.default_rng(self.seed)
+        n = len(seqs)
+        first = int(rng.integers(0, n))
+        means = [np.asarray(seqs[first], dtype=np.float64)]
+        d2 = np.array([dtw_distance(s, means[0], self.settings) ** 2 for s in seqs])
+        for _ in range(1, self.k):
+            probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+            nxt = int(rng.choice(n, p=probs))
+            means.append(np.asarray(seqs[nxt], dtype=np.float64))
+            d2 = np.minimum(d2, np.array([dtw_distance(s, means[-1], self.settings) ** 2 for s in seqs]))
+        return means
+
+    def _assign(self, seqs) -> Tuple[np.ndarray, np.ndarray]:
+        if self.use_ray:
+            import ray
+            import ray.data as rd
+
+            means_ref = ray.put(self.means)
+            settings = self.settings
+
+            def score(batch):
+                import pandas as pd
+
+                means = ray.get(means_ref)
+                idxs, clusters, dists = [], [], []
+                for i, s in zip(batch["idx"], batch["seq"]):
+                    ds_ = [dtw_distance(np.asarray(s, dtype=np.float64), m, settings) for m in means]
+                    best = int(np.argmin(ds_))
+                    idxs.append(int(i))
+                    clusters.append(best)
+                    dists.append(float(ds_[best]))
+                return pd.DataFrame({"idx": idxs, "cluster": clusters, "dist": dists})
+
+            items = [{"idx": i, "seq": np.asarray(s, dtype=np.float64)} for i, s in enumerate(seqs)]
+            res = (
+                rd.from_items(items)
+                .map_batches(score, batch_format="pandas")
+                .to_pandas()
+                .sort_values("idx")
+            )
+            return res["cluster"].to_numpy(), res["dist"].to_numpy()
+        clusters = np.empty(len(seqs), dtype=np.int64)
+        dists = np.empty(len(seqs))
+        for i, s in enumerate(seqs):
+            ds_ = [dtw_distance(s, m, self.settings) for m in self.means]
+            clusters[i] = int(np.argmin(ds_))
+            dists[i] = ds_[clusters[i]]
+        return clusters, dists
+
+    def fit(self, seqs: List[np.ndarray]) -> Dict[int, Set[int]]:
+        seqs = [np.asarray(s, dtype=np.float64) for s in seqs]
+        self.means = self._kmeanspp_init(seqs)
+        prev_clusters = None
+        for _ in range(self.max_it):
+            clusters, dists = self._assign(seqs)
+            # drop_stddev trimming: exclude members beyond mean + k*std
+            # of their cluster's distances from the update
+            mask = np.ones(len(seqs), dtype=bool)
+            if self.drop_stddev is not None:
+                limit = dists.mean() + dists.std() * self.drop_stddev
+                mask = dists <= limit
+            # empty-cluster rescue: re-seed with the most dissimilar series
+            for c in range(self.k):
+                if not (clusters == c).any():
+                    worst = int(np.argmax(dists))
+                    clusters[worst] = c
+                    dists[worst] = 0.0
+            new_means = []
+            shift = 0.0
+            for c in range(self.k):
+                members = [seqs[i] for i in np.flatnonzero((clusters == c) & mask)]
+                if not members:
+                    members = [seqs[i] for i in np.flatnonzero(clusters == c)]
+                new_mean = dba_loop(members, c=self.means[c], max_it=2, thr=None,
+                                    settings=self.settings)
+                if len(new_mean) == len(self.means[c]):
+                    shift += float(np.abs(new_mean - self.means[c]).mean())
+                self.means[c] = np.asarray(new_mean)
+                new_means.append(new_mean)
+            if prev_clusters is not None and (clusters == prev_clusters).all():
+                break
+            if self.thr is not None and shift / self.k <= self.thr:
+                break
+            prev_clusters = clusters
+        clusters, dists = self._assign(seqs)
+        self.cluster_idx = {
+            c: set(np.flatnonzero(clusters == c).tolist()) for c in range(self.k)
+        }
+        self.inertia = float(np.sum(dists**2))
+        return self.cluster_idx

@@ -1,0 +1,180 @@
+"""Parity for preprocessing, similarity, alignment, msm kernels and the
+hierarchical clustering layer vs the reference library."""
+
+import numpy as np
+import pytest
+
+from dtaidistance_ray import DTWSettings
+from dtaidistance_ray.kernels import alignment as our_align
+from dtaidistance_ray.kernels import msm as our_msm
+from dtaidistance_ray.kernels import preprocessing as our_prep
+from dtaidistance_ray.kernels import similarity as our_sim
+from dtaidistance_ray.stages.clustering import Hierarchical, HierarchicalTree, KMeans
+
+ref_prep = pytest.importorskip("dtaidistance.preprocessing")
+from dtaidistance import alignment as ref_align  # noqa: E402
+from dtaidistance import msm as ref_msm  # noqa: E402
+from dtaidistance import similarity as ref_sim  # noqa: E402
+from dtaidistance.clustering import hierarchical as ref_hier  # noqa: E402
+from dtaidistance import dtw as ref_dtw  # noqa: E402
+
+
+class TestPreprocessing:
+    def test_differencing(self):
+        rng = np.random.default_rng(0)
+        s = rng.normal(size=50)
+        np.testing.assert_allclose(our_prep.differencing(s), ref_prep.differencing(s))
+
+    def test_derivative(self):
+        rng = np.random.default_rng(1)
+        s = rng.normal(size=50)
+        np.testing.assert_allclose(our_prep.derivative(s), ref_prep.derivative(s))
+
+    def test_logdomain(self):
+        rng = np.random.default_rng(2)
+        s = rng.normal(size=50) * 10
+        np.testing.assert_allclose(our_prep.logdomain(s), ref_prep.logdomain(s))
+
+    def test_mixedlinearlogdomain(self):
+        rng = np.random.default_rng(3)
+        s = rng.normal(size=50) * 30
+        np.testing.assert_allclose(
+            our_prep.mixedlinearlogdomain(s, 10), ref_prep.mixedlinearlogdomain(s, 10)
+        )
+        np.testing.assert_allclose(
+            our_prep.mixedlinearlogdomain(s, (10, 5)), ref_prep.mixedlinearlogdomain(s, (10, 5))
+        )
+
+    def test_znormal(self):
+        rng = np.random.default_rng(4)
+        s = rng.normal(size=(5, 30))
+        np.testing.assert_allclose(our_prep.znormal(s), ref_prep.znormal(s))
+
+
+class TestSimilarity:
+    def setup_method(self):
+        rng = np.random.default_rng(5)
+        self.D = np.abs(rng.normal(size=(6, 6))) * 3
+
+    def test_distance_to_similarity_methods(self):
+        for method in ("exponential", "gaussian", "reciprocal", "reverse"):
+            np.testing.assert_allclose(
+                our_sim.distance_to_similarity(self.D, method=method),
+                ref_sim.distance_to_similarity(self.D, method=method),
+            )
+
+    def test_quantile_calibrated(self):
+        for method in ("exponential", "gaussian"):
+            np.testing.assert_allclose(
+                our_sim.distance_to_similarity(self.D, method=method, cover_quantile=0.9),
+                ref_sim.distance_to_similarity(self.D, method=method, cover_quantile=0.9),
+            )
+
+    def test_squash(self):
+        for method in ("logistic", "exponential"):
+            np.testing.assert_allclose(
+                our_sim.squash(self.D, method=method), ref_sim.squash(self.D, method=method)
+            )
+
+    def test_squash_gaussian(self):
+        # the reference's own squash(method='gaussian') raises (its
+        # if/elif chain falls through to the else, similarity.py:125-167);
+        # ours returns the documented 1 - e^(-X^2/r^2)
+        out = our_sim.squash(self.D, method="gaussian", r=2.0)
+        np.testing.assert_allclose(out, 1 - np.exp(-self.D**2 / 4.0))
+
+
+class TestAlignment:
+    def test_gattaca(self):
+        s1 = "GATTACA"
+        s2 = "GCATGCU"
+        v1, sc1, p1 = our_align.needleman_wunsch(s1, s2)
+        v2, sc2, p2 = ref_align.needleman_wunsch(s1, s2)
+        assert v1 == v2
+        np.testing.assert_allclose(sc1, sc2)
+        a1, s1a, s2a = our_align.best_alignment(p1, s1, s2)
+        a2, s1b, s2b = ref_align.best_alignment(p2, s1, s2)
+        assert a1 == a2
+        assert s1a == s1b and s2a == s2b
+        # note: the reference docstring shows 'GCAT-GCU' but its own
+        # pure-Python traceback yields the tie-equivalent 'GCA-TGCU';
+        # we match the implementation, not the docstring
+        assert "".join(s1a) == "G-ATTACA"
+
+    def test_on_token_arrays(self):
+        rng = np.random.default_rng(7)
+        for _ in range(5):
+            a = rng.integers(0, 5, size=12).tolist()
+            b = rng.integers(0, 5, size=10).tolist()
+            v1, sc1, p1 = our_align.needleman_wunsch(a, b)
+            v2, sc2, p2 = ref_align.needleman_wunsch(a, b)
+            assert v1 == v2
+            np.testing.assert_allclose(sc1, sc2)
+            path1, _, _ = our_align.best_alignment(p1)
+            path2, _, _ = ref_align.best_alignment(p2)
+            assert path1 == path2
+
+    def test_substitution_fn(self):
+        matrix = {("A", "B"): 2, ("B", "A"): 3, ("A", "A"): 5}
+        f1 = our_align.make_substitution_fn(matrix)
+        f2 = ref_align.make_substitution_fn(matrix)
+        for pair in [("A", "B"), ("B", "A"), ("A", "A"), ("C", "C"), ("C", "D")]:
+            assert f1(*pair) == f2(*pair)
+
+
+class TestMSM:
+    def test_msm_parity(self):
+        rng = np.random.default_rng(8)
+        for _ in range(5):
+            n = int(rng.integers(5, 20))
+            a = rng.normal(size=n)
+            b = rng.normal(size=n)
+            assert our_msm.distance(a, b) == pytest.approx(ref_msm.distance(a, b))
+
+
+def _ref_dists_fun(series, **kwargs):
+    return ref_dtw.distance_matrix(series, **kwargs)
+
+
+class TestClustering:
+    SERIES = [
+        np.array([0.0, 0, 1, 2, 1, 0, 1, 0, 0]),
+        np.array([0.0, 1, 2, 0, 0, 0, 0, 0, 0]),
+        np.array([1.0, 2, 0, 0, 0, 0, 0, 1, 1]),
+        np.array([0.0, 0, 1, 2, 1, 0, 1, 0, 0]),
+        np.array([0.0, 1, 2, 0, 0, 0, 0, 0, 0]),
+        np.array([1.0, 2, 0, 0, 0, 0, 0, 1, 1]),
+    ]
+
+    def test_hierarchical_parity(self, ray_session):
+        ours = Hierarchical(max_dist=float("inf")).fit(self.SERIES)
+        theirs = ref_hier.Hierarchical(
+            _ref_dists_fun, {}, show_progress=False
+        ).fit(self.SERIES)
+        assert ours == theirs
+
+    def test_hierarchical_tree_linkage_parity(self, ray_session):
+        tree = HierarchicalTree(model=Hierarchical(use_ray=False))
+        tree.fit(self.SERIES)
+        ref_tree = ref_hier.HierarchicalTree(
+            model=ref_hier.Hierarchical(_ref_dists_fun, {}, show_progress=False)
+        )
+        ref_tree.fit(self.SERIES)
+        assert len(tree.linkage) == len(ref_tree.linkage)
+        for a, b in zip(tree.linkage, ref_tree.linkage):
+            assert a[0] == b[0] and a[1] == b[1]
+            assert a[2] == pytest.approx(b[2])
+
+    def test_kmeans_separates_patterns(self, ray_session):
+        rng = np.random.default_rng(11)
+        seqs = []
+        for _ in range(10):
+            x = np.linspace(0, 2 * np.pi, 30)
+            seqs.append(np.sin(x) + rng.normal(scale=0.05, size=30))
+        for _ in range(10):
+            x = np.linspace(0, 2 * np.pi, 30)
+            seqs.append(np.cos(2 * x) * 2 + rng.normal(scale=0.05, size=30))
+        km = KMeans(k=2, max_it=5, seed=3, use_ray=True)
+        clusters = km.fit(seqs)
+        groups = sorted(tuple(sorted(v)) for v in clusters.values())
+        assert groups == [tuple(range(10)), tuple(range(10, 20))]
