@@ -1,0 +1,109 @@
+"""Stage-level tests: distance matrix service, search, multimodal
+plumbing, codecs in pipeline."""
+
+import numpy as np
+import pytest
+
+from dtaidistance_ray import DTWSettings
+from dtaidistance_ray.kernels import distance as dtw_distance
+from dtaidistance_ray.stages.distance_matrix import (
+    distance_matrix,
+    distances_to_matrix,
+    plan_tiles,
+)
+from dtaidistance_ray.stages.multimodal import (
+    decode_images,
+    sample_video_frames,
+    synth_media_table,
+)
+from dtaidistance_ray.stages.search import knn_search
+
+ref_dtw = pytest.importorskip("dtaidistance.dtw")
+
+
+class TestDistanceMatrix:
+    def test_parity_with_reference_matrix(self, ray_session):
+        rng = np.random.default_rng(0)
+        seqs = [rng.normal(size=int(rng.integers(8, 20))) for _ in range(12)]
+        pairs = distance_matrix(seqs, DTWSettings()).to_pandas()
+        ours = distances_to_matrix(pairs, len(seqs))
+        theirs = ref_dtw.distance_matrix(seqs)
+        for i in range(len(seqs)):
+            for j in range(i + 1, len(seqs)):
+                assert ours[i, j] == pytest.approx(theirs[i, j]), (i, j)
+
+    def test_block_semantics(self, ray_session):
+        # reference block fixture (tests/test_dtw.py:171-191): block
+        # ((1,4),(3,5)) computes only those pairs; outside stays inf
+        s = [
+            np.array([0.0, 0, 1, 2, 1, 0, 1, 0, 0]),
+            np.array([0.0, 1, 2, 0, 0, 0, 0, 0, 0]),
+            np.array([1.0, 2, 0, 0, 0, 0, 0, 1, 1]),
+            np.array([0.0, 0, 1, 2, 1, 0, 1, 0, 0]),
+            np.array([0.0, 1, 2, 0, 0, 0, 0, 0, 0]),
+            np.array([1.0, 2, 0, 0, 0, 0, 0, 1, 1]),
+        ]
+        pairs = distance_matrix(s, DTWSettings(), block=((1, 4), (3, 5))).to_pandas()
+        m = distances_to_matrix(pairs, len(s))
+        assert m[1, 3] == pytest.approx(np.sqrt(2))
+        assert np.isinf(m[1, 2])  # outside block
+        computed = {(int(i), int(j)) for i, j in zip(pairs["i"], pairs["j"])}
+        assert computed == {(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+    def test_plan_tiles_cover(self):
+        tiles = plan_tiles(10, 10, 4, triu=True)
+        covered = set()
+        for rb, re_, cb, ce in tiles:
+            for i in range(rb, re_):
+                for j in range(max(cb, i + 1), ce):
+                    covered.add((i, j))
+        assert covered == {(i, j) for i in range(10) for j in range(i + 1, 10)}
+
+
+class TestSearch:
+    def test_knn_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(1)
+        corpus = [rng.integers(0, 50, size=20).astype(np.float64) for _ in range(40)]
+        query = rng.integers(0, 50, size=20).astype(np.float64)
+        ds = rd.from_items(
+            [{"doc_id": f"d{i:03d}", "tokens": c} for i, c in enumerate(corpus)]
+        )
+        got = knn_search(ds, query, k=5, settings=DTWSettings(use_pruning=True)).to_pandas()
+        brute = sorted(
+            (dtw_distance(query, c, DTWSettings()), f"d{i:03d}") for i, c in enumerate(corpus)
+        )[:5]
+        assert list(got["doc_id"]) == [b[1] for b in brute]
+        for d_got, (d_want, _) in zip(got["d"], brute):
+            assert d_got == pytest.approx(d_want)
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, ray_session):
+        import ray.data as rd
+
+        t = synth_media_table(30, seed=1)
+        ds = rd.from_arrow(t)
+        out = decode_images(ds, thumb=4).to_pandas()
+        assert len(out) == 10  # every 3rd row is an image
+        assert all(len(v) == 4 * 4 * 3 for v in out["thumb_vec"])
+        # deterministic: same payload -> same features
+        out2 = decode_images(rd.from_arrow(t), thumb=4).to_pandas()
+        a = out.sort_values("media_id").reset_index(drop=True)
+        b = out2.sort_values("media_id").reset_index(drop=True)
+        assert (a["pixel_mean"] == b["pixel_mean"]).all()
+
+    def test_real_codec_is_stubbed(self):
+        from dtaidistance_ray.stages.multimodal import DecodeImage
+
+        with pytest.raises(NotImplementedError):
+            DecodeImage(use_real_codec=True).decode_real(b"xx")
+
+    def test_frame_sampling(self, ray_session):
+        import ray.data as rd
+
+        t = synth_media_table(30, seed=2)
+        out = sample_video_frames(rd.from_arrow(t), every_ms=10000).to_pandas()
+        assert (out["frame_ms"] % 10000 == 0).all()
+        assert out["media_id"].str.startswith("m").all()
