@@ -56,18 +56,29 @@ def build_tiers(
     shuffle; upper tiers consume the tiny tier-0 result via per-group
     map_groups. use_scan=False keeps the shuffle path (used by tests to
     assert both produce bit-identical output)."""
+    import time as _time
+
+    timings: Dict[str, float] = {}
     tiers: Dict[int, object] = {}
+    t0 = _time.perf_counter()
     b = bucketize(ds, cfg.tier_widths[0], spec)
     if use_scan:
-        from ..stages.rollup_scan import scan_rollup_base_tier
+        from ..stages.rollup_scan import LAST_TIMINGS, scan_rollup_base_tier
 
         tiers[0] = scan_rollup_base_tier(b, cfg)
+        timings.update({f"tier0_{k}": v for k, v in LAST_TIMINGS.items()})
     else:
         tiers[0] = rollup_base_tier(b, cfg)
+    timings["tier0"] = round(_time.perf_counter() - t0, 2)
     for t in range(1, len(cfg.tier_widths)):
+        t0 = _time.perf_counter()
+        # materialize: each tier is tiny (one row per (source, bucket))
+        # and the next tier chains on it — never recompute upstream
         tiers[t] = rollup_next_tier(
             tiers[t - 1], cfg.tier_widths[t - 1], cfg.tier_widths[t], cfg
-        )
+        ).materialize()
+        timings[f"tier{t}"] = _time.perf_counter() - t0
+    tiers["timings"] = timings  # type: ignore[assignment]
     return tiers
 
 
@@ -86,7 +97,14 @@ def run_flagship(
     shash = cfg.settings_hash()
 
     metrics: dict = {"tiers": {}, "skipped_shards": {}, "num_rows": spec.num_rows}
-    ds = token_table(spec)
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    # ~1 block per CPU: big fragments vectorize the scan kernel best
+    ds = token_table(spec, override_num_blocks=max(8, ncpu))
 
     skip: Dict[int, set] = {}
     if out_dir and resume:
@@ -107,10 +125,15 @@ def run_flagship(
             ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
     tiers = build_tiers(ds, spec, cfg)
+    metrics["phase_timings"] = tiers.pop("timings", {})
     for t in range(len(cfg.tier_widths)):
+        pt0 = time.perf_counter()
         tier_ds = encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t])
         if out_dir is None:
             metrics["tiers"][t] = {"rows": tier_ds.count()}
+            metrics["phase_timings"][f"gapfill_encode_t{t}"] = round(
+                time.perf_counter() - pt0, 2
+            )
             continue
         # checkpointed write: one task per shard, atomic rename + manifest
         def write_shard(g: pd.DataFrame, tier=t) -> pd.DataFrame:
@@ -137,6 +160,9 @@ def run_flagship(
             "rows": int(rows["rows"].sum()) if len(rows) else 0,
             "shards_written": len(rows),
         }
+        metrics["phase_timings"][f"gapfill_encode_write_t{t}"] = round(
+            time.perf_counter() - pt0, 2
+        )
     metrics["wall_time_s"] = time.perf_counter() - t0
     metrics["sequences_per_sec"] = spec.num_rows / metrics["wall_time_s"]
     metrics["settings_hash"] = shash

@@ -150,19 +150,30 @@ def rollup_base_tier(bucketed_ds, cfg: RollupConfig):
 
 
 def rollup_next_tier(tier_ds, child_width: int, width: int, cfg: RollupConfig):
-    """Tier t+1 from tier t: coarser buckets over representatives."""
+    """Tier t+1 from tier t: coarser buckets over representatives.
+
+    Tier inputs are one row per (source, child bucket) — KB-to-MB scale
+    regardless of the raw data volume — so promotion runs as a SINGLE
+    map_batches task over the whole tier (deterministic order, no
+    groupby shuffle, no per-group task machinery). For key-spaces too
+    large for one task, shard by source range and run one task per
+    shard — the group function is unchanged."""
     ratio = width // child_width
 
-    def rebucket(batch: pa.Table) -> pa.Table:
-        child = np.asarray(batch["bucket"])
-        batch = batch.rename_columns(
-            ["child_bucket" if c == "bucket" else c for c in batch.column_names]
-        )
-        return batch.append_column("bucket", pa.array(child // ratio, type=pa.int64()))
+    def promote(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["child_bucket"] = batch["bucket"]
+        batch["bucket"] = batch["child_bucket"] // ratio
+        out = [
+            _rollup_group_upper(g, cfg)
+            for _, g in batch.groupby(["source", "bucket"], sort=True)
+        ]
+        return pd.concat(out, ignore_index=True)
 
-    ds = tier_ds.map_batches(rebucket, batch_format="pyarrow")
-    return ds.groupby(["source", "bucket"]).map_groups(
-        lambda g: _rollup_group_upper(g, cfg), batch_format="pandas"
+    # one task per source: groups never straddle tasks, per-group order
+    # is canonical, and the tiny shuffle gives cheap parallelism
+    return tier_ds.groupby("source").map_groups(
+        promote, batch_format="pandas"
     )
 
 

@@ -89,42 +89,47 @@ def _batch_arrays(batch) -> Tuple[list, list]:
 
 
 def _stats_partial(batch) -> pd.DataFrame:
-    keys, seqs = _batch_arrays(batch)
-    doc_ids = batch.column("doc_id").to_pylist()
-    agg: Dict[Tuple, list] = {}
-    for k, seq, d in zip(keys, seqs, doc_ids):
-        m = agg.get(k)
-        s_ = float(seq.sum())
-        mn = float(seq.min())
-        mx = float(seq.max())
-        if m is None:
-            agg[k] = [1, len(seq), s_, mn, mx, d, seq]
-        else:
-            m[0] += 1
-            m[1] += len(seq)
-            m[2] += s_
-            if mn < m[3]:
-                m[3] = mn
-            if mx > m[4]:
-                m[4] = mx
-            if d < m[5]:
-                m[5] = d
-                m[6] = seq
-    rows = [
+    """Vectorized per-fragment stats: per-row token sum/min/max via
+    reduceat over the Arrow offsets, then one pandas groupby."""
+    import pyarrow as pa
+
+    tok = batch.column("tokens")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    offs = tok.offsets.to_numpy()
+    flat = tok.values.to_numpy()
+    n = len(tok)
+    row_len = np.diff(offs)
+    row_sum = np.add.reduceat(flat.astype(np.int64), offs[:-1])
+    row_min = np.minimum.reduceat(flat, offs[:-1])
+    row_max = np.maximum.reduceat(flat, offs[:-1])
+    df = pd.DataFrame(
         {
-            "source": k[0],
-            "bucket": k[1],
-            "agg_count": m[0],
-            "agg_n_tok_sum": m[1],
-            "agg_token_sum": int(m[2]),
-            "agg_token_min": m[3],
-            "agg_token_max": m[4],
-            "min_doc_id": m[5],
-            "min_doc_tokens": m[6].tolist(),
+            "source": batch.column("source").to_pandas(),
+            "bucket": batch.column("bucket").to_numpy(),
+            "doc_id": batch.column("doc_id").to_pandas(),
+            "row_len": row_len,
+            "row_sum": row_sum,
+            "row_min": row_min.astype(np.float64),
+            "row_max": row_max.astype(np.float64),
+            "row_idx": np.arange(n),
         }
-        for k, m in agg.items()
+    )
+    g = df.groupby(["source", "bucket"], sort=False)
+    out = g.agg(
+        agg_count=("row_len", "size"),
+        agg_n_tok_sum=("row_len", "sum"),
+        agg_token_sum=("row_sum", "sum"),
+        agg_token_min=("row_min", "min"),
+        agg_token_max=("row_max", "max"),
+        min_pos=("doc_id", "idxmin"),
+    ).reset_index()
+    min_idx = df["row_idx"].iloc[out["min_pos"]].to_numpy()
+    out["min_doc_id"] = df["doc_id"].iloc[out["min_pos"]].to_numpy()
+    out["min_doc_tokens"] = [
+        flat[offs[i] : offs[i + 1]].astype(np.float64).tolist() for i in min_idx
     ]
-    return pd.DataFrame(rows)
+    return out.drop(columns=["min_pos"])
 
 
 def _make_sweep_fn(centers_ref, dtw: DTWSettings):
@@ -157,26 +162,44 @@ def _make_sweep_fn(centers_ref, dtw: DTWSettings):
     return sweep
 
 
+LAST_TIMINGS: Dict[str, float] = {}
+
+
 def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
     """Tier-0 rollup via combiner scans; returns a Ray Dataset with the
     same schema (and bit-identical content) as rollup_base_tier."""
+    import time as _time
+
     import ray
     import ray.data as rd
 
-    # one block per CPU: sweep tasks are compute-bound and the batched
-    # kernel amortizes best over LARGE fragments (more members per size
-    # class), so fragments are as big as parallelism allows
+    LAST_TIMINGS.clear()
+    _t = _time.perf_counter()
+
+    # Sweep tasks are compute-bound and the batched kernel amortizes
+    # best over LARGE fragments (more members per size class) — callers
+    # should feed ~1 block per CPU (run_flagship generates the token
+    # table that way); we only repartition when the input is clearly
+    # under-parallel.
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    ds = bucketed_ds.repartition(ncpu)
-    ds = ds.materialize() if cache else ds
+    ds = bucketed_ds.materialize() if cache else bucketed_ds
+    try:
+        if cache and ds.num_blocks() < max(2, ncpu // 2):
+            ds = ds.repartition(ncpu).materialize()
+    except Exception:
+        pass
+    LAST_TIMINGS["materialize"] = round(_time.perf_counter() - _t, 2)
+    _t = _time.perf_counter()
 
     # partial rows number (#keys x #blocks) — KB-to-MB scale — so the
     # merge runs on the driver (at larger key-spaces: tree-merge tasks
     # or key-range shards; same associative merge either way)
     stats_parts = ds.map_batches(_stats_partial, batch_format="pyarrow").to_pandas()
+    LAST_TIMINGS["stats_scan"] = round(_time.perf_counter() - _t, 2)
+    _t = _time.perf_counter()
     merged_stats: Dict[Tuple, dict] = {}
     for row in stats_parts.itertuples(index=False):
         k = _key_of(row.source, row.bucket)
@@ -218,13 +241,15 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
     final_centers: Dict = dict(centers)
     active = dict(centers)
 
-    for _ in range(cfg.dba_max_it):
+    for rnd in range(cfg.dba_max_it):
         if not active:
             break
+        _t = _time.perf_counter()
         centers_ref = ray.put(_pack_centers(active))
         parts = ds.map_batches(
             _make_sweep_fn(centers_ref, cfg.dtw), batch_format="pyarrow"
         ).to_pandas()
+        LAST_TIMINGS[f"sweep_round{rnd}"] = round(_time.perf_counter() - _t, 2)
         acc: Dict[Tuple, Tuple[np.ndarray, np.ndarray]] = {}
         for row in parts.itertuples(index=False):
             k = _key_of(row.source, row.bucket)
