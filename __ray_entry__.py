@@ -248,6 +248,102 @@ def _q_subsequence_knn(sf_dir: str):
     return subsequence_knn_tokens(_token_spec(sf_dir), k=10)
 
 
+def _q_tokens_derivative(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_derivative
+
+    _ensure_token_parquet(sf_dir)
+    return tokens_derivative(_token_spec(sf_dir))
+
+
+def _q_tokens_znormal(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_znormal
+
+    _ensure_token_parquet(sf_dir)
+    return tokens_znormal(_token_spec(sf_dir))
+
+
+def _q_tokens_logdomain_stats(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_logdomain_stats
+
+    _ensure_token_parquet(sf_dir)
+    return tokens_logdomain_stats(_token_spec(sf_dir))
+
+
+def _q_hierarchical_clusters(sf_dir: str):
+    """Hierarchical clustering of a 24-series token sample; returns
+    (series_idx, prototype_idx) — parity with the reference clustering
+    is covered in tests/test_ops_parity.py (rows-only here)."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.sources.synth import generate_batch
+    from dtaidistance_ray.stages.clustering import Hierarchical
+    from dtaidistance_ray import DTWSettings
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(24, dtype=np.int64), spec)
+    seqs = [np.asarray(x, dtype=np.float64) for x in t["tokens"].to_pylist()]
+    clusters = Hierarchical(settings=DTWSettings(window=16), max_dist=80.0).fit(seqs)
+    rows = [
+        {"series_idx": int(m), "prototype_idx": int(p)}
+        for p, members in clusters.items()
+        for m in members
+    ]
+    return pd.DataFrame(rows).sort_values("series_idx").reset_index(drop=True)
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """k-means (DTW assignment + DBA update) over a 40-series sample."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.sources.synth import generate_batch
+    from dtaidistance_ray.stages.clustering import KMeans
+    from dtaidistance_ray import DTWSettings
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(40, dtype=np.int64), spec)
+    seqs = [np.asarray(x, dtype=np.float64) for x in t["tokens"].to_pylist()]
+    km = KMeans(k=4, max_it=3, seed=7, settings=DTWSettings(window=16))
+    clusters = km.fit(seqs)
+    rows = [
+        {"series_idx": int(m), "cluster": int(c)}
+        for c, members in clusters.items()
+        for m in members
+    ]
+    return pd.DataFrame(rows).sort_values("series_idx").reset_index(drop=True)
+
+
+def _q_nw_align_tokens(sf_dir: str):
+    """Needleman-Wunsch alignment scores of token sequence pairs
+    (sequence alignment on symbols; parity in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.kernels.alignment import needleman_wunsch
+    from dtaidistance_ray.sources.synth import generate_batch
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(20, dtype=np.int64), spec)
+    seqs = [list(np.asarray(x) % 16) for x in t["tokens"].to_pylist()]
+    rows = []
+    for i in range(len(seqs)):
+        for j in range(i + 1, min(i + 4, len(seqs))):
+            v, _, _ = needleman_wunsch(seqs[i], seqs[j])
+            rows.append({"i": i, "j": j, "nw_score": float(v)})
+    return pd.DataFrame(rows)
+
+
+def _q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: synthetic media table -> image thumbnail
+    features via the actor-pool decode stage (codec stubbed)."""
+    import ray.data as rd
+
+    from dtaidistance_ray.stages.multimodal import decode_images, synth_media_table
+
+    return decode_images(rd.from_arrow(synth_media_table(90, seed=3)), thumb=4)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -289,6 +385,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,
+        # per-series preprocessing (§2.2)
+        "tokens_derivative": _q_tokens_derivative,
+        "tokens_znormal": _q_tokens_znormal,
+        "tokens_logdomain_stats": _q_tokens_logdomain_stats,
+        # clustering / alignment / multimodal
+        "hierarchical_clusters_tokens": _q_hierarchical_clusters,
+        "kmeans_clusters_tokens": _q_kmeans_clusters,
+        "nw_align_tokens": _q_nw_align_tokens,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -320,4 +425,34 @@ def oracle_sql() -> dict[str, str]:
         "tokens_stats_by_source": _sql_tokens_stats_by_source(sf),
         "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),
+        "tokens_derivative": _sql_tokens_derivative(sf),
+        "tokens_znormal": _sql_tokens_znormal(sf),
+        "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
     }
+
+
+def _sql_tokens_derivative(sf: str) -> str:
+    from dtaidistance_ray.stages.series_ops import tokens_derivative_sql
+
+    return tokens_derivative_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _sql_tokens_znormal(sf: str) -> str:
+    from dtaidistance_ray.stages.series_ops import tokens_znormal_sql
+
+    return tokens_znormal_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _sql_tokens_logdomain(sf: str) -> str:
+    return f"""
+SELECT source,
+       ROUND(sum(ROUND(list_aggregate(
+           list_transform(CAST(tokens AS DOUBLE[]),
+                          x -> CASE WHEN x = 0 THEN 0.0
+                                    WHEN x > 0 THEN ln(1 + x)
+                                    ELSE -ln(1 - x) END),
+           'sum'), 6)), 4) AS ld_total,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM read_parquet('{_TOK_DIR}/sf{sf}.parquet')
+GROUP BY source
+"""
