@@ -31,6 +31,125 @@ INF = float("inf")
 _CHOICE_BUDGET = 32 * 1024 * 1024  # bytes of int8 choice matrix per sub-batch
 
 
+def _band_width(s_lens: np.ndarray, d_rs: np.ndarray, d_sr: np.ndarray, window: int) -> int:
+    """Max Sakoe-Chiba band width over the chunk's members."""
+    return int(np.minimum(s_lens, d_rs + d_sr + 2 * window - 1).max())
+
+
+def _dp_choices_compact(
+    C: np.ndarray,
+    c_lens: np.ndarray,
+    S: np.ndarray,
+    s_lens: np.ndarray,
+    window: int,
+    penalty: float,
+) -> Tuple[np.ndarray, int]:
+    """Band-compacted batched DP: per-member diagonal coordinates.
+
+    Row arrays hold only the band (width W = max member bandwidth), so
+    they stay cache-resident — the full-width DP is memory-bandwidth
+    bound. Compact cell q in D-row i is column base_k(i) + q - 1 + 1
+    where base_k(i) = js_k(i-1); the shift between consecutive rows is
+    0 or 1 and is absorbed by one take_along_axis gather per row.
+
+    Returns (choice_compact (B, R+1, W+2) int8, W)."""
+    B, R = C.shape
+    M = S.shape[1]
+    d_rs = np.maximum(0, c_lens - s_lens)
+    d_sr = np.maximum(0, s_lens - c_lens)
+    W = _band_width(s_lens, d_rs, d_sr, window)
+    choice = np.empty((B, R + 1, W + 2), dtype=np.int8)
+    Fprev = np.full((B, W + 2), INF)
+    Fcur = np.empty((B, W + 2))
+    Fprev[:, 0] = 0.0  # D[0, 0]
+    tq = np.arange(W + 1)
+    qW = np.arange(W)
+    js_prev = np.zeros(B, dtype=np.int64)
+    # workspaces
+    t_cost = np.empty((B, W))
+    t_e = np.empty((B, W))
+    t_acc = np.empty((B, W))
+    t_f = np.empty((B, W))
+    t_ch = np.empty((B, W), dtype=np.int8)
+    for i in range(R):
+        js = np.maximum(0, i - d_rs - window + 1)
+        je = np.minimum(s_lens, i + d_sr + window)
+        width = np.maximum(je - js, 0)
+        delta = js - js_prev
+        G = np.take_along_axis(Fprev, tq[None, :] + delta[:, None], axis=1)
+        diag = G[:, :W]
+        up_nop = G[:, 1 : W + 1]
+        col_idx = np.minimum(js[:, None] + qW[None, :], M - 1)
+        Sg = np.take_along_axis(S, col_idx, axis=1)
+        cost = t_cost
+        np.subtract(Sg, C[:, i][:, None], out=cost)
+        np.multiply(cost, cost, out=cost)
+        e = t_e
+        if penalty:
+            np.add(up_nop, penalty, out=e)
+            np.minimum(diag, e, out=e)
+        else:
+            np.minimum(diag, up_nop, out=e)
+        np.add(e, cost, out=e)  # e is now h
+        invalid = qW[None, :] >= width[:, None]
+        e[invalid] = INF
+        acc = t_acc
+        if penalty:
+            np.add(cost, penalty, out=cost)
+        np.cumsum(cost, axis=1, out=acc)
+        f = t_f
+        np.subtract(e, acc, out=f)
+        np.minimum.accumulate(f, axis=1, out=f)
+        np.add(f, acc, out=f)
+        f[invalid] = INF
+        Fcur[:, 0] = INF
+        Fcur[:, 1 : W + 1] = f
+        Fcur[:, W + 1] = INF
+        ch = t_ch
+        np.less(up_nop, diag, out=ch, casting="unsafe")
+        np.minimum(diag, up_nop, out=acc)
+        ch[:, 1:][f[:, :-1] < acc[:, 1:]] = 2
+        choice[:, i + 1, 1 : W + 1] = ch
+        Fprev, Fcur = Fcur, Fprev
+        js_prev = js
+    return choice, W
+
+
+def _traceback_compact(
+    choice: np.ndarray,
+    c_lens: np.ndarray,
+    s_lens: np.ndarray,
+    window: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized traceback over the compact choice matrix; maps D
+    coordinates (i, j) to compact q = j - js_k(i-1) at each step."""
+    B = choice.shape[0]
+    d_rs = np.maximum(0, c_lens - s_lens)
+    i = c_lens.astype(np.int64).copy()
+    j = s_lens.astype(np.int64).copy()
+    ks = np.arange(B)
+    out_k: List[np.ndarray] = [ks.copy()]
+    out_i: List[np.ndarray] = [i - 1]
+    out_j: List[np.ndarray] = [j - 1]
+    active = (i > 1) | (j > 1)
+    while active.any():
+        ka = ks[active]
+        ia = i[active]
+        ja = j[active]
+        js_row = np.maximum(0, (ia - 1) - d_rs[ka] - window + 1)
+        q = ja - js_row
+        ch = choice[ka, ia, q]
+        move_up = (ja == 1) | ((ia > 1) & ((ch == 0) | (ch == 1)))
+        move_left = (ia == 1) | ((ja > 1) & ((ch == 0) | (ch == 2)))
+        i[active] = ia - move_up
+        j[active] = ja - move_left
+        out_k.append(ka)
+        out_i.append(i[active] - 1)
+        out_j.append(j[active] - 1)
+        active = (i > 1) | (j > 1)
+    return np.concatenate(out_k), np.concatenate(out_i), np.concatenate(out_j)
+
+
 def _dp_choices(
     C: np.ndarray,
     c_lens: np.ndarray,
@@ -39,7 +158,8 @@ def _dp_choices(
     window: Optional[int],
     penalty: float,
 ) -> np.ndarray:
-    """Batched DP over (B) pairs with per-member centers.
+    """Batched DP over (B) pairs with per-member centers (full-width
+    layout; used when no window bands the matrix).
 
     C (B, R) padded centers, S (B, M) padded members; returns the int8
     choice matrix (B, R+1, M+1). Rows beyond a member's center length
@@ -59,6 +179,13 @@ def _dp_choices(
         d_rs = np.maximum(0, c_lens - s_lens)  # r - m, clipped
         d_sr = np.maximum(0, s_lens - c_lens)
         wdefault = window
+    # preallocated row workspaces (reused every row: the DP is
+    # memory-bandwidth bound, so temporaries are the enemy)
+    t_cost = np.empty((B, M))
+    t_e = np.empty((B, M))
+    t_acc = np.empty((B, M))
+    t_f = np.empty((B, M))
+    t_chd = np.empty((B, M), dtype=np.int8)
     for i in range(R):
         js = np.maximum(0, i - d_rs - wdefault + 1)
         je = np.minimum(s_lens, i + d_sr + wdefault)
@@ -73,26 +200,43 @@ def _dp_choices(
             continue
         w = hi - lo
         csl = col[lo:hi]
-        valid = (csl[None, :] >= js[:, None]) & (csl[None, :] < je[:, None])
-        diff = S[:, lo:hi] - C[:, i][:, None]
-        cost = diff * diff
+        invalid = (csl[None, :] < js[:, None]) | (csl[None, :] >= je[:, None])
+        cost = t_cost[:, :w]
+        np.subtract(S[:, lo:hi], C[:, i][:, None], out=cost)
+        np.multiply(cost, cost, out=cost)
         diag = prev[:, lo:hi]
-        up = prev[:, lo + 1 : hi + 1] + penalty
-        h = np.where(valid, cost + np.minimum(diag, up), INF)
-        cpen = cost + penalty
-        Ssum = np.cumsum(cpen, axis=1)
-        f = Ssum + np.minimum.accumulate(h - Ssum, axis=1)
-        f = np.where(valid, f, INF)
-        cur[:, :] = INF
-        cur[:, lo + 1 : hi + 1] = f
         up_nop = prev[:, lo + 1 : hi + 1]
-        left_nop = np.empty_like(f)
-        left_nop[:, 0] = INF if lo == 0 else np.inf
-        left_nop[:, 1:] = f[:, :-1]
-        ch = np.where(up_nop < diag, 1, 0).astype(np.int8)
-        choice[:, i + 1, lo + 1 : hi + 1] = np.where(
-            left_nop < np.minimum(diag, up_nop), 2, ch
-        )
+        e = t_e[:, :w]
+        if penalty:
+            np.add(up_nop, penalty, out=e)
+            np.minimum(diag, e, out=e)
+        else:
+            np.minimum(diag, up_nop, out=e)
+        # h = valid ? cost + e : INF  (reuse e as h)
+        np.add(e, cost, out=e)
+        e[invalid] = INF
+        # in-row min-plus scan: f = Ssum + cummin(h - Ssum)
+        acc = t_acc[:, :w]
+        if penalty:
+            np.add(cost, penalty, out=cost)  # cost becomes cpen
+        np.cumsum(cost, axis=1, out=acc)  # acc = Ssum
+        f = t_f[:, :w]
+        np.subtract(e, acc, out=f)
+        np.minimum.accumulate(f, axis=1, out=f)
+        np.add(f, acc, out=f)
+        f[invalid] = INF
+        cur[:, :lo + 1] = INF
+        cur[:, lo + 1 : hi + 1] = f
+        cur[:, hi + 1 :] = INF
+        # traceback direction, un-penalized neighbor values (reference
+        # best_path default), diag > up > left tie preference
+        ch = t_chd[:, :w]
+        np.less(up_nop, diag, out=ch, casting="unsafe")  # 0=diag, 1=up
+        np.minimum(diag, up_nop, out=acc)  # acc reused: best of diag/up
+        # left neighbor (f[j-1]) strictly smaller -> 2; the band's first
+        # column's left neighbor is the INF boundary, never smaller
+        ch[:, 1:][f[:, :-1] < acc[:, 1:]] = 2
+        choice[:, i + 1, lo + 1 : hi + 1] = ch
         prev, cur = cur, prev
     return choice
 
@@ -193,6 +337,7 @@ def scan_dba_partials(
     big_sums = np.zeros(total, dtype=np.float64)
     big_counts = np.zeros(total, dtype=np.int64)
 
+    use_compact = window is not None
     for (R, _mc), members in classes.items():
         M = max(len(seqs[k]) for k in members)
         per_member_bytes = (R + 1) * (M + 1)
@@ -217,8 +362,12 @@ def scan_dba_partials(
                 c_lens[b] = len(c)
                 s_lens[b] = len(x)
                 slot_off[b] = offsets[group_slot[g]]
-            choice = _dp_choices(C, c_lens, S, s_lens, window, penalty)
-            fk, fi, fj = _batched_traceback(choice, c_lens, s_lens)
+            if use_compact:
+                choice, _W = _dp_choices_compact(C, c_lens, S, s_lens, window, penalty)
+                fk, fi, fj = _traceback_compact(choice, c_lens, s_lens, window)
+            else:
+                choice = _dp_choices(C, c_lens, S, s_lens, window, penalty)
+                fk, fi, fj = _batched_traceback(choice, c_lens, s_lens)
             flat_idx = slot_off[fk] + fi
             vals = S[fk, fj]
             big_sums += np.bincount(flat_idx, weights=vals, minlength=total)
