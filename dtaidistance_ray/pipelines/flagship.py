@@ -88,9 +88,14 @@ def run_flagship(
     out_dir: Optional[str] = None,
     num_shards: int = 16,
     resume: bool = True,
+    input_path: Optional[str] = None,
 ) -> dict:
     """Run the full pipeline; returns metrics (and writes checkpointed
-    parquet when out_dir is given)."""
+    parquet when out_dir is given).
+
+    input_path: read the token table from parquet (the production
+    shape) instead of generating it inline — bench uses this so both
+    scaling levels consume identical bytes."""
     cfg = cfg or RollupConfig()
     t0 = time.perf_counter()
     input_fp = f"synth:{spec.num_rows}:{spec.seed}:{spec.num_sources}:{spec.vocab}"
@@ -103,8 +108,13 @@ def run_flagship(
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    # ~1 block per CPU: big fragments vectorize the scan kernel best
-    ds = token_table(spec, override_num_blocks=max(8, ncpu))
+    if input_path is not None:
+        import ray.data as rd
+
+        ds = rd.read_parquet(input_path)
+    else:
+        # ~1 block per CPU: big fragments vectorize the scan kernel best
+        ds = token_table(spec, override_num_blocks=max(8, ncpu))
 
     skip: Dict[int, set] = {}
     if out_dir and resume:
@@ -189,15 +199,19 @@ def rollup_oracle(spec: TokenTableSpec, cfg: Optional[RollupConfig] = None) -> D
         out = [fn(g) for _, g in frame.groupby(keys, sort=True)]
         return pd.concat(out, ignore_index=True)
 
+    from ..stages.rollup import promote_frame
+
     tiers: Dict[int, pd.DataFrame] = {}
     tiers[0] = apply_groups(df, ["source", "bucket"], lambda g: _rollup_group_base(g, cfg))
     for t in range(1, len(cfg.tier_widths)):
         ratio = cfg.tier_widths[t] // cfg.tier_widths[t - 1]
-        child = tiers[t - 1].rename(columns={"bucket": "child_bucket"})
-        child["bucket"] = child["child_bucket"] // ratio
-        tiers[t] = apply_groups(
-            child, ["source", "bucket"], lambda g: _rollup_group_upper(g, cfg)
-        )
+        # same per-source promotion function as the pipeline (bit-equal:
+        # the co-batched DP accumulation order is fixed per source)
+        parts = [
+            promote_frame(g, ratio, cfg)
+            for _, g in tiers[t - 1].groupby("source", sort=True)
+        ]
+        tiers[t] = pd.concat(parts, ignore_index=True)
     # gap-fill (same semantics as stages.rollup.gap_fill_tier)
     for t in tiers:
         from ..stages.rollup import gap_fill_tier as _  # noqa: F401

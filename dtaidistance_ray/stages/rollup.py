@@ -149,31 +149,74 @@ def rollup_base_tier(bucketed_ds, cfg: RollupConfig):
     )
 
 
+def promote_frame(df: pd.DataFrame, ratio: int, cfg: RollupConfig) -> pd.DataFrame:
+    """Promote one source's tier rows to the next tier: vectorized
+    aggregate merge + co-batched DBA rounds over ALL groups at once
+    (kernels.dba_scan), with per-group convergence freezing mirroring
+    dba_loop. Deterministic given the input rows (canonical sort inside);
+    the single-process oracle calls this same function per source."""
+    from ..kernels.dba_scan import scan_dba_partials
+
+    df = df[~df["gap_filled"]].copy()
+    df["child_bucket"] = df["bucket"]
+    df["bucket"] = df["child_bucket"] // ratio
+    df = df.sort_values(["source", "bucket", "child_bucket"], kind="mergesort")
+    aggs = (
+        df.groupby(["source", "bucket"], sort=True)
+        .agg(
+            agg_count=("agg_count", "sum"),
+            agg_n_tok_sum=("agg_n_tok_sum", "sum"),
+            agg_token_sum=("agg_token_sum", "sum"),
+            agg_token_min=("agg_token_min", "min"),
+            agg_token_max=("agg_token_max", "max"),
+        )
+        .reset_index()
+    )
+    aggs["agg_token_mean"] = aggs["agg_token_sum"] / aggs["agg_n_tok_sum"]
+    keys = list(zip(df["source"], (int(b) for b in df["bucket"])))
+    seqs = [np.asarray(r, dtype=np.float64) for r in df["repr_series"]]
+    centers: dict = {}
+    for k, s in zip(keys, seqs):
+        if k not in centers:
+            centers[k] = s  # first child in canonical order (dba_loop c=None)
+    final = dict(centers)
+    active = dict(centers)
+    for _ in range(cfg.dba_max_it):
+        if not active:
+            break
+        parts = scan_dba_partials(keys, seqs, active, cfg.dtw)
+        nxt: dict = {}
+        for k, (sums, counts) in parts.items():
+            avg = np.zeros_like(sums)
+            nz = counts > 0
+            avg[nz] = sums[nz] / counts[nz]
+            final[k] = avg
+            diff = float(np.abs(avg - active[k]).sum()) / len(avg)
+            if cfg.dba_thr is None or diff > cfg.dba_thr:
+                nxt[k] = avg
+        active = nxt
+    aggs["repr_series"] = [
+        final[(s, int(b))].tolist() for s, b in zip(aggs["source"], aggs["bucket"])
+    ]
+    aggs["gap_filled"] = False
+    for c in ("agg_count", "agg_n_tok_sum", "agg_token_sum"):
+        aggs[c] = aggs[c].astype("int64")
+    return aggs[TIER_SCHEMA_COLS]
+
+
 def rollup_next_tier(tier_ds, child_width: int, width: int, cfg: RollupConfig):
     """Tier t+1 from tier t: coarser buckets over representatives.
 
-    Tier inputs are one row per (source, child bucket) — KB-to-MB scale
-    regardless of the raw data volume — so promotion runs as a SINGLE
-    map_batches task over the whole tier (deterministic order, no
-    groupby shuffle, no per-group task machinery). For key-spaces too
-    large for one task, shard by source range and run one task per
-    shard — the group function is unchanged."""
+    One task per source: groups never straddle tasks, the per-group
+    order is canonical, the tiny shuffle gives cheap parallelism, and
+    each task runs ONE co-batched DP over all of its groups."""
     ratio = width // child_width
-
-    def promote(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["child_bucket"] = batch["bucket"]
-        batch["bucket"] = batch["child_bucket"] // ratio
-        out = [
-            _rollup_group_upper(g, cfg)
-            for _, g in batch.groupby(["source", "bucket"], sort=True)
-        ]
-        return pd.concat(out, ignore_index=True)
-
-    # one task per source: groups never straddle tasks, per-group order
-    # is canonical, and the tiny shuffle gives cheap parallelism
-    return tier_ds.groupby("source").map_groups(
-        promote, batch_format="pandas"
+    # tier datasets are often single-block (from_pandas); map_groups
+    # parallelism is per-block, so split first (tiny rows, cheap)
+    return (
+        tier_ds.repartition(32)
+        .groupby("source")
+        .map_groups(lambda g: promote_frame(g, ratio, cfg), batch_format="pandas")
     )
 
 

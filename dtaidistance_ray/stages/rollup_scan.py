@@ -164,6 +164,10 @@ def _make_sweep_fn(centers_ref, dtw: DTWSettings):
 
 LAST_TIMINGS: Dict[str, float] = {}
 
+# CPUs reserved per sweep task (tunable; 2 halves concurrency on
+# SMT hosts where 1-per-thread thrashes the memory system)
+_SWEEP_NUM_CPUS = 1
+
 
 def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
     """Tier-0 rollup via combiner scans; returns a Ray Dataset with the
@@ -246,8 +250,12 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
             break
         _t = _time.perf_counter()
         centers_ref = ray.put(_pack_centers(active))
+        # num_cpus=2 per sweep task: the batched DP is memory-bandwidth
+        # heavy, so running one task per SMT thread thrashes; half
+        # concurrency per node is faster on hyperthreaded hosts
         parts = ds.map_batches(
-            _make_sweep_fn(centers_ref, cfg.dtw), batch_format="pyarrow"
+            _make_sweep_fn(centers_ref, cfg.dtw), batch_format="pyarrow",
+            num_cpus=_SWEEP_NUM_CPUS,
         ).to_pandas()
         LAST_TIMINGS[f"sweep_round{rnd}"] = round(_time.perf_counter() - _t, 2)
         acc: Dict[Tuple, Tuple[np.ndarray, np.ndarray]] = {}
