@@ -97,6 +97,15 @@ def run_benchmarks() -> dict:
     return result
 
 
+def _burn(_):
+    t = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t < 1.5:
+        for _ in range(10000):
+            x += 1
+    return x
+
+
 def _hardware_calibration() -> dict:
     """Pure-CPU aggregate throughput at 2 vs 8 vs 32 processes.
 
@@ -108,14 +117,7 @@ def _hardware_calibration() -> dict:
     import multiprocessing as mp
     import time as _t
 
-    def burn(_):
-        t = _t.perf_counter()
-        x = 0
-        while _t.perf_counter() - t < 1.5:
-            for _ in range(10000):
-                x += 1
-        return x
-
+    burn = _burn
     out = {}
     for procs in (2, 8, 32):
         with mp.Pool(procs) as p:

@@ -39,14 +39,22 @@ from ..settings import DTWSettings, EUCLIDEAN, SQEUCLIDEAN
 INF = float("inf")
 
 
-def _as_f64(s) -> np.ndarray:
+def _as_f64(s, allow_2d: bool = False) -> np.ndarray:
     a = np.asarray(s, dtype=np.float64)
-    if a.ndim != 1:
+    if a.ndim != 1 and not (allow_2d and a.ndim == 2):
         raise ValueError(f"expected 1-D series, got shape {a.shape}")
     return a
 
 
-def _cost_row(v: float, s2: np.ndarray, inner_dist: str) -> np.ndarray:
+def _cost_row(v, s2: np.ndarray, inner_dist: str) -> np.ndarray:
+    """Point-cost row; v is a scalar (1-D series) or a vector
+    (multivariate series, dependent-DTW inner dist sum((x-y)^2) as in
+    reference dtw_ndim.py:43-94 / innerdistance.py:80-93)."""
+    if s2.ndim == 2:
+        d = s2 - v
+        if inner_dist == SQEUCLIDEAN:
+            return np.einsum("ij,ij->i", d, d)
+        return np.sqrt(np.einsum("ij,ij->i", d, d))
     if inner_dist == SQEUCLIDEAN:
         d = s2 - v
         return d * d
@@ -118,18 +126,18 @@ def ub_euclidean(s1, s2, inner_dist: str = SQEUCLIDEAN) -> float:
     Tail of the longer series is compared against the last element of the
     shorter one (reference ed.py:47-80, Silva & Batista SDM'16).
     """
-    s1 = _as_f64(s1)
-    s2 = _as_f64(s2)
+    s1 = _as_f64(s1, allow_2d=True)
+    s2 = _as_f64(s2, allow_2d=True)
     n = min(len(s1), len(s2))
     if inner_dist == SQEUCLIDEAN:
         d = s1[:n] - s2[:n]
-        ub = float(np.dot(d, d))
+        ub = float((d * d).sum())
         if len(s1) > n:
             t = s1[n:] - s2[n - 1]
-            ub += float(np.dot(t, t))
+            ub += float((t * t).sum())
         elif len(s2) > n:
             t = s2[n:] - s1[n - 1]
-            ub += float(np.dot(t, t))
+            ub += float((t * t).sum())
         return math.sqrt(ub)
     ub = float(np.abs(s1[:n] - s2[:n]).sum())
     if len(s1) > n:
@@ -179,8 +187,8 @@ def distance(s1, s2, settings: Optional[DTWSettings] = None) -> float:
     Numeric parity with reference dtw.distance is asserted in tests.
     """
     s = settings or DTWSettings()
-    s1 = _as_f64(s1)
-    s2 = _as_f64(s2)
+    s1 = _as_f64(s1, allow_2d=True)
+    s2 = _as_f64(s2, allow_2d=True)
     r, c = len(s1), len(s2)
     if abs(r - c) > s.adj_max_length_diff:
         return INF
@@ -263,8 +271,8 @@ def warping_paths(
     psi-end argmin/masking behavior.
     """
     s = settings or DTWSettings()
-    s1 = _as_f64(s1)
-    s2 = _as_f64(s2)
+    s1 = _as_f64(s1, allow_2d=True)
+    s2 = _as_f64(s2, allow_2d=True)
     r, c = len(s1), len(s2)
     if abs(r - c) > s.adj_max_length_diff:
         return INF, None

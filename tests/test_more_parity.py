@@ -1,0 +1,116 @@
+"""Parity: condensed-index math, postprocessing, multivariate DTW,
+get_good_c seeding utilities."""
+
+import numpy as np
+import pytest
+
+from dtaidistance_ray import DTWSettings
+from dtaidistance_ray.kernels import distance, warping_path
+from dtaidistance_ray.kernels.matrix_index import (
+    condensed_to_matrix,
+    distance_array_index,
+    distance_matrix_idxs,
+    distance_matrix_length,
+)
+from dtaidistance_ray.kernels.postprocessing import (
+    distance_from_path,
+    get_points_in_path_with_min_diff,
+)
+
+ref_dtw = pytest.importorskip("dtaidistance.dtw")
+from dtaidistance import dtw_ndim as ref_ndim  # noqa: E402
+from dtaidistance import postprocessing as ref_post  # noqa: E402
+
+
+class TestCondensedIndex:
+    def test_length_cases(self):
+        # reference tests/test_dtw.py:12-50 block/index cases
+        assert distance_matrix_length(((1, 4), (3, 5)), 6) == 5
+        assert distance_matrix_length(None, 6) == 15
+        for n in (2, 5, 9):
+            assert distance_matrix_length(None, n) == n * (n - 1) // 2
+
+    def test_array_index_roundtrip(self):
+        n = 7
+        i_idx, j_idx = distance_matrix_idxs(None, n)
+        for k, (a, b) in enumerate(zip(i_idx, j_idx)):
+            assert distance_array_index(int(a), int(b), n) == k
+            assert distance_array_index(int(b), int(a), n) == k
+
+    def test_condensed_to_matrix_block(self):
+        n = 6
+        block = ((1, 4), (3, 5))
+        length = distance_matrix_length(block, n)
+        dists = np.arange(1.0, length + 1)
+        m = condensed_to_matrix(dists, n, block)
+        assert np.isinf(m[0, 1])
+        assert m[1, 3] == 1.0
+        assert m[3, 1] == 1.0
+        assert (np.diag(m) == 0).all()
+
+    def test_against_reference_matrix_layout(self):
+        rng = np.random.default_rng(0)
+        seqs = [rng.normal(size=10) for _ in range(6)]
+        ref_m = ref_dtw.distance_matrix(seqs, block=((1, 4), (3, 5)))
+        from dtaidistance_ray.kernels import distance as our_d
+
+        i_idx, j_idx = distance_matrix_idxs(((1, 4), (3, 5)), 6)
+        ours = np.array([our_d(seqs[a], seqs[b]) for a, b in zip(i_idx, j_idx)])
+        m = condensed_to_matrix(ours, 6, ((1, 4), (3, 5)))
+        np.testing.assert_allclose(m[1:4, 3:5], ref_m[1:4, 3:5], rtol=1e-9)
+
+
+class TestPostprocessing:
+    def test_distance_from_path(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=15)
+        b = rng.normal(size=12)
+        p = warping_path(a, b)
+        for relaxed in (True, False):
+            ours = distance_from_path(a, b, p, relaxed=relaxed)
+            theirs = ref_post.distance_from_path(a, b, p, relaxed=relaxed)
+            assert ours == pytest.approx(theirs), relaxed
+        # unrelaxed path distance equals the DTW distance for the optimal path
+        assert distance_from_path(a, b, p, relaxed=False) == pytest.approx(distance(a, b))
+
+    def test_min_diff_points(self):
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=12)
+        b = rng.normal(size=12)
+        p = warping_path(a, b)
+        for md in (0.1, 0.5):
+            for relaxed in (True, False):
+                assert get_points_in_path_with_min_diff(a, b, p, md, relaxed=relaxed) == (
+                    ref_post.get_points_in_path_with_min_diff(a, b, p, md, relaxed=relaxed)
+                )
+
+
+class TestNdim:
+    def test_ndim_distance_parity(self):
+        rng = np.random.default_rng(4)
+        for _ in range(8):
+            a = rng.normal(size=(int(rng.integers(5, 20)), 3))
+            b = rng.normal(size=(int(rng.integers(5, 20)), 3))
+            ours = distance(a, b)
+            theirs = ref_ndim.distance(a, b)
+            assert ours == pytest.approx(theirs, rel=1e-9)
+
+    def test_ndim_with_window(self):
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=(15, 2))
+        b = rng.normal(size=(15, 2))
+        for w in (3, 6):
+            assert distance(a, b, DTWSettings(window=w)) == pytest.approx(
+                ref_ndim.distance(a, b, window=w), rel=1e-9
+            )
+
+    def test_ndim_use_pruning_consistent(self):
+        # the reference's pure-Python dtw_ndim.distance(use_pruning=True)
+        # raises (its set_max_dist uses the univariate inner fns); ours
+        # supports it — pruning must never change the result
+        rng = np.random.default_rng(6)
+        a = rng.normal(size=(12, 2))
+        b = rng.normal(size=(12, 2))
+        assert distance(a, b, DTWSettings(use_pruning=True)) == pytest.approx(
+            distance(a, b), rel=1e-12
+        )
