@@ -73,6 +73,29 @@ def dba_finalize(sums: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return out
 
 
+def get_good_c(
+    seqs: List[np.ndarray],
+    nb_initial_samples: int,
+    settings: Optional[DTWSettings] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Informed DBA seed: sample nb_initial_samples series, return the
+    medoid (min distance-matrix row-sum), reference
+    dtw_barycenter.py:46-63. Takes an explicit rng (the reference uses
+    the global random module; we require seedable determinism)."""
+    from .elastic import distance as _dist
+
+    rng = rng or np.random.default_rng(0)
+    nb = min(nb_initial_samples, len(seqs))
+    idx = rng.choice(len(seqs), size=nb, replace=False)
+    cs = [seqs[int(i)] for i in idx]
+    d = np.zeros((nb, nb))
+    for a in range(nb):
+        for b in range(a + 1, nb):
+            d[a, b] = d[b, a] = _dist(cs[a], cs[b], settings)
+    return cs[int(np.argmin(d.sum(axis=1)))]
+
+
 def dba(
     seqs: List[np.ndarray],
     c: np.ndarray,

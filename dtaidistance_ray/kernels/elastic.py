@@ -365,6 +365,76 @@ def warping_paths(
     return float(d), dtw
 
 
+def warping_paths_affinity(
+    s1,
+    s2,
+    settings: Optional[DTWSettings] = None,
+    only_triu: bool = False,
+    psi_neg: bool = True,
+    gamma: float = 1,
+    tau: float = 0,
+    delta: float = 0,
+    delta_factor: float = 1,
+) -> Tuple[float, np.ndarray]:
+    """Affinity-maximizing DP (basis of LoCo local-concurrence mining,
+    reference dtw.py:577-662): cell affinity exp(-gamma (a-b)^2), cells
+    below tau decay by delta/delta_factor, floor at 0. Not on the
+    rollup hot path, so the DP is a plain loop (the max(0, .) clamp
+    breaks the min-plus scan trick)."""
+    s = settings or DTWSettings()
+    s1 = _as_f64(s1)
+    s2 = _as_f64(s2)
+    r, c = len(s1), len(s2)
+    window = s.effective_window(r, c)
+    psi_1b, psi_1e, psi_2b, psi_2e = s.split_psi()
+    penalty = s.penalty or 0  # raw penalty, as the reference uses here
+    dtw = np.full((r + 1, c + 1), -INF)
+    dtw[0, : psi_2b + 1] = 0
+    dtw[: psi_1b + 1, 0] = 0
+    i1 = 0
+    for i in range(r):
+        i0, i1 = i, i + 1
+        j_start = max(0, i - max(0, r - c) - window + 1)
+        if only_triu:
+            j_start = max(i, j_start)
+        j_end = min(c, i + max(0, c - r) + window)
+        for j in range(j_start, j_end):
+            d = math.exp(-gamma * (s1[i] - s2[j]) ** 2)
+            prev = max(dtw[i0, j], dtw[i0, j + 1] - penalty, dtw[i1, j] - penalty)
+            if d < tau:
+                dtw[i1, j + 1] = max(0, delta + delta_factor * prev)
+            else:
+                dtw[i1, j + 1] = max(0, d + prev)
+    if psi_1e == 0 and psi_2e == 0:
+        dval = dtw[i1, min(c, c + window - 1)]
+    else:
+        ir = i1
+        ic = min(c, c + window - 1)
+        if psi_1e != 0:
+            vr = dtw[ir : max(0, ir - psi_1e - 1) : -1, ic]
+            mir = int(np.argmax(vr))
+            vr_mir = vr[mir]
+        else:
+            mir = ir
+            vr_mir = INF
+        if psi_2e != 0:
+            vc = dtw[ir, ic : max(0, ic - psi_2e - 1) : -1]
+            mic = int(np.argmax(vc))
+            vc_mic = vc[mic]
+        else:
+            mic = ic
+            vc_mic = INF
+        if vr_mir > vc_mic:
+            if psi_neg:
+                dtw[ir : ir - mir : -1, ic] = -1
+            dval = vr_mir
+        else:
+            if psi_neg:
+                dtw[ir, ic : ic - mic : -1] = -1
+            dval = vc_mic
+    return float(dval), dtw
+
+
 def best_path(paths: np.ndarray, penalty: float = 0.0) -> List[Tuple[int, int]]:
     """Greedy argmin traceback, diagonal-then-up-then-left tie order
     (reference dtw.py:1121-1161); honors -1 psi-masked cells."""

@@ -175,7 +175,7 @@ class LshBucketer:
         return out
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.99, nbits: int = 12):
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35, nbits: int = 4):
     """LSH-bucketed near-duplicate mining: bucket groupby -> in-bucket
     exact cosine -> pairs above threshold. The bucket groupby keeps the
     candidate set linear-ish instead of the full n^2 cross join."""
