@@ -435,11 +435,18 @@ def warping_paths_affinity(
     return float(dval), dtw
 
 
-def best_path(paths: np.ndarray, penalty: float = 0.0) -> List[Tuple[int, int]]:
+def best_path(
+    paths: np.ndarray,
+    row: Optional[int] = None,
+    col: Optional[int] = None,
+    penalty: float = 0.0,
+) -> List[Tuple[int, int]]:
     """Greedy argmin traceback, diagonal-then-up-then-left tie order
-    (reference dtw.py:1121-1161); honors -1 psi-masked cells."""
-    i = int(paths.shape[0] - 1)
-    j = int(paths.shape[1] - 1)
+    (reference dtw.py:1121-1161); honors -1 psi-masked cells; row/col
+    select an alternative start cell (subsequence alignment uses the
+    match end column)."""
+    i = int(paths.shape[0] - 1) if row is None else int(row)
+    j = int(paths.shape[1] - 1) if col is None else int(col)
     p = []
     if paths[i, j] != -1:
         p.append((i - 1, j - 1))

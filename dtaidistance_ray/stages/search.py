@@ -86,40 +86,104 @@ def subsequence_knn_tokens(spec, k: int = 10):
     return knn_search(corpus, q, k, DTWSettings(window=32, use_pruning=True))
 
 
-def subsequence_alignment_matches(series: np.ndarray, query: np.ndarray, k: int = 3):
-    """k best non-overlapping matches of query inside one long series
-    (driver-side kernel util; the distributed form maps this over a
-    Dataset of (series_id, series) rows)."""
-    query = np.asarray(query, dtype=np.float64)
-    series = np.asarray(series, dtype=np.float64)
-    psi = (0, 0, len(series), len(series))
-    _, paths = warping_paths(query, series, DTWSettings(psi=psi), psi_neg=False)
-    matching = paths[-1, 1:] / len(query)
-    matches = []
-    used = np.zeros(len(series), dtype=bool)
-    order = np.argsort(matching, kind="stable")
-    for end_idx in order:
-        if len(matches) >= k:
-            break
-        if used[end_idx]:
-            continue
-        path = _path_from(paths, end_idx)
-        s_start, s_end = path[0][1], path[-1][1]
-        if used[s_start : s_end + 1].any():
-            continue
-        used[s_start : s_end + 1] = True
-        matches.append(
-            {
-                "start": int(s_start),
-                "end": int(s_end),
-                "value": float(matching[end_idx]),
-            }
+class SubsequenceAlignment:
+    """Query-in-series alignment (reference
+    subsequence/subsequencealignment.py:175-459): free start/end in the
+    long series via psi = (0, 0, len(series), len(series)); matching
+    function = last row of the cost-space warping-paths matrix,
+    sqrt'ed, divided by the query length; k-best non-overlapping
+    matches by argmin + masking."""
+
+    def __init__(self, query, series, penalty: float = 0.1, **kwargs):
+        self.query = np.asarray(query, dtype=np.float64)
+        self.series = np.asarray(series, dtype=np.float64)
+        self.settings = DTWSettings(
+            penalty=penalty, psi=(0, 0, len(self.series), len(self.series)), **kwargs
         )
-    return matches
+        self.paths = None
+        self.matching = None
+
+    def align(self):
+        if self.matching is not None:
+            return
+        _, self.paths = warping_paths(
+            self.query, self.series, self.settings, psi_neg=False, keep_int_repr=True
+        )
+        matching = self.paths[-1, :]
+        if len(matching) > len(self.series):
+            matching = np.sqrt(matching[-len(self.series) :])
+        self.matching = np.array(matching) / len(self.query)
+
+    def matching_function(self):
+        self.align()
+        return self.matching
+
+    def matching_function_endpoint(self, idx: int) -> int:
+        if len(self.matching) == len(self.series):
+            return idx
+        return idx + (len(self.series) - len(self.matching))
+
+    def matching_function_bestpath(self, idx: int):
+        real_idx = idx + 1
+        return best_path(self.paths, col=real_idx, penalty=self.settings.adj_penalty)
+
+    def matching_function_segment(self, idx: int):
+        path = self.matching_function_bestpath(idx)
+        return [path[0][1], self.matching_function_endpoint(idx)]
+
+    def best_matches(self, k=None, overlap=0, minlength=2, maxlength=None,
+                     max_rangefactor=None):
+        """Yield (idx, value, segment, path) tuples, best first, masking
+        overlapping end-points as the reference does
+        (subsequencealignment.py:440-480)."""
+        self.align()
+        matching = np.array(self.matching)
+        maxv = np.ceil(np.max(matching) + 1)
+        matching[: min(len(self.query) - 1, overlap)] = maxv
+        ki = 0
+        max_dist = np.inf
+        while k is None or ki < k:
+            best_idx = int(np.argmin(matching))
+            if np.isinf(matching[best_idx]) or matching[best_idx] == maxv:
+                break
+            if max_rangefactor is not None:
+                if ki == 0:
+                    max_dist = matching[best_idx] * max_rangefactor
+                elif matching[best_idx] > max_dist:
+                    break
+            value = float(self.matching[best_idx])
+            path = self.matching_function_bestpath(best_idx)
+            b, e = path[0][1], self.matching_function_endpoint(best_idx)
+            cur_overlap = min(overlap, e - b - 1)
+            mb, me = best_idx + 1 - (e - b) + cur_overlap, best_idx + 1
+            if (minlength is not None and e - b + 1 < minlength) or (
+                maxlength is not None and e - b + 1 > maxlength
+            ):
+                matching[best_idx] = maxv
+                continue
+            if np.isinf(np.max(matching[mb:me])):
+                matching[best_idx] = maxv
+                continue
+            matching[mb:me] = np.inf
+            ki += 1
+            yield {"idx": best_idx, "value": value, "segment": [b, e], "path": path}
+
+    def kbest_matches(self, k=1, overlap=0, minlength=2, maxlength=None):
+        return self.best_matches(k=k, overlap=overlap, minlength=minlength, maxlength=maxlength)
 
 
-def _path_from(paths: np.ndarray, end_col: int):
-    from ..kernels.elastic import best_path as _bp
+def subsequence_alignment(query, series, penalty: float = 0.1, **kwargs) -> SubsequenceAlignment:
+    sa = SubsequenceAlignment(query, series, penalty=penalty, **kwargs)
+    sa.align()
+    return sa
 
-    sub = paths[:, : end_col + 2]
-    return _bp(sub)
+
+def subsequence_alignment_matches(series, query, k: int = 3, penalty: float = 0.1):
+    """k best non-overlapping matches of query inside one long series.
+    The distributed form maps this over a Dataset of
+    (series_id, series) rows inside map_batches."""
+    sa = subsequence_alignment(query, series, penalty=penalty)
+    return [
+        {"start": m["segment"][0], "end": m["segment"][1], "value": m["value"]}
+        for m in sa.kbest_matches(k=k)
+    ]

@@ -1,0 +1,52 @@
+"""SubsequenceAlignment parity vs the reference (matching function,
+segments, k-best matches) — reference doc example + random cases."""
+
+import numpy as np
+import pytest
+
+from dtaidistance_ray.stages.search import SubsequenceAlignment, subsequence_alignment
+
+ref_mod = pytest.importorskip("dtaidistance.subsequence.subsequencealignment")
+
+
+class TestSubsequenceAlignment:
+    def test_doc_example(self):
+        # reference subsequencealignment.py:182-189
+        query = np.array([1.0, 2, 0])
+        series = np.array([1.0, 0, 1, 2, 1, 0, 2, 0, 3, 0, 0])
+        ours = subsequence_alignment(query, series)
+        theirs = ref_mod.subsequence_alignment(query, series)
+        np.testing.assert_allclose(ours.matching_function(), theirs.matching_function())
+        m_our = list(ours.kbest_matches(k=2))
+        m_ref = list(theirs.kbest_matches(k=2))
+        assert len(m_our) == len(m_ref) == 2
+        for a, b in zip(m_our, m_ref):
+            assert a["idx"] == b.idx
+            assert a["value"] == pytest.approx(b.value)
+            assert a["segment"] == b.segment
+            assert a["path"] == b.path
+
+    def test_random_parity(self):
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            series = rng.normal(size=80)
+            query = series[20:30] + rng.normal(scale=0.05, size=10)
+            ours = subsequence_alignment(query, series)
+            theirs = ref_mod.subsequence_alignment(query, series)
+            np.testing.assert_allclose(
+                ours.matching_function(), theirs.matching_function(), rtol=1e-9
+            )
+            m_our = list(ours.kbest_matches(k=3))
+            m_ref = list(theirs.kbest_matches(k=3))
+            assert [m["idx"] for m in m_our] == [m.idx for m in m_ref]
+            assert [m["segment"] for m in m_our] == [m.segment for m in m_ref]
+
+    def test_best_match_finds_planted_motif(self):
+        rng = np.random.default_rng(9)
+        series = rng.normal(size=200)
+        query = np.sin(np.linspace(0, 3, 15))
+        series[100:115] = query + rng.normal(scale=0.01, size=15)
+        sa = SubsequenceAlignment(query, series)
+        m = next(sa.kbest_matches(k=1))
+        assert 95 <= m["segment"][0] <= 105
+        assert 110 <= m["segment"][1] <= 120
