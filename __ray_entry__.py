@@ -334,6 +334,44 @@ def _q_nw_align_tokens(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_symbolize_tokens(sf_dir: str):
+    """Codebook symbolization of token sequences (SymbolAlignment
+    align2 + hangover; parity in tests/test_symbolization.py)."""
+    from dtaidistance_ray.stages.symbolization import symbolize_tokens
+
+    spec = _token_spec(sf_dir)
+    return symbolize_tokens(spec, codebook_size=3, n_docs=30)
+
+
+def _q_subsequence_alignment(sf_dir: str):
+    """Query-in-series matches over token sequences (free start/end)."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.sources.synth import generate_batch
+    from dtaidistance_ray.stages.search import subsequence_alignment_matches
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(12, dtype=np.int64), spec)
+    docs = t.to_pandas()
+    rows = []
+    for doc_id, toks in zip(docs["doc_id"], docs["tokens"]):
+        toks = np.asarray(toks, dtype=np.float64)
+        if len(toks) < 24:
+            continue
+        query = toks[5:15]
+        for m in subsequence_alignment_matches(toks, query, k=2):
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "start": m["start"],
+                    "end": m["end"],
+                    "value": round(m["value"], 6),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def _q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: synthetic media table -> image thumbnail
     features via the actor-pool decode stage (codec stubbed)."""
@@ -394,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters_tokens": _q_kmeans_clusters,
         "nw_align_tokens": _q_nw_align_tokens,
         "multimodal_decode": _q_multimodal_decode,
+        "symbolize_tokens": _q_symbolize_tokens,
+        "subsequence_alignment_tokens": _q_subsequence_alignment,
     }
 
 
