@@ -28,7 +28,7 @@ from ..settings import DTWSettings
 
 INF = float("inf")
 
-_CHOICE_BUDGET = 32 * 1024 * 1024  # bytes of int8 choice matrix per sub-batch
+_CHOICE_BUDGET = 16 * 1024 * 1024  # bytes of int8 choice matrix per sub-batch
 
 
 def _band_width(s_lens: np.ndarray, d_rs: np.ndarray, d_sr: np.ndarray, window: int) -> int:

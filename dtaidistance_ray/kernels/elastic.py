@@ -46,10 +46,16 @@ def _as_f64(s, allow_2d: bool = False) -> np.ndarray:
     return a
 
 
-def _cost_row(v, s2: np.ndarray, inner_dist: str) -> np.ndarray:
+def _cost_row(v, s2: np.ndarray, inner_dist) -> np.ndarray:
     """Point-cost row; v is a scalar (1-D series) or a vector
     (multivariate series, dependent-DTW inner dist sum((x-y)^2) as in
-    reference dtw_ndim.py:43-94 / innerdistance.py:80-93)."""
+    reference dtw_ndim.py:43-94 / innerdistance.py:80-93). Custom
+    inner-dist objects (reference CustomInnerDist surface) are applied
+    per point."""
+    from ..settings import is_custom_inner
+
+    if is_custom_inner(inner_dist):
+        return np.array([inner_dist.inner_dist(v, x) for x in s2])
     if s2.ndim == 2:
         d = s2 - v
         if inner_dist == SQEUCLIDEAN:
@@ -126,9 +132,18 @@ def ub_euclidean(s1, s2, inner_dist: str = SQEUCLIDEAN) -> float:
     Tail of the longer series is compared against the last element of the
     shorter one (reference ed.py:47-80, Silva & Batista SDM'16).
     """
+    from ..settings import is_custom_inner
+
     s1 = _as_f64(s1, allow_2d=True)
     s2 = _as_f64(s2, allow_2d=True)
     n = min(len(s1), len(s2))
+    if is_custom_inner(inner_dist):
+        ub = sum(inner_dist.inner_dist(a, b) for a, b in zip(s1[:n], s2[:n]))
+        if len(s1) > n:
+            ub += sum(inner_dist.inner_dist(a, s2[n - 1]) for a in s1[n:])
+        elif len(s2) > n:
+            ub += sum(inner_dist.inner_dist(s1[n - 1], b) for b in s2[n:])
+        return inner_dist.result(ub)
     if inner_dist == SQEUCLIDEAN:
         d = s1[:n] - s2[:n]
         ub = float((d * d).sum())

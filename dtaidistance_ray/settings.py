@@ -23,15 +23,25 @@ SQEUCLIDEAN = "squared euclidean"
 EUCLIDEAN = "euclidean"
 
 
-def _inner_val(inner_dist: str, x: float) -> float:
+def is_custom_inner(inner_dist) -> bool:
+    """CustomInnerDist-style object: has inner_dist/result/inner_val
+    (reference innerdistance.py:130-163 extension surface)."""
+    return hasattr(inner_dist, "inner_dist") and hasattr(inner_dist, "result")
+
+
+def _inner_val(inner_dist, x: float) -> float:
     """Distance-space -> cost-space (reference innerdistance.py:55-128)."""
+    if is_custom_inner(inner_dist):
+        return inner_dist.inner_val(x)
     if inner_dist == SQEUCLIDEAN:
         return x * x
     return x
 
 
-def _result(inner_dist: str, x):
+def _result(inner_dist, x):
     """Cost-space -> distance-space."""
+    if is_custom_inner(inner_dist):
+        return inner_dist.result(x)
     if inner_dist == SQEUCLIDEAN:
         import numpy as np
 
@@ -62,7 +72,9 @@ class DTWSettings:
     max_length_diff: Optional[int] = None
     penalty: Optional[float] = None
     psi: Union[None, int, Tuple[int, int, int, int]] = None
-    inner_dist: str = SQEUCLIDEAN
+    # 'squared euclidean', 'euclidean', or a CustomInnerDist-style
+    # object with inner_dist/result/inner_val static methods
+    inner_dist: Union[str, object] = SQEUCLIDEAN
 
     # -- cost-space views -------------------------------------------------
     @property
