@@ -158,6 +158,97 @@ def linkage_complete(seqs: List[np.ndarray], settings: Optional[DTWSettings] = N
     return Z
 
 
+class Hooks:
+    """Prototype-choice hooks (reference hierarchical.py:521-546)."""
+
+    @staticmethod
+    def create_weighthook(weights: Dict[int, float], series):
+        def newhook(i1, i2, dist):
+            w1 = weights[i1]
+            w2 = weights[i2]
+            p1 = series[i1]
+            p2 = series[i2]
+            if w1 < w2 or (w1 == w2 and len(p1) > len(p2)):
+                i1, i2 = i2, i1
+            weights[i1] = w1 + w2
+            return i1, i2
+
+        return newhook
+
+    @staticmethod
+    def create_orderhook(weights: Dict[int, float]):
+        def newhook(idxs):
+            min_idx = -1
+            max_weight = -1
+            for r, c in [idxs[ii, :] for ii in range(idxs.shape[0])]:
+                total = weights[r] + weights[c]
+                if total > max_weight:
+                    max_weight = total
+                    min_idx = (r, c)
+            return min_idx
+
+        return newhook
+
+
+class KMedoids:
+    """k-medoids (PAM) on the precomputed DTW distance matrix.
+
+    The reference delegates to the PyClustering package
+    (medoids.py:118-160), which is not available here; this is a
+    self-implemented PAM: assign points to nearest medoid, then for
+    each cluster pick the member minimizing the within-cluster
+    distance sum; iterate to convergence. Deterministic given
+    initial_medoids (or a seed)."""
+
+    def __init__(
+        self,
+        k: Optional[int] = None,
+        initial_medoids: Optional[List[int]] = None,
+        settings: Optional[DTWSettings] = None,
+        max_it: int = 50,
+        seed: int = 0,
+        use_ray: bool = True,
+    ):
+        if k is None and initial_medoids is None:
+            raise AttributeError("Both k and initial_medoids cannot be None")
+        self.k = k if k is not None else len(initial_medoids)
+        self.initial_medoids = initial_medoids
+        self.settings = settings
+        self.max_it = max_it
+        self.seed = seed
+        self.use_ray = use_ray
+        self.cluster_idx: Dict[int, Set[int]] = {}
+
+    def fit(self, seqs: List[np.ndarray]) -> Dict[int, Set[int]]:
+        n = len(seqs)
+        m = _full_triu_matrix(seqs, self.settings, self.use_ray)
+        d = np.where(np.isinf(m), 0.0, m)
+        d = d + d.T
+        if self.initial_medoids is None:
+            rng = np.random.default_rng(self.seed)
+            medoids = sorted(rng.choice(n, size=self.k, replace=False).tolist())
+        else:
+            medoids = list(self.initial_medoids)
+        for _ in range(self.max_it):
+            assign = np.argmin(d[:, medoids], axis=1)
+            new_medoids = []
+            for c in range(self.k):
+                members = np.flatnonzero(assign == c)
+                if len(members) == 0:
+                    new_medoids.append(medoids[c])
+                    continue
+                sub = d[np.ix_(members, members)]
+                new_medoids.append(int(members[np.argmin(sub.sum(axis=1))]))
+            if new_medoids == medoids:
+                break
+            medoids = new_medoids
+        assign = np.argmin(d[:, medoids], axis=1)
+        self.cluster_idx = {
+            medoids[c]: set(np.flatnonzero(assign == c).tolist()) for c in range(self.k)
+        }
+        return self.cluster_idx
+
+
 # ---------------------------------------------------------------------------
 # k-means with DBA update
 # ---------------------------------------------------------------------------

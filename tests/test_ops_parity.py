@@ -178,3 +178,33 @@ class TestClustering:
         clusters = km.fit(seqs)
         groups = sorted(tuple(sorted(v)) for v in clusters.values())
         assert groups == [tuple(range(10)), tuple(range(10, 20))]
+
+
+class TestMedoidsAndHooks:
+    SERIES = TestClustering.SERIES
+
+    def test_kmedoids_groups_duplicates(self, ray_session):
+        from dtaidistance_ray.stages.clustering import KMedoids
+
+        km = KMedoids(k=3, initial_medoids=[0, 1, 2], use_ray=False)
+        clusters = km.fit(self.SERIES)
+        groups = sorted(tuple(sorted(v)) for v in clusters.values())
+        assert groups == [(0, 3), (1, 4), (2, 5)]
+
+    def test_weighthook_parity(self):
+        from dtaidistance_ray.stages.clustering import Hierarchical, Hooks
+        from dtaidistance.clustering.hierarchical import Hooks as RefHooks
+        from dtaidistance.clustering import hierarchical as ref_hier
+
+        series = self.SERIES
+        w1 = {i: 1 for i in range(len(series))}
+        w2 = {i: 1 for i in range(len(series))}
+        ours = Hierarchical(
+            max_dist=2, merge_hook=Hooks.create_weighthook(w1, series), use_ray=False
+        ).fit(series)
+        theirs = ref_hier.Hierarchical(
+            _ref_dists_fun, {}, 2, merge_hook=RefHooks.create_weighthook(w2, series),
+            show_progress=False,
+        ).fit(series)
+        assert ours == theirs
+        assert w1 == w2
