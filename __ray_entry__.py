@@ -372,6 +372,35 @@ def _q_subsequence_alignment(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_local_concurrences(sf_dir: str):
+    """Recurring-pattern mining (LoCo) within token sequences."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.sources.synth import generate_batch
+    from dtaidistance_ray.stages.loco import LocalConcurrences
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(8, dtype=np.int64), spec)
+    rows = []
+    for doc_id, toks in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
+        s = np.asarray(toks, dtype=np.float64)
+        if len(s) < 24:
+            continue
+        lc = LocalConcurrences(s)
+        lc.estimate_settings_from_std(s, tau_std=0.5)
+        for m in lc.kbest_matches(k=2, minlen=3):
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "row": m["row"],
+                    "col": m["col"],
+                    "path_len": len(m["path"]),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def _q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: synthetic media table -> image thumbnail
     features via the actor-pool decode stage (codec stubbed)."""
@@ -434,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         "symbolize_tokens": _q_symbolize_tokens,
         "subsequence_alignment_tokens": _q_subsequence_alignment,
+        "local_concurrences_tokens": _q_local_concurrences,
     }
 
 

@@ -34,30 +34,42 @@ def _add_cents(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
-def rollup_hourly(sf_dir: str):
-    """count/sum/min/max/mean of value per (event_type, hour)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+def _hourly_partial(b: pd.DataFrame) -> pd.DataFrame:
+    return b.groupby(["event_type", "bucket"], as_index=False).agg(
+        n_events=("value", "size"),
+        cents=("value_cents", "sum"),
+        value_min=("value", "min"),
+        value_max=("value", "max"),
+    )
 
+
+def _hourly_partials_df(sf_dir: str) -> pd.DataFrame:
+    """Combiner pattern: per-batch partial aggregates inside map_batches,
+    tiny (#groups x #blocks) partial rows merged on the driver — exact
+    (integer cent sums, min/max). At cluster scale the driver merge
+    becomes a tree of merge tasks; the partial schema is unchanged."""
     ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
     ds = ds.map_batches(_add_hour, batch_format="pyarrow").map_batches(
         _add_cents, batch_format="pandas"
     )
-    out = ds.groupby(["event_type", "bucket"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value_cents", alias_name="cents"),
-        Min("value", alias_name="value_min"),
-        Max("value", alias_name="value_max"),
+    parts = ds.map_batches(_hourly_partial, batch_format="pandas").to_pandas()
+    return parts.groupby(["event_type", "bucket"], as_index=False).agg(
+        n_events=("n_events", "sum"),
+        cents=("cents", "sum"),
+        value_min=("value_min", "min"),
+        value_max=("value_max", "max"),
     )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_events"] = batch["n_events"].astype("int64")
-        batch["value_sum"] = batch["cents"] / 100.0
-        batch["value_mean"] = batch["cents"] / 100.0 / batch["n_events"]
-        return batch[
-            ["event_type", "bucket", "n_events", "value_sum", "value_min", "value_max", "value_mean"]
-        ]
 
-    return out.map_batches(finish, batch_format="pandas")
+def rollup_hourly(sf_dir: str):
+    """count/sum/min/max/mean of value per (event_type, hour)."""
+    out = _hourly_partials_df(sf_dir)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["value_sum"] = out["cents"] / 100.0
+    out["value_mean"] = out["cents"] / 100.0 / out["n_events"]
+    return out[
+        ["event_type", "bucket", "n_events", "value_sum", "value_min", "value_max", "value_mean"]
+    ]
 
 
 ROLLUP_HOURLY_SQL = """
@@ -74,46 +86,18 @@ FROM events GROUP BY 1, 2
 
 def rollup_daily_from_hourly(sf_dir: str):
     """Tier promotion: hourly partials -> daily aggregates (sums of
-    sums, min of mins) — the continuous-aggregate pattern with a
-    combiner-style pre-aggregation inside map_batches before the wide
-    shuffle."""
-    from ray.data.aggregate import Max, Min, Sum
-
-    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
-    ds = ds.map_batches(_add_hour, batch_format="pyarrow").map_batches(
-        _add_cents, batch_format="pandas"
+    sums, min of mins) — the continuous-aggregate pattern."""
+    hourly = _hourly_partials_df(sf_dir)
+    hourly["day"] = hourly["bucket"].dt.floor("D")
+    out = hourly.groupby(["event_type", "day"], as_index=False).agg(
+        n_events=("n_events", "sum"),
+        cents=("cents", "sum"),
+        value_min=("value_min", "min"),
+        value_max=("value_max", "max"),
     )
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby(["event_type", "bucket"], as_index=False).agg(
-            n_events=("value", "size"),
-            cents=("value_cents", "sum"),
-            value_min=("value", "min"),
-            value_max=("value", "max"),
-        )
-
-    hourly = ds.map_batches(partial, batch_format="pandas")
-
-    def to_day(batch: pa.Table) -> pa.Table:
-        return batch.append_column("day", pc.floor_temporal(batch["bucket"], unit="day"))
-
-    daily = (
-        hourly.map_batches(to_day, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("cents", alias_name="cents"),
-            Min("value_min", alias_name="value_min"),
-            Max("value_max", alias_name="value_max"),
-        )
-    )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_events"] = batch["n_events"].astype("int64")
-        batch["value_sum"] = batch["cents"] / 100.0
-        return batch[["event_type", "day", "n_events", "value_sum", "value_min", "value_max"]]
-
-    return daily.map_batches(finish, batch_format="pandas")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["value_sum"] = out["cents"] / 100.0
+    return out[["event_type", "day", "n_events", "value_sum", "value_min", "value_max"]]
 
 
 ROLLUP_DAILY_SQL = """
@@ -206,10 +190,8 @@ FROM ordered GROUP BY user_id
 
 
 def top_users_by_value(sf_dir: str, k: int = 20):
-    """Distributed top-k: per-batch partial aggregation, then global
-    groupby + sort + limit (exact cents ordering, ties by user_id)."""
-    from ray.data.aggregate import Sum
-
+    """Distributed top-k: per-batch partial aggregation, driver merge of
+    the tiny partials, exact cents ordering with user_id tiebreak."""
     ds = read_events(sf_dir, columns=["user_id", "value"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -218,22 +200,14 @@ def top_users_by_value(sf_dir: str, k: int = 20):
             cents=("value_cents", "sum"), n_events=("value", "size")
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events"))
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("user_id", as_index=False).agg(
+        cents=("cents", "sum"), n_events=("n_events", "sum")
     )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["value_sum"] = batch["cents"] / 100.0
-        batch["n_events"] = batch["n_events"].astype("int64")
-        return batch[["user_id", "value_sum", "n_events"]]
-
-    return (
-        agg.map_batches(finish, batch_format="pandas")
-        .sort(["value_sum", "user_id"], descending=[True, False])
-        .limit(k)
-    )
+    agg["value_sum"] = agg["cents"] / 100.0
+    agg["n_events"] = agg["n_events"].astype("int64")
+    agg = agg.sort_values(["value_sum", "user_id"], ascending=[False, True]).head(k)
+    return agg[["user_id", "value_sum", "n_events"]].reset_index(drop=True)
 
 
 TOP_USERS_SQL = """

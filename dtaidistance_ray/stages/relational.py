@@ -40,40 +40,45 @@ def lineitem_pricing_summary(sf_dir: str):
         out["disc_price_c"] = ep_c * (100 - disc_c)  # basis points (1e-4)
         return out
 
-    out = (
-        ds.map_batches(derive, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="qty_c"),
-            Sum("ep_c", alias_name="ep_c"),
-            Sum("disc_price_c", alias_name="disc_price_c"),
-            Sum("disc_c", alias_name="disc_c"),
-            Count(alias_name="count_order"),
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = derive(batch)
+        return batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_c=("qty_c", "sum"),
+            ep_c=("ep_c", "sum"),
+            disc_price_c=("disc_price_c", "sum"),
+            disc_c=("disc_c", "sum"),
+            count_order=("qty_c", "size"),
         )
+
+    # combiner: per-batch partials, driver merge of the handful of
+    # (returnflag, linestatus) partial rows — exact integer sums
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        qty_c=("qty_c", "sum"),
+        ep_c=("ep_c", "sum"),
+        disc_price_c=("disc_price_c", "sum"),
+        disc_c=("disc_c", "sum"),
+        count_order=("count_order", "sum"),
     )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        n = batch["count_order"].astype("int64")
-        batch["sum_qty"] = batch["qty_c"] / 100.0
-        batch["sum_base_price"] = batch["ep_c"] / 100.0
-        batch["sum_disc_price"] = batch["disc_price_c"] / 10000.0
-        batch["avg_qty"] = batch["qty_c"] / 100.0 / n
-        batch["avg_disc"] = batch["disc_c"] / 100.0 / n
-        batch["count_order"] = n
-        return batch[
-            [
-                "l_returnflag",
-                "l_linestatus",
-                "sum_qty",
-                "sum_base_price",
-                "sum_disc_price",
-                "avg_qty",
-                "avg_disc",
-                "count_order",
-            ]
+    n = out["count_order"].astype("int64")
+    out["sum_qty"] = out["qty_c"] / 100.0
+    out["sum_base_price"] = out["ep_c"] / 100.0
+    out["sum_disc_price"] = out["disc_price_c"] / 10000.0
+    out["avg_qty"] = out["qty_c"] / 100.0 / n
+    out["avg_disc"] = out["disc_c"] / 100.0 / n
+    out["count_order"] = n
+    return out[
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "avg_qty",
+            "avg_disc",
+            "count_order",
         ]
-
-    return out.map_batches(finish, batch_format="pandas")
+    ]
 
 
 LINEITEM_PRICING_SQL = """
@@ -132,18 +137,19 @@ def revenue_by_nation(sf_dir: str):
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    out = (
-        li.map_batches(JoinRev, batch_format="pandas", concurrency=2)
-        .groupby("n_name")
-        .aggregate(Sum("revenue_c", alias_name="revenue_c"), Count(alias_name="n_items"))
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = JoinRev()(batch)
+        return batch.groupby("n_name", as_index=False).agg(
+            revenue_c=("revenue_c", "sum"), n_items=("revenue_c", "size")
+        )
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("n_name", as_index=False).agg(
+        revenue_c=("revenue_c", "sum"), n_items=("n_items", "sum")
     )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue"] = batch["revenue_c"] / 10000.0
-        batch["n_items"] = batch["n_items"].astype("int64")
-        return batch[["n_name", "revenue", "n_items"]]
-
-    return out.map_batches(finish, batch_format="pandas")
+    out["revenue"] = out["revenue_c"] / 10000.0
+    out["n_items"] = out["n_items"].astype("int64")
+    return out[["n_name", "revenue", "n_items"]]
 
 
 REVENUE_BY_NATION_SQL = """
