@@ -63,6 +63,9 @@ def run_benchmarks() -> dict:
         lambda b: b, batch_format="pyarrow"
     ).count()
 
+    def consume(res):
+        return res if not hasattr(res, "to_pandas") else res.to_pandas()
+
     queries: dict = {}
 
     t0 = time.perf_counter()
@@ -71,15 +74,15 @@ def run_benchmarks() -> dict:
     queries["flagship_rollup_3tiers"] = round(headline, 3)
 
     t0 = time.perf_counter()
-    events.rollup_hourly(sf_dir).to_pandas()
+    consume(events.rollup_hourly(sf_dir))
     queries["rollup_events_hourly"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    events.sessionize(sf_dir).to_pandas()
+    consume(events.sessionize(sf_dir))
     queries["events_sessionize"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    lineitem_pricing_summary(sf_dir).to_pandas()
+    consume(lineitem_pricing_summary(sf_dir))
     queries["lineitem_pricing_summary"] = round(time.perf_counter() - t0, 3)
 
     result = {
