@@ -1,0 +1,60 @@
+"""CLI entry point — the `ray job submit` surface of the engine.
+
+    ray job submit -- python -m dtaidistance_ray.cli \
+        --sf 0.1 --out /data/rollup_out --num-shards 64
+
+Runs the flagship rollup+downsample+retention pipeline end-to-end with
+checkpointed output (resumable: rerunning skips validated shards).
+Owns its Ray session (guarded init, shutdown at exit) — library code
+never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="dtaidistance_ray flagship rollup")
+    ap.add_argument("--sf", type=float, default=0.01, help="scale factor (rows = sf * 2e6)")
+    ap.add_argument("--rows", type=int, default=None, help="explicit row count (overrides --sf)")
+    ap.add_argument("--input", type=str, default=None, help="read token table parquet instead of synthesizing")
+    ap.add_argument("--out", type=str, default=None, help="checkpointed output dir (omit: dry run)")
+    ap.add_argument("--num-shards", type=int, default=16)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None, help="local ray.init num_cpus (omit: auto)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from dtaidistance_ray.pipelines.flagship import run_flagship
+    from dtaidistance_ray.sources.synth import TokenTableSpec
+
+    spec = (
+        TokenTableSpec(num_rows=args.rows) if args.rows else TokenTableSpec.for_sf(args.sf)
+    )
+    metrics = run_flagship(
+        spec,
+        out_dir=args.out,
+        num_shards=args.num_shards,
+        resume=not args.no_resume,
+        input_path=args.input,
+    )
+    print(json.dumps(metrics, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
