@@ -114,3 +114,27 @@ class TestNdim:
         assert distance(a, b, DTWSettings(use_pruning=True)) == pytest.approx(
             distance(a, b), rel=1e-12
         )
+
+
+class TestNdimPaths:
+    def test_ndim_warping_path_parity(self):
+        # mirror of reference tests/test_dtw2d.py path checks
+        rng = np.random.default_rng(7)
+        for _ in range(5):
+            a = rng.normal(size=(int(rng.integers(5, 15)), 2))
+            b = rng.normal(size=(int(rng.integers(5, 15)), 2))
+            ours = warping_path(a, b)
+            theirs = ref_ndim.warping_path(a, b)
+            assert ours == theirs
+
+    def test_psi_neg_masking_parity(self):
+        from dtaidistance_ray.kernels import warping_paths as our_wp
+
+        x = np.arange(0, 20, 0.5)
+        s1 = np.sin(x)
+        s2 = np.sin(x - 1)
+        d1, m1 = our_wp(s1, s2, DTWSettings(psi=2), psi_neg=True)
+        d2, m2 = ref_dtw.warping_paths(s1, s2, psi=2, psi_neg=True)
+        assert d1 == pytest.approx(d2, abs=1e-12)
+        np.testing.assert_allclose(m1, m2, rtol=1e-9, atol=1e-12)
+        assert (m1 == -1).any()  # psi-masked cells present
