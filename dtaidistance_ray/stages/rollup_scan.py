@@ -135,29 +135,46 @@ def _stats_partial(batch) -> pd.DataFrame:
 def _make_sweep_fn(centers_ref, dtw: DTWSettings):
     """Stateless sweep task: centers fetched from the object store per
     task (local shared-memory read — broadcast once via ray.put, never
-    shipped per batch). Stateless tasks avoid per-round actor-pool
-    startup; the kernel workspace is module-global per worker process,
-    so warm buffers survive across tasks anyway."""
+    shipped per batch).
+
+    Each task emits ONE row whose payload is the task's full partial
+    accumulator vector ALIGNED TO THE BROADCAST CENTER LAYOUT (the
+    (keys, offsets, flat) packing): two binary columns of float64 sums
+    and int64 counts. The driver merge is then a plain np.sum over the
+    task vectors — exact (integer member values) and free of the
+    per-element Python-object conversion that list-typed partial rows
+    would pay in to_pandas (which serialized the whole round)."""
 
     def sweep(batch) -> pd.DataFrame:
+        import time as _time
+
         import ray
 
-        centers = _unpack_centers(ray.get(centers_ref))
+        t0 = _time.perf_counter()
+        packed = ray.get(centers_ref)
+        pkeys, poffsets, pflat = packed
+        centers = _unpack_centers(packed)
         keys, seqs = _batch_arrays(batch)
+        t1 = _time.perf_counter()
         parts = scan_dba_partials(keys, seqs, centers, dtw)
-        rows = []
-        for (src, bucket), (sums, counts) in parts.items():
-            rows.append(
-                {
-                    "source": src,
-                    "bucket": bucket,
-                    "sums": sums.tolist(),
-                    "counts": counts.tolist(),
-                }
-            )
-        if not rows:
-            return pd.DataFrame({"source": [], "bucket": [], "sums": [], "counts": []})
-        return pd.DataFrame(rows)
+        t2 = _time.perf_counter()
+        total = int(poffsets[-1])
+        full_sums = np.zeros(total, dtype=np.float64)
+        full_counts = np.zeros(total, dtype=np.int64)
+        slot = {k: n for n, k in enumerate(pkeys)}
+        for g, (sums, counts) in parts.items():
+            n = slot[g]
+            full_sums[poffsets[n] : poffsets[n + 1]] = sums
+            full_counts[poffsets[n] : poffsets[n + 1]] = counts
+        return pd.DataFrame(
+            {
+                "sums": [full_sums.tobytes()],
+                "counts": [full_counts.tobytes()],
+                "task_kernel_s": [t2 - t1],
+                "task_setup_s": [t1 - t0],
+                "task_members": [len(seqs)],
+            }
+        )
 
     return sweep
 
@@ -249,27 +266,37 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
         if not active:
             break
         _t = _time.perf_counter()
-        centers_ref = ray.put(_pack_centers(active))
-        # num_cpus=2 per sweep task: the batched DP is memory-bandwidth
-        # heavy, so running one task per SMT thread thrashes; half
-        # concurrency per node is faster on hyperthreaded hosts
+        packed = _pack_centers(active)
+        pkeys, poffsets, _pflat = packed
+        centers_ref = ray.put(packed)
         parts = ds.map_batches(
             _make_sweep_fn(centers_ref, cfg.dtw), batch_format="pyarrow",
             num_cpus=_SWEEP_NUM_CPUS,
         ).to_pandas()
         LAST_TIMINGS[f"sweep_round{rnd}"] = round(_time.perf_counter() - _t, 2)
-        acc: Dict[Tuple, Tuple[np.ndarray, np.ndarray]] = {}
-        for row in parts.itertuples(index=False):
-            k = _key_of(row.source, row.bucket)
-            s_ = np.asarray(row.sums, dtype=np.float64)
-            c_ = np.asarray(row.counts, dtype=np.int64)
-            if k in acc:
-                acc[k][0] = acc[k][0] + s_
-                acc[k][1] = acc[k][1] + c_
-            else:
-                acc[k] = [s_, c_]
+        if len(parts):
+            LAST_TIMINGS[f"sweep_round{rnd}_kernel_max"] = round(
+                float(parts["task_kernel_s"].max()), 2
+            )
+            LAST_TIMINGS[f"sweep_round{rnd}_kernel_sum"] = round(
+                float(parts["task_kernel_s"].sum()), 2
+            )
+        # merge: np.sum over the layout-aligned task vectors (exact:
+        # member values are integers)
+        total = int(poffsets[-1])
+        big_sums = np.zeros(total, dtype=np.float64)
+        big_counts = np.zeros(total, dtype=np.int64)
+        for sb, cb in zip(parts["sums"], parts["counts"]):
+            big_sums += np.frombuffer(sb, dtype=np.float64)
+            big_counts += np.frombuffer(cb, dtype=np.int64)
         next_active: Dict = {}
-        for k, (sums, counts) in acc.items():
+        for n, k in enumerate(pkeys):
+            sums = big_sums[poffsets[n] : poffsets[n + 1]]
+            counts = big_counts[poffsets[n] : poffsets[n + 1]]
+            if not counts.any() and not sums.any():
+                # group had no members in this round's fragments (cannot
+                # happen for tier 0's own groups, but keep it safe)
+                continue
             avg = np.zeros_like(sums)
             nz = counts > 0
             avg[nz] = sums[nz] / counts[nz]  # empty bins -> 0.0 (C reference)
