@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from dtaidistance_ray import DTWSettings
-from dtaidistance_ray.kernels import distance, warping_path, warping_paths
+from dtaidistance_ray.kernels import best_path, distance, warping_path, warping_paths
 from dtaidistance_ray.stages.clustering import Hierarchical, HierarchicalTree
 
 
@@ -111,3 +111,65 @@ class TestBugRegressions:
         d, m = warping_paths(s1, s2)
         assert m.shape == (len(s1) + 1, len(s2) + 1)
         assert d == pytest.approx(m[-1, -1])
+
+
+class TestBugCaseMirrors:
+    """Exact-value mirrors of the reference's tests/test_bugs.py cases."""
+
+    S1 = np.array([0.0, 0.01, 0.0, 0.01, 0.0, 0.0, 0.0, 0.01, 0.01, 0.02, 0.0, 0.0])
+    S2 = np.array([0.0, 0.02, 0.02, 0.0, 0.0, 0.01, 0.01, 0.0, 0.0, 0.0, 0.0])
+
+    def test_distance1_a(self):
+        assert distance(self.S1, self.S2, DTWSettings(window=3)) == pytest.approx(0.02)
+
+    def test_distance1_b(self):
+        d1 = distance(self.S1, self.S2)
+        d3, _ = warping_paths(self.S1, self.S2)
+        assert d1 == pytest.approx(0.02)
+        assert d3 == pytest.approx(d1)
+
+    A1 = np.array([0.0, 0.0, 2.0, 1.0, 1.0, 0.0, 0.0])
+    A2 = np.array([0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+
+    def test_distance2_max_dist(self):
+        assert distance(self.A1, self.A2, DTWSettings(max_dist=1.1)) == pytest.approx(1.0)
+        assert distance(self.A1, self.A2, DTWSettings(max_dist=0.1)) == np.inf
+
+    def test_distance2_max_step(self):
+        assert distance(self.A1, self.A2, DTWSettings(max_step=1.1)) == pytest.approx(1.0)
+        assert distance(self.A1, self.A2, DTWSettings(max_step=0.1)) == np.inf
+
+    def test_distance2_plain(self):
+        assert distance(self.A1, self.A2) == pytest.approx(1.0)
+
+    def test_distance3_penalty_maxstep_window(self):
+        s = np.zeros(48)
+        s[13:18] = [0.005, 0.01, 0.015, 0.02, 0.01]
+        p = np.zeros(48)
+        p[12:17] = [0.005, 0.01, 0.015, 0.02, 0.01]
+        ref = pytest.importorskip("dtaidistance.dtw")
+        kw = dict(penalty=0.005, max_step=0.011, window=3)
+        assert distance(s, p, DTWSettings(**kw)) == pytest.approx(ref.distance(s, p, **kw))
+
+    def test_bug5_path(self):
+        # The reference's tests/test_bugs.py:316-343 documents that its
+        # own float rounding breaks the diagonal-priority tie at (1,3)
+        # and yields [(0,1),(1,2),(1,3),(2,4)] instead of the "in
+        # theory" path [(0,2),(1,3),(2,4)]. Our min-plus scan sums the
+        # same costs in a different order and lands on the theoretical
+        # path — the matrices agree to all printed digits; only the
+        # last-ulp tie outcome differs.
+        s1 = np.array([2.1, 4.1, 5.1])
+        s2 = np.array([1.1, 2.1, 3.1, 4.1, 5.1])
+        _, wps = warping_paths(s1, s2, DTWSettings(psi=(0, 0, len(s2), len(s2))))
+        p = best_path(wps)
+        assert p == [(0, 2), (1, 3), (2, 4)]
+        assert p[-1] == (2, 4)
+
+    def test_bug6_psi_tuple(self):
+        s1 = np.array([0.0, 1.0])
+        s2 = np.array([0.0, 0.0])
+        psi = (0, 1, 0, 0)
+        d, _ = warping_paths(s1, s2, DTWSettings(psi=psi))
+        assert d == pytest.approx(0.0)
+        assert distance(s1, s2, DTWSettings(psi=psi)) == pytest.approx(0.0)
