@@ -37,9 +37,13 @@ def dba_partial(
 
     Dispatches to the batched vectorized DP (kernels.dba_batch) when the
     settings allow; results are bit-identical either way."""
-    seqs = list(seqs)
+    # zero-length members have no warping path and contribute nothing
+    # (same exclusion as the scan path, kernels/dba_scan.py)
+    seqs = [s for s in seqs if len(s) > 0]
     from .dba_batch import batch_supported, batched_dba_partial
 
+    if len(c) == 0:
+        return np.zeros(0, dtype=np.float64), np.zeros(0, dtype=np.int64)
     if seqs and batch_supported(settings):
         return batched_dba_partial(seqs, np.asarray(c, dtype=np.float64), settings)
     t = len(c)
@@ -127,6 +131,8 @@ def dba_loop(
     avgs = [] if keep_averages else None
     avg = c
     for _ in range(max_it):
+        if len(c) == 0:
+            break  # empty center: nothing to average into
         avg = dba(seqs, c, settings=settings)
         if keep_averages:
             avgs.append(avg)

@@ -292,14 +292,23 @@ def scan_dba_partials(
     window = s.window if s.window else None
     penalty = s.adj_penalty
 
-    # collect active members with their per-member centers
-    idx = [k for k, g in enumerate(group_keys) if g in centers]
-    if not idx:
-        return {}
+    # collect active members with their per-member centers; zero-length
+    # members have no warping path (contribute nothing) and zero-length
+    # centers have no bins to fill — both would wedge the batched
+    # traceback (an empty member can never step), so they are excluded
+    # up front while their groups still report (empty) accumulators
+    idx = [
+        k
+        for k, g in enumerate(group_keys)
+        if g in centers and len(seqs[k]) > 0 and len(centers[g]) > 0
+    ]
     out: Dict = {}
-    for g in {group_keys[k] for k in idx}:
-        c = centers[g]
-        out[g] = (np.zeros(len(c), dtype=np.float64), np.zeros(len(c), dtype=np.int64))
+    for k, g in enumerate(group_keys):
+        if g in centers and g not in out:
+            c = centers[g]
+            out[g] = (np.zeros(len(c), dtype=np.float64), np.zeros(len(c), dtype=np.int64))
+    if not idx:
+        return out
 
     # size classes by CENTER length only (1.25x ladder): the row-loop
     # count per call is then bounded by the ladder sum (~1.5 * max R)

@@ -19,21 +19,103 @@ def differencing(series: np.ndarray, smooth=None) -> np.ndarray:
     return series
 
 
+def butter2_lowpass(wn: float) -> tuple:
+    """Second-order digital Butterworth low-pass (b, a) for normalized
+    cutoff wn in (0, 1) (fraction of Nyquist) — the standard bilinear-
+    transform closed form; equals scipy.signal.butter(2, wn, 'low').
+    Self-implemented from the textbook design equations (no scipy)."""
+    if not 0.0 < wn < 1.0:
+        raise ValueError(
+            "Cannot construct filter, change the smoothing factor. "
+            f"Requires 0<smooth<0.5 (Wn={wn})"
+        )
+    ita = 1.0 / np.tan(np.pi * wn / 2.0)
+    q = np.sqrt(2.0)
+    b0 = 1.0 / (1.0 + q * ita + ita * ita)
+    b = np.array([b0, 2.0 * b0, b0])
+    a = np.array(
+        [1.0, -2.0 * (ita * ita - 1.0) * b0, (1.0 - q * ita + ita * ita) * b0]
+    )
+    return b, a
+
+
+def _lfilter(b: np.ndarray, a: np.ndarray, x: np.ndarray, zi: np.ndarray) -> np.ndarray:
+    """Direct-form-II-transposed IIR filter with initial state zi
+    (len = order). Sequential by nature; series here are short
+    (per-row token sequences), so the per-sample loop is acceptable."""
+    m = len(a) - 1
+    z = np.array(zi, dtype=np.float64, copy=True)
+    y = np.empty_like(x, dtype=np.float64)
+    for n in range(len(x)):
+        xn = x[n]
+        yn = b[0] * xn + z[0]
+        for k in range(m - 1):
+            z[k] = b[k + 1] * xn + z[k + 1] - a[k + 1] * yn
+        z[m - 1] = b[m] * xn - a[m] * yn
+        y[n] = yn
+    return y
+
+
+def _filtfilt_gust(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Zero-phase forward-backward filtering with Gustafsson's method
+    for the edges (F. Gustafsson, "Determining the initial states in
+    forward-backward filtering", IEEE TSP 44(4), 1996).
+
+    The forward initial state z0f and backward initial state z0b are
+    chosen so the forward-then-backward and backward-then-forward
+    outputs coincide; both outputs are affine in (z0f, z0b), so the
+    least-squares criterion ||y_fb - y_bf||^2 is solved exactly with
+    one lstsq over 2*order unknowns (superposition columns built from
+    the zero-input state responses). Output is the optimum's
+    (y_fb + y_bf)/2 — the same criterion scipy's method='gust' solves,
+    so results agree to numerical precision."""
+    x = np.asarray(x, dtype=np.float64)
+    m = max(len(a), len(b)) - 1
+    n = len(x)
+    zeros = np.zeros(n)
+    z0 = np.zeros(m)
+
+    def F(v, zi):  # forward pass
+        return _lfilter(b, a, v, zi)
+
+    def Bw(v, zi):  # backward pass (reverse, filter, reverse)
+        return _lfilter(b, a, v[::-1], zi)[::-1]
+
+    eye = np.eye(m)
+    # zero-input responses to unit initial states
+    f_zi = np.stack([F(zeros, eye[j]) for j in range(m)], axis=1)  # (n, m)
+    b_zi = np.stack([Bw(zeros, eye[j]) for j in range(m)], axis=1)
+
+    y_f0 = F(x, z0)
+    y_b0 = Bw(x, z0)
+    c_fb = Bw(y_f0, z0)
+    c_bf = F(y_b0, z0)
+    # y_fb = c_fb + [Bw(f_zi_j)] z0f + b_zi z0b
+    # y_bf = c_bf + [F(b_zi_j)] z0b + f_zi z0f
+    A1 = np.stack([Bw(f_zi[:, j], z0) for j in range(m)], axis=1)
+    B1 = np.stack([F(b_zi[:, j], z0) for j in range(m)], axis=1)
+    M = np.hstack([A1 - f_zi, b_zi - B1])  # (n, 2m)
+    rhs = c_bf - c_fb
+    sol, *_ = np.linalg.lstsq(M, rhs, rcond=None)
+    z0f, z0b = sol[:m], sol[m:]
+    y_fb = c_fb + A1 @ z0f + b_zi @ z0b
+    y_bf = c_bf + B1 @ z0b + f_zi @ z0f
+    return 0.5 * (y_fb + y_bf)
+
+
 def smoothing(series: np.ndarray, smooth: float) -> np.ndarray:
-    """Butterworth(N=2) low-pass, Gustafsson edges
-    (preprocessing.py:45-88). Requires scipy."""
-    try:
-        from scipy import signal
-    except ImportError as exc:  # pragma: no cover - scipy absent here
-        raise ImportError(
-            "smoothing requires scipy (not available in this environment); "
-            "pass smooth=None or install scipy"
-        ) from exc
+    """Butterworth(N=2) low-pass with Gustafsson edge handling
+    (reference preprocessing.py:45-88 semantics), self-implemented in
+    NumPy — no scipy dependency. Parity with the reference's own
+    test vector is asserted in tests/test_kernel_parity.py."""
+    series = np.asarray(series, dtype=np.float64)
     fs = 100
     nyq = 0.5 * fs
     wn = fs * smooth / nyq
-    b, a = signal.butter(N=2, Wn=wn, btype="low", analog=False, output="ba")
-    return signal.filtfilt(b, a, series, axis=-1, method="gust")
+    b, a = butter2_lowpass(wn)
+    if series.ndim == 1:
+        return _filtfilt_gust(b, a, series)
+    return np.stack([_filtfilt_gust(b, a, row) for row in series])
 
 
 def derivative(series: np.ndarray, smooth=None) -> np.ndarray:

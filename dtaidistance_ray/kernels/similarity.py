@@ -9,53 +9,65 @@ from __future__ import annotations
 import numpy as np
 
 
+# Similarity transforms, dispatch-table style: per method a default
+# scale, a quantile calibration (choose r so the q-th distance quantile
+# maps to the target similarity), and the elementwise map D -> S. The
+# transform/calibration FORMULAS follow the published semantics of
+# reference similarity.py:7-78; the structure here is our own.
+
+_SIM_METHODS = {
+    "exponential": dict(
+        default=lambda D: np.max(D),
+        calibrate=lambda q, tgt: -q / np.log(tgt),
+        transform=lambda D, r: np.exp(-D / r),
+    ),
+    "gaussian": dict(
+        default=lambda D: np.max(D),
+        calibrate=lambda q, tgt: np.sqrt(-(q**2) / np.log(tgt)),
+        transform=lambda D, r: np.exp(-np.power(D, 2) / r**2),
+    ),
+    "reverse": dict(
+        default=lambda D: np.min(D) + np.max(D),
+        calibrate=None,  # reverse has no quantile calibration
+        transform=lambda D, r: (r - D) / r,
+    ),
+}
+
+
 def distance_to_similarity(D, r=None, a=None, method="exponential", return_params=False,
                            cover_quantile=False):
-    """exponential / gaussian / reciprocal / reverse transforms with the
-    reference's default and quantile-calibrated r (similarity.py:7-78)."""
+    """Distance matrix -> similarity in (0, 1].
+
+    method: 'exponential' | 'gaussian' | 'reciprocal' | 'reverse'.
+    r (and a for reciprocal) override the auto-calibrated scale;
+    cover_quantile = q or (q, target) calibrates the scale so the q-th
+    distance quantile maps to the target similarity (default 1-q)."""
     D = np.asarray(D, dtype=np.float64)
+    q = tgt = None
     if cover_quantile is not False:
         if isinstance(cover_quantile, (tuple, list)):
-            cover_quantile, cover_quantile_target = cover_quantile
+            cq, tgt = cover_quantile
         else:
-            cover_quantile_target = 1 - cover_quantile
-    else:
-        cover_quantile_target = None
+            cq, tgt = cover_quantile, 1 - cover_quantile
+        q = np.quantile(D, cq)
     method = method.lower()
-    if method == "exponential":
-        if r is None:
-            if cover_quantile is False:
-                r = np.max(D)
-            else:
-                r = -np.quantile(D, cover_quantile) / np.log(cover_quantile_target)
-        S = np.exp(-D / r)
-    elif method == "gaussian":
-        if r is None:
-            if cover_quantile is False:
-                r = np.max(D)
-            else:
-                r = np.sqrt(-np.quantile(D, cover_quantile) ** 2 / np.log(cover_quantile_target))
-        S = np.exp(-np.power(D, 2) / r**2)
-    elif method == "reciprocal":
-        if r is None:
-            r = 1
+    if method == "reciprocal":
+        # distinct shape: two parameters (offset r, slope a)
+        r = 1 if r is None else r
         if a is None:
-            if cover_quantile is False:
-                a = 1
-            else:
-                a = (1 - cover_quantile_target * r) / (
-                    cover_quantile_target * np.quantile(D, cover_quantile)
-                )
+            a = 1 if q is None else (1 - tgt * r) / (tgt * q)
         S = 1 / (r + D * a)
-    elif method == "reverse":
-        if r is None:
-            r = np.min(D) + np.max(D)
-        S = (r - D) / r
-    else:
+        return (S, r) if return_params else S
+    spec = _SIM_METHODS.get(method)
+    if spec is None:
         raise ValueError(f"method={method} is not supported")
-    if return_params:
-        return S, r
-    return S
+    if r is None:
+        if q is not None and spec["calibrate"] is not None:
+            r = spec["calibrate"](q, tgt)
+        else:
+            r = spec["default"](D)
+    S = spec["transform"](D, r)
+    return (S, r) if return_params else S
 
 
 def squash(X, r=None, base=None, x0=None, method="logistic", return_params=False,

@@ -45,6 +45,31 @@ def source_shard(source: str, num_shards: int) -> int:
     return zlib.crc32(source.encode()) % num_shards
 
 
+def _parquet_fingerprint(input_path: str) -> str:
+    """Cheap content identity for a parquet input: sorted relative file
+    names + sizes + mtimes, crc32-folded. Distinguishes two different
+    datasets run under the same synth spec without reading the data."""
+    import os
+
+    acc = zlib.crc32(b"pq")
+    n_files = 0
+    if os.path.isdir(input_path):
+        for root, _dirs, files in os.walk(input_path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                rel = os.path.relpath(p, input_path)
+                acc = zlib.crc32(
+                    f"{rel}:{st.st_size}:{int(st.st_mtime)}".encode(), acc
+                )
+                n_files += 1
+    elif os.path.exists(input_path):
+        st = os.stat(input_path)
+        acc = zlib.crc32(f"{st.st_size}:{int(st.st_mtime)}".encode(), acc)
+        n_files = 1
+    return f"parquet:{input_path}:{n_files}:{acc:08x}"
+
+
 def build_tiers(
     ds, spec: TokenTableSpec, cfg: RollupConfig, use_scan: bool = True
 ) -> Dict[int, "object"]:
@@ -98,7 +123,12 @@ def run_flagship(
     scaling levels consume identical bytes."""
     cfg = cfg or RollupConfig()
     t0 = time.perf_counter()
-    input_fp = f"synth:{spec.num_rows}:{spec.seed}:{spec.num_sources}:{spec.vocab}"
+    if input_path is not None:
+        # fingerprint the ACTUAL input so checkpoint-resume cannot skip
+        # shards computed from different data run under the same spec
+        input_fp = _parquet_fingerprint(input_path)
+    else:
+        input_fp = f"synth:{spec.num_rows}:{spec.seed}:{spec.num_sources}:{spec.vocab}"
     shash = cfg.settings_hash()
 
     metrics: dict = {"tiers": {}, "skipped_shards": {}, "num_rows": spec.num_rows}

@@ -50,19 +50,30 @@ class CosineScorer:
 
 def ann_topk(sf_dir: str, k: int = 10):
     """Top-k cosine neighbors of the min-vec_id embedding (deterministic
-    query). Per-batch scoring is a matmul; global top-k via sort+limit
-    on the rounded score (ties broken by vec_id, matching the oracle)."""
+    query). Per-batch scoring is a matmul; the query row comes from a
+    Min aggregate + expression filter (no full sort), and the global
+    top-k sorts only per-block pre-top-k survivors (k rows per block,
+    not the full score table)."""
     import ray
+    from ray.data.aggregate import Min
 
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    qrow = ds.sort("vec_id").limit(1).to_pandas()
-    q = np.asarray(list(qrow["embedding"])[0], dtype=np.float64)[None, :]
+    min_id = ds.aggregate(Min("vec_id"))["min(vec_id)"]
+    qrow = ds.filter(expr=f"vec_id == {int(min_id)}").take(1)
+    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)[None, :]
     qref = ray.put(q)
     scored = ds.map_batches(
         CosineScorer, fn_constructor_kwargs={"query_ref": qref},
         batch_format="pandas", concurrency=2,
     ).drop_columns(["query_id"])
-    return scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+    def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    survivors = scored.map_batches(pre_topk, batch_format="pandas")
+    return survivors.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
 ANN_TOPK_SQL = """
@@ -128,15 +139,18 @@ def znormal_embeddings(sf_dir: str):
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
 
     def zn(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for vec_id, e in zip(batch["vec_id"], batch["embedding"]):
-            v = np.asarray(e, dtype=np.float64)
-            mu = v.mean()
-            sd = v.std()
-            z = (v - mu) / sd if sd > 0 else v - mu
-            for pos in range(len(v)):
-                out.append((int(vec_id), pos + 1, round(z[pos], 6)))
-        return pd.DataFrame(out, columns=["vec_id", "pos", "zval"])
+        m = _stack(batch["embedding"])  # (n, dim)
+        mu = m.mean(axis=1, keepdims=True)
+        sd = m.std(axis=1, keepdims=True)
+        z = np.where(sd > 0, (m - mu) / np.where(sd > 0, sd, 1.0), m - mu)
+        n, dim = m.shape
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(batch["vec_id"].to_numpy().astype(np.int64), dim),
+                "pos": np.tile(np.arange(1, dim + 1, dtype=np.int64), n),
+                "zval": np.round(z, 6).ravel(),
+            }
+        )
 
     return ds.map_batches(zn, batch_format="pandas")
 
@@ -170,7 +184,7 @@ class LshBucketer:
         m = _stack(batch["embedding"])
         bits = (m @ self.planes) > 0
         sig = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
-        out = batch[["vec_id"]].copy()
+        out = batch.copy()
         out["bucket"] = sig
         return out
 
@@ -178,18 +192,12 @@ class LshBucketer:
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35, nbits: int = 4):
     """LSH-bucketed near-duplicate mining: bucket groupby -> in-bucket
     exact cosine -> pairs above threshold. The bucket groupby keeps the
-    candidate set linear-ish instead of the full n^2 cross join."""
-    import ray
-
+    candidate set linear-ish instead of the full n^2 cross join, and the
+    embedding column travels WITH its row through the shuffle — no
+    driver materialization, no broadcast lookup table."""
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    first = ds.limit(1).to_pandas()
-    dim = len(np.asarray(list(first["embedding"])[0]))
-    emb_df = ds.to_pandas()
-    lookup = {
-        int(v): np.asarray(e, dtype=np.float64)
-        for v, e in zip(emb_df["vec_id"], emb_df["embedding"])
-    }
-    lookup_ref = ray.put(lookup)
+    first = ds.limit(1).take(1)
+    dim = len(np.asarray(first[0]["embedding"]))
 
     buckets = ds.map_batches(
         LshBucketer, fn_constructor_kwargs={"dim": dim, "nbits": nbits},
@@ -197,19 +205,23 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35, nbits: int = 
     )
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # lookup comes from the object store (zero-copy local fetch)
-        table = ray.get(lookup_ref)
-        ids = sorted(int(v) for v in g["vec_id"])
-        rows = []
-        if len(ids) > 1:
-            m = np.stack([table[i] for i in ids])
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ m.T
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    s = round(float(sims[i, j]), 6)
-                    if s >= threshold:
-                        rows.append((ids[i], ids[j], s))
-        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        order = np.argsort(g["vec_id"].to_numpy().astype(np.int64), kind="stable")
+        ids = g["vec_id"].to_numpy().astype(np.int64)[order]
+        m = _stack(g["embedding"].to_numpy()[order])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 6)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos_sim": sims[ia, ib][keep]}
+        )
 
     return buckets.groupby("bucket").map_groups(score_bucket, batch_format="pandas")

@@ -39,6 +39,19 @@ def _full_triu_matrix(seqs, settings: Optional[DTWSettings], use_ray: bool = Tru
     return m
 
 
+def _symmetrize_triu(m: np.ndarray) -> np.ndarray:
+    """Full symmetric matrix from the computed upper triangle: only the
+    never-computed lower-triangle/diagonal cells become 0; a GENUINE
+    +inf distance computed in the triangle (possible under max_dist /
+    max_step / max_length_diff settings) is preserved on both sides —
+    the most dissimilar pairs must not collapse to 0."""
+    iu = np.triu_indices(len(m), k=1)
+    d = np.zeros_like(m)
+    d[iu] = m[iu]
+    d.T[iu] = m[iu]
+    return d
+
+
 class Hierarchical:
     """Prototype-merge hierarchical clustering, reference semantics:
     repeatedly merge the global argmin pair (i1 <- i2), inf out i2,
@@ -60,38 +73,41 @@ class Hierarchical:
         self.use_ray = use_ray
 
     def fit(self, seqs: List[np.ndarray]) -> Dict[int, Set[int]]:
-        nb = len(seqs)
-        dists = _full_triu_matrix(seqs, self.settings, self.use_ray)
-        cluster_idx: Dict[int, Set[int]] = {}
-        deleted: Set[int] = set()
-        min_value = np.min(dists)
-        min_idxs = np.argwhere(dists == min_value)
-        min_idx = self.order_hook(min_idxs) if self.order_hook else min_idxs[0, :]
-        while min_value <= self.max_dist and not np.isinf(min_value):
-            i1, i2 = int(min_idx[0]), int(min_idx[1])
+        n = len(seqs)
+        pair_d = _full_triu_matrix(seqs, self.settings, self.use_ray)
+        members: Dict[int, Set[int]] = {}  # prototype -> absorbed set
+        merged_away: Set[int] = set()
+
+        def best_cell():
+            """(value, (keep, absorb)) of the smallest remaining pair —
+            row-major first among exact ties, unless an order hook
+            picks among them."""
+            v = np.min(pair_d)
+            ties = np.argwhere(pair_d == v)
+            pick = self.order_hook(ties) if self.order_hook else ties[0, :]
+            return v, pick
+
+        v, pick = best_cell()
+        while v <= self.max_dist and not np.isinf(v):
+            keep, absorb = int(pick[0]), int(pick[1])
             if self.merge_hook:
-                result = self.merge_hook(i2, i1, min_value)
-                if result:
-                    i1, i2 = result
-            if i1 not in cluster_idx:
-                cluster_idx[i1] = {i1}
-            if i2 in cluster_idx:
-                cluster_idx[i1].update(cluster_idx[i2])
-                del cluster_idx[i2]
-            else:
-                cluster_idx[i1].add(i2)
-            dists[:i2, i2] = np.inf
-            dists[i2, i2 + 1 :] = np.inf
-            deleted.add(i2)
-            if len(deleted) == nb - 1:
+                swapped = self.merge_hook(absorb, keep, v)
+                if swapped:
+                    keep, absorb = swapped
+            # absorb's whole cluster folds into keep's; absorb leaves
+            # the candidate matrix (its row/column go to +inf) and the
+            # surviving prototype's distances are NOT recomputed
+            members.setdefault(keep, {keep}).update(members.pop(absorb, {absorb}))
+            pair_d[:absorb, absorb] = np.inf
+            pair_d[absorb, absorb + 1 :] = np.inf
+            merged_away.add(absorb)
+            if len(merged_away) == n - 1:
                 break
-            min_value = np.min(dists)
-            min_idxs = np.argwhere(dists == min_value)
-            min_idx = self.order_hook(min_idxs) if self.order_hook else min_idxs[0, :]
-        for i in range(nb):
-            if i not in deleted and i not in cluster_idx:
-                cluster_idx[i] = {i}
-        return cluster_idx
+            v, pick = best_cell()
+        for i in range(n):
+            if i not in merged_away and i not in members:
+                members[i] = {i}
+        return members
 
 
 class HierarchicalTree:
@@ -131,8 +147,7 @@ def linkage_complete(seqs: List[np.ndarray], settings: Optional[DTWSettings] = N
     merged pair ids sorted ascending, new cluster id n + step."""
     n = len(seqs)
     m = _full_triu_matrix(seqs, settings, use_ray)
-    d = np.where(np.isinf(m), 0.0, m)
-    d = d + d.T  # symmetric, 0 diag
+    d = _symmetrize_triu(m)  # symmetric, 0 diag; computed inf preserved
     active = {i: (i, 1) for i in range(n)}  # pos -> (cluster id, count)
     cur = d.copy()
     np.fill_diagonal(cur, np.inf)
@@ -222,8 +237,7 @@ class KMedoids:
     def fit(self, seqs: List[np.ndarray]) -> Dict[int, Set[int]]:
         n = len(seqs)
         m = _full_triu_matrix(seqs, self.settings, self.use_ray)
-        d = np.where(np.isinf(m), 0.0, m)
-        d = d + d.T
+        d = _symmetrize_triu(m)
         if self.initial_medoids is None:
             rng = np.random.default_rng(self.seed)
             medoids = sorted(rng.choice(n, size=self.k, replace=False).tolist())

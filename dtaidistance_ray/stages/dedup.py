@@ -3,66 +3,122 @@
 MinHash+LSH, SimHash, and n-gram Jaccard verification — the standard
 large-scale training-data dedup stack, expressed Ray-Data-first:
 
-  shingle+minhash per batch (vectorized, one pass)
-    -> explode to (band_id, band_hash, doc_id) rows
-    -> groupby band bucket -> candidate pairs
-    -> verify exact n-gram Jaccard per pair
+  shingle-hash per batch (vectorized rolling hash, one pass)
+    -> minhash signatures (uint64 multiply-shift, no Python bignums)
+    -> explode to (band, band_hash, doc_id) rows
+    -> count-aggregate hot buckets (vectorized; no per-singleton
+       Python group calls) -> candidate pairs from hot buckets only
+    -> exact shingle-set Jaccard per pair via a co-partitioned
+       groupby join on stored sketches (the corpus is NEVER
+       materialized on the driver and no stage holds all texts)
     -> survivors = pairs above threshold
 
-Deterministic (fixed hash seeds); SQL oracles are provided for the
-pair-verification outputs where expressible, the sketch stages are
-rows-only checks.
+Deterministic (fixed hash seeds). Shingle identity is the 64-bit
+rolling hash of the k-byte window of the normalized text; Jaccard is
+computed on the hashed shingle *sets*, which equals string-set Jaccard
+up to 64-bit collisions (~n^2/2^64, negligible).
+
+Scale notes (100 TB):
+  - signatures / sketches are map-only streams;
+  - the LSH groupby shuffles only (doc_id, band, band_hash) rows;
+  - hot buckets + candidate pairs are collision-sized (<< corpus) —
+    the only driver-held state is the hot-bucket key set;
+  - verification joins shingle sketches to pairs by doc id via
+    union+groupby (each sketch travels once, keyed) — no broadcast
+    of texts, no full-table reads.
 """
 
 from __future__ import annotations
 
-import hashlib
-import re
 from typing import List
 
 import numpy as np
 import pandas as pd
 
-_MERSENNE = (1 << 61) - 1
+_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for the rolling hash
 
 
-def _shingles(text: str, k: int = 5) -> set:
-    t = re.sub(r"\s+", " ", text.lower()).strip()
-    if len(t) < k:
-        return {t} if t else set()
-    return {t[i : i + k] for i in range(len(t) - k + 1)}
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    sh = _shingles(text, k)
-    if not sh:
-        return np.zeros(1, dtype=np.uint64)
-    out = np.empty(len(sh), dtype=np.uint64)
-    for i, s in enumerate(sh):
-        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-    return out
+def _normalize(text: str) -> bytes:
+    # collapse whitespace, lowercase — same canonical form on every path
+    return " ".join(text.lower().split()).encode("utf-8")
+
+
+def shingle_hash_array(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique uint64 hashes of the k-byte shingles of the
+    normalized text (vectorized: sliding windows + Horner over k
+    columns + splitmix finalizer; no per-shingle Python)."""
+    t = _normalize(text)
+    if not t:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(t, dtype=np.uint8)
+    if len(b) < k:
+        w = b[None, :]
+    else:
+        w = np.lib.stride_tricks.sliding_window_view(b, k)
+    h = np.zeros(len(w), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(w.shape[1]):
+            h = h * _B + w[:, j].astype(np.uint64)
+    return np.unique(_splitmix(h))
+
+
+class ShingleSketcher:
+    """(doc_id, shingles) sketch rows; shingles stored as int64 views of
+    the sorted uint64 hash sets (Arrow has no uint64 list comfort)."""
+
+    def __init__(self, k: int = 5):
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].copy()
+        out["shingles"] = [
+            shingle_hash_array(t, self.k).view(np.int64) for t in batch["text"]
+        ]
+        return out
+
+
+def document_sketches(sf_dir: str, k: int = 5):
+    from .text import read_documents
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        ShingleSketcher, fn_constructor_kwargs={"k": k},
+        batch_format="pandas", concurrency=2,
+    )
 
 
 class MinHasher:
-    """num_perm universal-hash minhash signatures; state (the a/b
-    coefficient vectors) built once per actor."""
+    """num_perm multiply-shift minhash signatures over shingle hashes —
+    pure uint64 vector math (a_i odd, wraparound multiply), coefficient
+    vectors built once per actor."""
 
     def __init__(self, num_perm: int = 64, seed: int = 1234, k: int = 5):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k).astype(object)  # python ints: 61-bit mul
-        vals = (h[:, None] * self.a.astype(object) + self.b.astype(object)) % _MERSENNE
-        return vals.min(axis=0).astype(np.uint64)
+        h = shingle_hash_array(text, self.k)
+        if not len(h):
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            vals = h[:, None] * self.a[None, :] + self.b[None, :]
+        return vals.min(axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in batch["text"]]
         out = batch[["doc_id"]].copy()
-        out["minhash"] = [s.astype(np.int64) for s in sigs]
+        out["minhash"] = [self.signature(t).view(np.int64) for t in batch["text"]]
         return out
 
 
@@ -76,104 +132,255 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64):
     )
 
 
-def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
-    """LSH banding: explode signatures to (band, band_hash) keys, group,
-    emit candidate pairs per bucket (i < j)."""
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(sf_dir, num_perm)
+def _explode_bands(bands: int, rows_per_band: int):
+    """Signature rows -> (doc_id, band, band_hash) rows, vectorized:
+    fold each band's slice with the same Horner+finalize used for
+    shingles (one uint64 matrix pass per batch)."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        recs = []
-        for doc_id, sig in zip(batch["doc_id"], batch["minhash"]):
-            sig = np.asarray(sig)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                recs.append((int(doc_id), b, bh))
-        return pd.DataFrame(recs, columns=["doc_id", "band", "band_hash"])
+        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in batch["minhash"]])
+        sigs = sigs.view(np.uint64).reshape(len(batch), bands, rows_per_band)
+        h = np.zeros((len(batch), bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(rows_per_band):
+                h = h * _B + sigs[:, :, j]
+        h = _splitmix(h)
+        doc = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), bands)
+        band = np.tile(np.arange(bands, dtype=np.int64), len(batch))
+        return pd.DataFrame(
+            {"doc_id": doc, "band": band, "band_hash": h.reshape(-1).view(np.int64)}
+        )
 
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    return explode
+
+
+def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
+    """LSH banding: explode signatures to (band, band_hash) keys, find
+    buckets with >=2 docs via a vectorized count aggregate, emit
+    candidate pairs only from those hot buckets (i < j), distinct.
+
+    Singleton buckets (the overwhelming majority) never reach a
+    per-group Python call: the count aggregate is the vectorized
+    shuffle, the hot-bucket key set is collision-sized and broadcast."""
+    import ray
+    from ray.data.aggregate import Count
+
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(sf_dir, num_perm)
+    exploded = sigs.map_batches(_explode_bands(bands, rows_per_band), batch_format="pandas")
+
+    counts = exploded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n >= 2").select_columns(["band", "band_hash"]).to_pandas()
+    hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype(int)))
+    hot_ref = ray.put(hot_keys)
+
+    class HotFilter:
+        def __init__(self):
+            self.keys = ray.get(hot_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mask = [
+                (int(b), int(h)) in self.keys
+                for b, h in zip(batch["band"], batch["band_hash"])
+            ]
+            return batch[np.asarray(mask, dtype=bool)]
+
+    survivors = exploded.map_batches(HotFilter, batch_format="pandas", concurrency=2)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(d) for d in g["doc_id"]))
+        ids = np.unique(g["doc_id"].to_numpy().astype(np.int64))
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # dedupe candidate pairs produced by multiple bands
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    cand = survivors.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # distinct pairs produced by multiple bands — vectorized aggregate,
+    # not a per-pair map_groups
+    from ray.data.aggregate import Count as _C
+
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(_C(alias_name="_n"))
+        .drop_columns(["_n"])
     )
 
 
-class JaccardVerifier:
-    """Exact k-shingle Jaccard for candidate pairs; texts fetched from a
-    broadcast doc_id -> text lookup (small side via ray.put)."""
+def verify_pairs_jaccard(pairs_ds, sketches_ds, cand_ids: set):
+    """Exact shingle-set Jaccard per candidate pair with NO driver-held
+    texts: sketches of candidate docs are joined to pair rows by doc id
+    via union + groupby (each sketch travels once, keyed), then the two
+    sides meet in a per-pair group.
 
-    def __init__(self, docs_ref, k: int = 5):
-        import ray
+    cand_ids bounds the sketch stream to candidate docs (collision-
+    sized); the filter itself is a streaming map over the sketch
+    dataset."""
+    import ray
+    import ray.data as rd
 
-        self.docs = ray.get(docs_ref)
-        self.k = k
+    ids_ref = ray.put(cand_ids)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sims = []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            sa = _shingles(self.docs[int(a)], self.k)
-            sb = _shingles(self.docs[int(b)], self.k)
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            sims.append(round(inter / union, 6) if union else 0.0)
-        batch["jaccard"] = sims
-        return batch
+    class IdFilter:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mask = np.asarray([int(d) in self.ids for d in batch["doc_id"]], dtype=bool)
+            return batch[mask]
+
+    sk = sketches_ds.map_batches(IdFilter, batch_format="pandas", concurrency=2)
+
+    # side rows: each pair contributes (key=doc_a, pair payload) and
+    # (key=doc_b, ...); each sketch contributes (key=doc_id, shingles)
+    def pair_sides(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy().astype(np.int64)
+        b = batch["doc_b"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([a, b]),
+                "doc_a": np.concatenate([a, a]),
+                "doc_b": np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(len(a), np.int64), np.ones(len(b), np.int64)]
+                ),
+                "shingles": [np.zeros(0, dtype=np.int64)] * (2 * len(a)),
+            }
+        )
+
+    def sketch_side(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["doc_id"].to_numpy().astype(np.int64),
+                "doc_a": np.int64(-1),
+                "doc_b": np.int64(-1),
+                "side": np.int64(-1),
+                "shingles": list(batch["shingles"]),
+            }
+        )
+
+    unioned = pairs_ds.map_batches(pair_sides, batch_format="pandas").union(
+        sk.map_batches(sketch_side, batch_format="pandas")
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_sketch = g["side"].to_numpy() == -1
+        if not is_sketch.any():
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "side": pd.Series(dtype="int64"),
+                    "shingles": pd.Series(dtype="object"),
+                }
+            )
+        sh = g["shingles"].to_numpy()[is_sketch][0]
+        p = g[~is_sketch]
+        return pd.DataFrame(
+            {
+                "doc_a": p["doc_a"].to_numpy(),
+                "doc_b": p["doc_b"].to_numpy(),
+                "side": p["side"].to_numpy(),
+                "shingles": [sh] * len(p),
+            }
+        )
+
+    sided = unioned.groupby("key").map_groups(attach, batch_format="pandas")
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        srt = g.sort_values("side")
+        sa = np.asarray(srt["shingles"].iloc[0], dtype=np.int64)
+        sb = np.asarray(srt["shingles"].iloc[1], dtype=np.int64)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        jac = round(inter / union, 6) if union else 0.0
+        return pd.DataFrame(
+            {
+                "doc_a": [int(srt["doc_a"].iloc[0])],
+                "doc_b": [int(srt["doc_b"].iloc[0])],
+                "jaccard": [jac],
+            }
+        )
+
+    return sided.groupby(["doc_a", "doc_b"]).map_groups(score, batch_format="pandas")
 
 
 def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.6):
-    """Full MinHash-LSH dedup: candidates -> exact Jaccard -> threshold."""
-    import ray
-
-    from .text import read_documents
-
-    docs_df = read_documents(sf_dir, columns=["doc_id", "text"]).to_pandas()
-    docs_ref = ray.put(dict(zip(docs_df["doc_id"].astype(int), docs_df["text"])))
+    """Full MinHash-LSH dedup: candidates -> exact shingle Jaccard ->
+    threshold. No stage materializes the corpus; the only driver-side
+    state is the (collision-sized) candidate pair list."""
     cand = minhash_lsh_candidates(sf_dir)
-    verified = cand.map_batches(
-        JaccardVerifier, fn_constructor_kwargs={"docs_ref": docs_ref},
-        batch_format="pandas", concurrency=2,
-    )
-    return verified.filter(lambda r: r["jaccard"] >= threshold)
+    cand_df = cand.to_pandas()  # collision-sized, not corpus-sized
+    if not len(cand_df):
+        return cand_df.assign(jaccard=pd.Series(dtype="float64"))
+    cand_ids = set(cand_df["doc_a"].astype(int)) | set(cand_df["doc_b"].astype(int))
+    import ray.data as rd
+
+    pairs_ds = rd.from_pandas(cand_df)
+    verified = verify_pairs_jaccard(pairs_ds, document_sketches(sf_dir), cand_ids)
+    return verified.filter(expr=f"jaccard >= {threshold}")
 
 
 class SimHasher:
-    """64-bit SimHash over word unigrams (hash-weighted majority)."""
+    """64-bit SimHash over word unigrams (hash-weighted majority).
+
+    Vectorized: the batch's words are factorized, each UNIQUE word is
+    hashed once (with a per-actor cache across batches — Zipf vocab
+    means high hit rates), sign-bit rows are gathered and folded per
+    document with one reduceat."""
 
     def __init__(self):
-        self.word = re.compile(r"\w+")
+        import re
 
-    def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in self.word.findall(text.lower()):
-            h = np.uint64(
-                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            )
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
-        return v
+        self.word = re.compile(r"\w+")
+        self.cache: dict = {}
+        self.shifts = np.arange(64, dtype=np.uint64)
+
+    def _word_hash(self, w: str) -> int:
+        h = self.cache.get(w)
+        if h is None:
+            import hashlib
+
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            self.cache[w] = h
+        return h
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words_per_doc = [self.word.findall(t.lower()) for t in batch["text"]]
+        lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        all_words = [w for ws in words_per_doc for w in ws]
+        vals = np.zeros(len(batch), dtype=np.int64)
+        if all_words:
+            codes, uniques = pd.factorize(np.asarray(all_words, dtype=object))
+            uh = np.array([self._word_hash(w) for w in uniques], dtype=np.uint64)
+            signs = (
+                ((uh[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(np.int8)
+                * 2
+                - 1
+            ).astype(np.int32)
+            per_word = signs[codes]  # (n_words, 64)
+            offs = np.zeros(len(batch) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            acc = np.zeros((len(batch), 64), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                acc[nz] = np.add.reduceat(per_word, offs[:-1][nz], axis=0)[: nz.sum()]
+                # reduceat over only-nonempty starts: consecutive starts
+                # delimit exactly one doc's words (empty docs add none)
+            bits = (acc > 0).astype(np.uint64)
+            v = (bits << self.shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            vals = v.view(np.int64)
         out = batch[["doc_id"]].copy()
-        vals = []
-        for t in batch["text"]:
-            v = self.simhash(t)
-            vals.append(v - (1 << 64) if v >= (1 << 63) else v)  # int64 wrap
-        out["simhash"] = pd.array(vals, dtype="int64")
+        out["simhash"] = vals
         return out
 
 
@@ -186,22 +393,21 @@ def simhash_signatures(sf_dir: str):
 
 def ngram_jaccard_pairs(sf_dir: str, sample_ids: List[int] | None = None, k: int = 5):
     """Exact all-pairs n-gram Jaccard over a bounded id sample (the
-    brute-force oracle for the LSH path)."""
-    import ray
+    brute-force oracle for the LSH path); same sketch-join verification
+    machinery — the corpus never lands on the driver."""
     import ray.data as rd
 
-    from .text import read_documents
-
-    docs_df = read_documents(sf_dir, columns=["doc_id", "text"]).to_pandas()
     if sample_ids is None:
-        sample_ids = sorted(docs_df["doc_id"].astype(int))[:100]
-    docs_ref = ray.put(
-        dict(zip(docs_df["doc_id"].astype(int), docs_df["text"]))
-    )
-    ids = sorted(sample_ids)
-    pair_rows = [{"doc_a": a, "doc_b": b} for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    pairs = rd.from_items(pair_rows)
-    return pairs.map_batches(
-        JaccardVerifier, fn_constructor_kwargs={"docs_ref": docs_ref, "k": k},
-        batch_format="pandas", concurrency=2,
-    )
+        from .text import read_documents
+
+        ids_ds = read_documents(sf_dir, columns=["doc_id"])
+        # bounded: smallest 100 ids via per-block pre-top-k then global
+        lows = ids_ds.map_batches(
+            lambda b: b.nsmallest(100, "doc_id"), batch_format="pandas"
+        ).to_pandas()
+        sample_ids = sorted(lows["doc_id"].astype(int).nsmallest(100))
+    ids = sorted(int(i) for i in sample_ids)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    arr = np.asarray(ids, dtype=np.int64)
+    pairs = rd.from_pandas(pd.DataFrame({"doc_a": arr[ia], "doc_b": arr[ib]}))
+    return verify_pairs_jaccard(pairs, document_sketches(sf_dir, k), set(ids))

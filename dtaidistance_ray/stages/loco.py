@@ -49,27 +49,50 @@ def loco_warping_paths(
     steps = STEPS[steps_type]
     if window is None or window == 0:
         window = max(r, c)
-    penalties = [penalty if sr != sc else 0 for sr, sc in steps]
-    steps_rows, steps_cols = zip(*steps)
-    inf_rows = max(steps_rows)
-    inf_cols = max(steps_cols)
-    wps = np.full((r + inf_rows, c + inf_cols), -INF)
-    wps[0:inf_rows, 0:inf_cols] = 0
+    penalties = np.array([penalty if sr != sc else 0.0 for sr, sc in steps])
+    pad_r = max(sr for sr, _ in steps)
+    pad_c = max(sc for _, sc in steps)
+    # padded score grid: top/left margin holds the 0 boundary, the rest
+    # starts at -inf so out-of-band predecessors never win a max
+    wps = np.full((r + pad_r, c + pad_c), -INF)
+    wps[:pad_r, :pad_c] = 0
+    # every step of the default ladder reaches at least one row back,
+    # so each row's band depends only on finished rows and the whole
+    # band computes as one vector op; a step set with an in-row move
+    # (TypeI's (0,1)) creates a left-to-right chain instead and takes
+    # the sequential path
+    rows_independent = all(sr >= 1 for sr, _ in steps)
+    shift = max(0, r - c)
+    grow = max(0, c - r)
     for i in range(r):
-        j_start = max(0, i - max(0, r - c) - window + 1)
+        lo = max(0, i - shift - window + 1)
         if only_triu:
-            j_start = max(i, j_start)
-        j_end = min(c, i + max(0, c - r) + window)
-        for j in range(j_start, j_end):
-            d = math.exp(-gamma * (s1[i] - s2[j]) ** 2)
-            prev = max(
-                wps[i + inf_rows - sr, j + inf_cols - sc] - p
-                for (sr, sc), p in zip(steps, penalties)
-            )
-            if d < tau:
-                wps[i + inf_rows, j + inf_cols] = max(0, delta + delta_factor * prev)
-            else:
-                wps[i + inf_rows, j + inf_cols] = max(0, d + prev)
+            lo = max(i, lo)
+        hi = min(c, i + grow + window)
+        if lo >= hi:
+            continue
+        if rows_independent:
+            js = np.arange(lo, hi)
+            aff = np.exp(-gamma * (s1[i] - s2[js]) ** 2)
+            best_prev = np.full(hi - lo, -INF)
+            for (sr, sc), p in zip(steps, penalties):
+                np.maximum(
+                    best_prev, wps[i + pad_r - sr, js + pad_c - sc] - p, out=best_prev
+                )
+            scored = np.where(aff < tau, delta + delta_factor * best_prev, aff + best_prev)
+            wps[i + pad_r, js + pad_c] = np.maximum(0.0, scored)
+        else:
+            for j in range(lo, hi):
+                aff = math.exp(-gamma * (s1[i] - s2[j]) ** 2)
+                best_prev = max(
+                    wps[i + pad_r - sr, j + pad_c - sc] - p
+                    for (sr, sc), p in zip(steps, penalties)
+                )
+                if aff < tau:
+                    cell = delta + delta_factor * best_prev
+                else:
+                    cell = aff + best_prev
+                wps[i + pad_r, j + pad_c] = max(0.0, cell)
     return 0.0, wps
 
 

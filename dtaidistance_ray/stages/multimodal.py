@@ -118,7 +118,7 @@ class SampleFrames:
 def decode_images(ds, thumb: int = 8, concurrency=2, batch_size: int = 32):
     """image rows -> thumbnail feature vectors (actor pool, small
     batches because payload rows are large)."""
-    return ds.filter(lambda r: r["media_type"] == "image").map_batches(
+    return ds.filter(expr="media_type == 'image'").map_batches(
         DecodeImage,
         fn_constructor_kwargs={"thumb": thumb},
         batch_format="pandas",
@@ -129,7 +129,7 @@ def decode_images(ds, thumb: int = 8, concurrency=2, batch_size: int = 32):
 
 
 def sample_video_frames(ds, every_ms: int = 5000, concurrency=2):
-    return ds.filter(lambda r: r["media_type"] == "video").map_batches(
+    return ds.filter(expr="media_type == 'video'").map_batches(
         SampleFrames,
         fn_constructor_kwargs={"every_ms": every_ms},
         batch_format="pandas",

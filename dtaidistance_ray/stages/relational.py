@@ -97,53 +97,83 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def revenue_by_nation(sf_dir: str):
     """Revenue per customer nation: lineitem->orders->customer->nation.
 
-    The dimension chain (customer x nation) is small: broadcast it as a
-    dict via ray.put and map orders->nation inside map_batches; the only
-    shuffle is the final tiny groupby. orders->lineitem is the large
-    side and is joined by broadcast of the orderkey->nation map when it
-    fits (documented cutoff; at 100 TB this becomes the bucketed
-    hash-join pattern on l_orderkey)."""
+    The lineitem->orders join (both sides large at scale) is a
+    partitioned hash join on l_orderkey (``Dataset.join`` — hash
+    shuffle, both sides co-partitioned; nothing is materialized on the
+    driver). The customer x nation dimension chain is genuinely small
+    relative to orders (25 nations; customer is ~1/10 of orders rows
+    and 2 int columns), so it rides along as a broadcast keyed Series
+    fetched once per actor — documented cutoff: if customer outgrows
+    worker heap, it joins the same way orders does."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_nation = dict(
-        zip(
-            cust["c_custkey"].astype(int),
-            cust["c_nationkey"].map(dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))),
-        )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_by_cust = pd.Series(
+        cust["c_nationkey"]
+        .map(pd.Series(nation["n_name"].to_numpy(), index=nation["n_nationkey"].to_numpy()))
+        .to_numpy(),
+        index=cust["c_custkey"].to_numpy(),
     )
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]).to_pandas()
-    order_nation = {
-        int(ok): cust_nation.get(int(ck)) for ok, ck in zip(orders["o_orderkey"], orders["o_custkey"])
-    }
-    ref = ray.put(order_nation)
+    cust_ref = ray.put(nat_by_cust)
 
-    class JoinRev:
+    class OrderNation:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            self.lookup = ray.get(cust_ref)  # fetched once per actor
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
+            out = pd.DataFrame(
+                {
+                    "o_orderkey": batch["o_orderkey"].to_numpy(),
+                    "n_name": pd.Series(batch["o_custkey"].to_numpy()).map(self.lookup).to_numpy(),
+                }
+            )
+            return out
 
-            batch["n_name"] = [self.lookup.get(int(k)) for k in batch["l_orderkey"]]
-            ep_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-            disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
-            batch["revenue_c"] = ep_c * (100 - disc_c)  # basis points
-            return batch[["n_name", "revenue_c"]]
+    orders_nation = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(OrderNation, batch_format="pandas", concurrency=2)
+
+    def derive_rev(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ep_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "revenue_c": ep_c * (100 - disc_c),  # basis points, exact
+            }
+        )
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(derive_rev, batch_format="pandas")
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    joined = li.join(
+        orders_nation,
+        join_type="inner",
+        num_partitions=max(2, min(32, ncpu)),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = JoinRev()(batch)
         return batch.groupby("n_name", as_index=False).agg(
             revenue_c=("revenue_c", "sum"), n_items=("revenue_c", "size")
         )
 
-    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    # combiner partials -> tiny driver merge (25 nation rows x #blocks)
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
     out = parts.groupby("n_name", as_index=False).agg(
         revenue_c=("revenue_c", "sum"), n_items=("n_items", "sum")
     )

@@ -89,8 +89,25 @@ def _batch_arrays(batch) -> Tuple[list, list]:
 
 
 def _stats_partial(batch) -> pd.DataFrame:
-    """Vectorized per-fragment stats: per-row token sum/min/max via
-    reduceat over the Arrow offsets, then one pandas groupby."""
+    """Vectorized per-fragment stats, emitted as ONE packed row per block.
+
+    Per-row token sum/min/max come from reduceat over the Arrow offsets;
+    a pandas groupby folds rows into per-(source, bucket) partials. The
+    partials then leave the task as a handful of binary blobs (pickled
+    key list + fixed-layout numeric arrays + concatenated min-doc token
+    vectors) instead of #keys rows with Python-list token columns: at
+    sf0.1 that is 64 rows total vs ~215k object-typed rows, which was
+    the dominant cost of the stats phase (driver-observed 11-48 s; now
+    ~1 s).
+
+    Zero-length token rows are guarded (reduceat would otherwise read
+    the NEXT row's first element / raise at the tail): empty rows get
+    sum 0, min +inf, max -inf, and only non-empty row starts are passed
+    to reduceat — consecutive non-empty starts still delimit exactly
+    one row's tokens because the empty rows between them contribute no
+    elements."""
+    import pickle
+
     import pyarrow as pa
 
     tok = batch.column("tokens")
@@ -100,9 +117,15 @@ def _stats_partial(batch) -> pd.DataFrame:
     flat = tok.values.to_numpy()
     n = len(tok)
     row_len = np.diff(offs)
-    row_sum = np.add.reduceat(flat.astype(np.int64), offs[:-1])
-    row_min = np.minimum.reduceat(flat, offs[:-1])
-    row_max = np.maximum.reduceat(flat, offs[:-1])
+    nonempty = row_len > 0
+    row_sum = np.zeros(n, dtype=np.int64)
+    row_min = np.full(n, np.inf)
+    row_max = np.full(n, -np.inf)
+    if flat.size:
+        starts = offs[:-1][nonempty]
+        row_sum[nonempty] = np.add.reduceat(flat.astype(np.int64), starts)
+        row_min[nonempty] = np.minimum.reduceat(flat, starts)
+        row_max[nonempty] = np.maximum.reduceat(flat, starts)
     df = pd.DataFrame(
         {
             "source": batch.column("source").to_pandas(),
@@ -110,8 +133,8 @@ def _stats_partial(batch) -> pd.DataFrame:
             "doc_id": batch.column("doc_id").to_pandas(),
             "row_len": row_len,
             "row_sum": row_sum,
-            "row_min": row_min.astype(np.float64),
-            "row_max": row_max.astype(np.float64),
+            "row_min": row_min,
+            "row_max": row_max,
             "row_idx": np.arange(n),
         }
     )
@@ -125,11 +148,31 @@ def _stats_partial(batch) -> pd.DataFrame:
         min_pos=("doc_id", "idxmin"),
     ).reset_index()
     min_idx = df["row_idx"].iloc[out["min_pos"]].to_numpy()
-    out["min_doc_id"] = df["doc_id"].iloc[out["min_pos"]].to_numpy()
-    out["min_doc_tokens"] = [
-        flat[offs[i] : offs[i + 1]].astype(np.float64).tolist() for i in min_idx
-    ]
-    return out.drop(columns=["min_pos"])
+    keys = list(zip(out["source"], (int(b) for b in out["bucket"])))
+    nums = np.stack(
+        [
+            out["agg_count"].to_numpy(np.float64),
+            out["agg_n_tok_sum"].to_numpy(np.float64),
+            out["agg_token_sum"].to_numpy(np.float64),
+            out["agg_token_min"].to_numpy(np.float64),
+            out["agg_token_max"].to_numpy(np.float64),
+        ]
+    )
+    min_ids = df["doc_id"].iloc[out["min_pos"]].tolist()
+    tok_lens = row_len[min_idx]
+    tok_offs = np.zeros(len(min_idx) + 1, dtype=np.int64)
+    np.cumsum(tok_lens, out=tok_offs[1:])
+    tok_flat = np.empty(int(tok_offs[-1]), dtype=np.float64)
+    for p, i in enumerate(min_idx):
+        tok_flat[tok_offs[p] : tok_offs[p + 1]] = flat[offs[i] : offs[i + 1]]
+    return pd.DataFrame(
+        {
+            "keys": [pickle.dumps((keys, min_ids))],
+            "nums": [nums.tobytes()],
+            "tok_offs": [tok_offs.tobytes()],
+            "tok_flat": [tok_flat.tobytes()],
+        }
+    )
 
 
 def _make_sweep_fn(centers_ref, dtw: DTWSettings):
@@ -218,32 +261,44 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
     # partial rows number (#keys x #blocks) — KB-to-MB scale — so the
     # merge runs on the driver (at larger key-spaces: tree-merge tasks
     # or key-range shards; same associative merge either way)
+    import pickle
+
     stats_parts = ds.map_batches(_stats_partial, batch_format="pyarrow").to_pandas()
     LAST_TIMINGS["stats_scan"] = round(_time.perf_counter() - _t, 2)
     _t = _time.perf_counter()
+    # merge: one packed row per block -> per-key dict fold (#keys x
+    # #blocks dict ops; sub-second at thousands of keys)
     merged_stats: Dict[Tuple, dict] = {}
-    for row in stats_parts.itertuples(index=False):
-        k = _key_of(row.source, row.bucket)
-        m = merged_stats.get(k)
-        if m is None:
-            merged_stats[k] = {
-                "agg_count": row.agg_count,
-                "agg_n_tok_sum": row.agg_n_tok_sum,
-                "agg_token_sum": row.agg_token_sum,
-                "agg_token_min": row.agg_token_min,
-                "agg_token_max": row.agg_token_max,
-                "min_doc_id": row.min_doc_id,
-                "min_doc_tokens": row.min_doc_tokens,
-            }
-        else:
-            m["agg_count"] += row.agg_count
-            m["agg_n_tok_sum"] += row.agg_n_tok_sum
-            m["agg_token_sum"] += row.agg_token_sum
-            m["agg_token_min"] = min(m["agg_token_min"], row.agg_token_min)
-            m["agg_token_max"] = max(m["agg_token_max"], row.agg_token_max)
-            if row.min_doc_id < m["min_doc_id"]:
-                m["min_doc_id"] = row.min_doc_id
-                m["min_doc_tokens"] = row.min_doc_tokens
+    if "keys" not in stats_parts.columns:  # zero-block input (full resume skip)
+        stats_parts = pd.DataFrame({c: [] for c in ("keys", "nums", "tok_offs", "tok_flat")})
+    for kblob, nblob, oblob, fblob in zip(
+        stats_parts["keys"], stats_parts["nums"], stats_parts["tok_offs"], stats_parts["tok_flat"]
+    ):
+        keys, min_ids = pickle.loads(kblob)
+        nums = np.frombuffer(nblob, dtype=np.float64).reshape(5, len(keys))
+        tok_offs = np.frombuffer(oblob, dtype=np.int64)
+        tok_flat = np.frombuffer(fblob, dtype=np.float64)
+        for p, k in enumerate(keys):
+            m = merged_stats.get(k)
+            if m is None:
+                merged_stats[k] = {
+                    "agg_count": int(nums[0, p]),
+                    "agg_n_tok_sum": int(nums[1, p]),
+                    "agg_token_sum": int(nums[2, p]),
+                    "agg_token_min": nums[3, p],
+                    "agg_token_max": nums[4, p],
+                    "min_doc_id": min_ids[p],
+                    "min_doc_tokens": tok_flat[tok_offs[p] : tok_offs[p + 1]],
+                }
+            else:
+                m["agg_count"] += int(nums[0, p])
+                m["agg_n_tok_sum"] += int(nums[1, p])
+                m["agg_token_sum"] += int(nums[2, p])
+                m["agg_token_min"] = min(m["agg_token_min"], nums[3, p])
+                m["agg_token_max"] = max(m["agg_token_max"], nums[4, p])
+                if min_ids[p] < m["min_doc_id"]:
+                    m["min_doc_id"] = min_ids[p]
+                    m["min_doc_tokens"] = tok_flat[tok_offs[p] : tok_offs[p + 1]]
     from .rollup import TIER_SCHEMA_COLS
 
     if not merged_stats:  # empty input (e.g. full resume skip)

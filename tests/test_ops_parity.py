@@ -30,6 +30,35 @@ class TestPreprocessing:
         s = rng.normal(size=50)
         np.testing.assert_allclose(our_prep.derivative(s), ref_prep.derivative(s))
 
+    def test_smoothing_reference_golden(self):
+        # the reference's own tests/test_preprocessing.py vector (its
+        # scipy butter(2)+filtfilt(method='gust') output); our scipy-free
+        # Butterworth + exact-lstsq Gustafsson must reproduce it
+        series = np.array([0.1, 0.3, 0.2, 0.1] * 3)
+        golden = np.array(
+            [0.02217, 0.010307, 0.002632, 0.001504, 0.001629, -0.000457,
+             -0.001698, -0.001238, -0.004681, -0.014869, -0.026607]
+        )
+        np.testing.assert_array_almost_equal(
+            our_prep.differencing(series, smooth=0.1), golden
+        )
+        np.testing.assert_array_almost_equal(
+            our_prep.differencing(series[None, :], smooth=0.1), golden[None, :]
+        )
+
+    def test_smoothing_properties(self):
+        # zero-phase: a constant passes through unchanged; invalid
+        # smooth raises like the reference's butter wrapper
+        const = np.full(40, 3.7)
+        np.testing.assert_allclose(our_prep.smoothing(const, 0.1), const, atol=1e-9)
+        with pytest.raises(ValueError):
+            our_prep.smoothing(const, 0.6)
+        # derivative(smooth=...) path is un-gated too
+        rng = np.random.default_rng(4)
+        s = rng.normal(size=60).cumsum()
+        out = our_prep.derivative(s, smooth=0.1)
+        assert out.shape == s.shape and np.isfinite(out).all()
+
     def test_logdomain(self):
         rng = np.random.default_rng(2)
         s = rng.normal(size=50) * 10

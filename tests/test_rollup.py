@@ -127,3 +127,46 @@ class TestCheckpointResume:
         cfg2 = RollupConfig(tier_widths=(3600, 7200), dba_max_it=2)
         m = run_flagship(spec, cfg2, out_dir=out, num_shards=2)
         assert all(len(v) == 0 for v in m["skipped_shards"].values())
+
+
+class TestEmptyTokenRows:
+    """Arbitrary parquet input may contain zero-length token rows; the
+    scan kernels must neither corrupt stats (reduceat gap bug) nor hang
+    (an empty member can never step in the batched traceback)."""
+
+    def test_stats_partial_guards_empty_rows(self):
+        import pyarrow as pa
+        import pickle
+        from dtaidistance_ray.stages.rollup_scan import _stats_partial
+
+        batch = pa.table(
+            {
+                "doc_id": ["d1", "d2", "d3", "d4"],
+                "tokens": [[5.0, 7.0], [], [11.0], []],  # empty mid + tail
+                "source": ["a", "a", "b", "b"],
+                "bucket": [0, 0, 1, 1],
+            }
+        )
+        out = _stats_partial(batch)
+        keys, min_ids = pickle.loads(out["keys"].iloc[0])
+        nums = np.frombuffer(out["nums"].iloc[0], dtype=np.float64).reshape(5, len(keys))
+        stats = dict(zip(keys, nums.T))
+        # (a,0): two docs, one empty -> sum 12 (NOT 12+11 via gap bug)
+        assert stats[("a", 0)][2] == 12.0
+        assert stats[("a", 0)][0] == 2  # count includes the empty doc
+        assert stats[("b", 1)][2] == 11.0
+
+    def test_scan_dba_skips_empty_members(self):
+        from dtaidistance_ray.kernels.dba_scan import scan_dba_partials
+        from dtaidistance_ray import DTWSettings
+
+        keys = [("g", 0)] * 3
+        seqs = [np.array([1.0, 2, 3, 4]), np.zeros(0), np.array([2.0, 3, 4, 5])]
+        centers = {("g", 0): np.array([1.0, 2, 3, 4])}
+        with_empty = scan_dba_partials(keys, seqs, centers, DTWSettings())
+        without = scan_dba_partials(keys[:2], [seqs[0], seqs[2]], centers, DTWSettings())
+        np.testing.assert_array_equal(with_empty[("g", 0)][0], without[("g", 0)][0])
+        np.testing.assert_array_equal(with_empty[("g", 0)][1], without[("g", 0)][1])
+        # empty center: reported with empty accumulators, no hang
+        out = scan_dba_partials(keys, seqs, {("g", 0): np.zeros(0)}, DTWSettings())
+        assert out[("g", 0)][0].shape == (0,)
