@@ -336,11 +336,23 @@ def _q_nw_align_tokens(sf_dir: str):
 
 def _q_symbolize_tokens(sf_dir: str):
     """Codebook symbolization of token sequences (SymbolAlignment
-    align2 + hangover; parity in tests/test_symbolization.py)."""
+    align2 + hangover; parity in tests/test_symbolization.py). Symbol
+    arrays are emitted comma-joined so the rows hash in the gate."""
+    import pandas as pd
+
     from dtaidistance_ray.stages.symbolization import symbolize_tokens
 
     spec = _token_spec(sf_dir)
-    return symbolize_tokens(spec, codebook_size=3, n_docs=30)
+    ds = symbolize_tokens(spec, codebook_size=3, n_docs=30)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["symbols"] = [",".join(str(int(v)) for v in s) for s in batch["symbols"]]
+        batch["symbol_seq"] = [
+            ",".join(str(int(v)) for v in s) for s in batch["symbol_seq"]
+        ]
+        return batch
+
+    return ds.map_batches(join, batch_format="pandas")
 
 
 def _q_subsequence_alignment(sf_dir: str):
@@ -403,15 +415,175 @@ def _q_local_concurrences(sf_dir: str):
 
 def _q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: synthetic media table -> image thumbnail
-    features via the actor-pool decode stage (codec stubbed)."""
+    features via the actor-pool decode stage (codec stubbed). The
+    thumbnail vector is emitted as a crc32 digest column so the result
+    is hashable by the correctness gate (raw vectors are exercised in
+    tests/test_stages.py)."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
     import ray.data as rd
 
     from dtaidistance_ray.stages.multimodal import decode_images, synth_media_table
 
-    return decode_images(rd.from_arrow(synth_media_table(90, seed=3)), thumb=4)
+    ds = decode_images(rd.from_arrow(synth_media_table(90, seed=3)), thumb=4)
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["thumb_crc"] = [
+            zlib.crc32(np.asarray(v, dtype=np.float64).round(6).tobytes())
+            for v in batch["thumb_vec"]
+        ]
+        batch["thumb_crc"] = batch["thumb_crc"].astype("int64")
+        return batch[["media_id", "thumb_crc", "pixel_mean"]]
+
+    return ds.map_batches(digest, batch_format="pandas")
+
+
+def _q_warping_path_lowmem(sf_dir: str):
+    """Hirschberg low-memory warping paths for token sequence pairs
+    (kernels/lowmem.py) — long format (pair, step, i, j). The golden
+    check proves path validity + cost-optimality against the reference
+    dtw.distance (the path cost must equal the DTW distance)."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.kernels.lowmem import warping_path_fast
+    from dtaidistance_ray.sources.synth import generate_batch
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(12, dtype=np.int64), spec)
+    seqs = [np.asarray(x, dtype=np.float64) for x in t["tokens"].to_pylist()]
+    rows = []
+    for p in range(0, 12, 2):
+        path = warping_path_fast(seqs[p], seqs[p + 1], use_lowmem=64)
+        for step, (i, j) in enumerate(path):
+            rows.append({"pair": p // 2, "step": step, "i": int(i), "j": int(j)})
+    return pd.DataFrame(rows)
+
+
+def _q_dtw_weighted_matrix(sf_dir: str):
+    """Weighted-DTW distance matrix (kernels/weighted.py) over an
+    8-sequence token sample with a deterministic dead-zone weight
+    profile on sequence 0; condensed (i, j, d) rows rounded to 6."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.kernels.weighted import distance_matrix
+    from dtaidistance_ray.sources.synth import generate_batch
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(8, dtype=np.int64), spec)
+    seqs = [np.asarray(x, dtype=np.float64)[:24] % 64 for x in t["tokens"].to_pylist()]
+    w = np.full((len(seqs[0]), 8), np.inf)
+    w[:, 2:6] = 0.0
+    w[4:12, 2:6] = 8.0  # dead zone of width 8 on points 4..11
+    m = distance_matrix(seqs, {0: w}, window=8)
+    rows = [
+        {"i": i, "j": j, "d": round(float(m[i, j]), 6)}
+        for i in range(len(seqs))
+        for j in range(i + 1, len(seqs))
+    ]
+    return pd.DataFrame(rows)
+
+
+def _q_minhash_signatures(sf_dir: str):
+    """MinHash signatures in long format (doc_id, perm, sig) — the
+    permutation slots become rows so the values hash in the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.stages import dedup
+
+    ds = dedup.minhash_signatures(sf_dir)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([np.asarray(s, dtype=np.int64) for s in batch["minhash"]])
+        n, p = sigs.shape
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy().astype(np.int64), p),
+                "perm": np.tile(np.arange(p, dtype=np.int64), n),
+                "sig": sigs.reshape(-1),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
+def _q_tokens_rollup_tier0_repr(sf_dir: str):
+    """Tier-0 DBA representatives in long format (source, bucket, pos,
+    val rounded 6) — the non-SQL half of the rollup, checked against a
+    golden produced by the single-process oracle (pipelines.flagship.
+    rollup_oracle, an independent pandas-only code path)."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.pipelines.flagship import build_tiers
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig
+
+    spec = _token_spec(sf_dir)
+    cfg = RollupConfig()
+    t0 = build_tiers(token_table(spec), spec, cfg)[0]
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"source": [], "bucket": [], "pos": [], "val": []}
+        for src, bkt, rep in zip(batch["source"], batch["bucket"], batch["repr_series"]):
+            rep = np.asarray(rep, dtype=np.float64)
+            rows["source"].extend([src] * len(rep))
+            rows["bucket"].extend([int(bkt)] * len(rep))
+            rows["pos"].extend(range(len(rep)))
+            rows["val"].extend(np.round(rep, 6))
+        out = pd.DataFrame(rows)
+        out["bucket"] = out["bucket"].astype("int64")
+        out["pos"] = out["pos"].astype("int64")
+        return out
+
+    return t0.map_batches(explode, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
+# golden oracles: non-SQL-expressible queries checked against committed
+# parquet goldens (regenerated by tools/make_goldens.py, which verifies
+# them against the reference library / independent recomputations where
+# possible — provenance in goldens/PROVENANCE.md). The SQL is a plain
+# read of the golden file, so the driver's DuckDB hashes golden rows
+# against the live Ray run.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+GOLDEN_QUERIES = (
+    "dtw_distance_matrix",
+    "subsequence_knn",
+    "hierarchical_clusters_tokens",
+    "kmeans_clusters_tokens",
+    "nw_align_tokens",
+    "symbolize_tokens",
+    "subsequence_alignment_tokens",
+    "local_concurrences_tokens",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "minhash_signatures",
+    "simhash_signatures",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+    "multimodal_decode",
+    "tokens_rollup_tier0_repr",
+    "warping_path_lowmem_tokens",
+    "dtw_weighted_matrix",
+)
+
+
+def _golden_oracles() -> dict[str, str]:
+    out = {}
+    for name in GOLDEN_QUERIES:
+        path = os.path.join(_GOLDEN_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = f"SELECT * FROM read_parquet('{path}')"
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -435,7 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": text.lang_id,
         "doc_fingerprints": text.fingerprints,
         # near-dup suite
-        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -450,6 +622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
+        "tokens_rollup_tier0_repr": _q_tokens_rollup_tier0_repr,
+        "warping_path_lowmem_tokens": _q_warping_path_lowmem,
+        "dtw_weighted_matrix": _q_dtw_weighted_matrix,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,
         # per-series preprocessing (§2.2)
@@ -498,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_derivative": _sql_tokens_derivative(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
+        **_golden_oracles(),
     }
 
 

@@ -28,33 +28,56 @@ from ..settings import DTWSettings
 
 
 class KnnScorer:
-    """DTW scorer with per-actor shrinking max_dist from a size-k heap."""
+    """DTW scorer with a per-actor size-k heap.
+
+    The heap max gives an lb_keogh prune threshold per batch (cheap
+    filter, result-safe: lb <= dtw); survivors are scored in ONE
+    batched DP pass (kernels/pairs_batch.py) when the settings allow,
+    else scalar with the shrinking max_dist."""
 
     def __init__(self, query_ref, k: int, settings: DTWSettings):
         import ray
+
+        from ..kernels.pairs_batch import pairs_supported
 
         self.query = ray.get(query_ref)
         self.k = k
         self.settings = settings
         self.heap: List[float] = []  # max-heap via negation
+        self.batched = pairs_supported(settings)
+
+    def _push(self, d: float) -> None:
+        if len(self.heap) < self.k:
+            heapq.heappush(self.heap, -d)
+        elif d < -self.heap[0]:
+            heapq.heapreplace(self.heap, -d)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
+        max_dist = -self.heap[0] if len(self.heap) >= self.k else None
+        docs, seqs = [], []
         for doc_id, seq in zip(batch["doc_id"], batch["tokens"]):
             seq = np.asarray(seq, dtype=np.float64)
-            max_dist = -self.heap[0] if len(self.heap) >= self.k else None
-            if max_dist is not None:
-                lb = lb_keogh(self.query, seq, self.settings)
-                if lb > max_dist:
-                    continue
-            s = DTWSettings(**{**self.settings.kwargs(), "max_dist": max_dist})
-            d = distance(self.query, seq, s)
-            if d != np.inf:
-                if len(self.heap) < self.k:
-                    heapq.heappush(self.heap, -d)
-                elif d < -self.heap[0]:
-                    heapq.heapreplace(self.heap, -d)
-                out.append((doc_id, float(d)))
+            if max_dist is not None and lb_keogh(self.query, seq, self.settings) > max_dist:
+                continue
+            docs.append(doc_id)
+            seqs.append(seq)
+        out = []
+        if self.batched:
+            from ..kernels.pairs_batch import batched_pair_distances
+
+            ds = batched_pair_distances([self.query] * len(seqs), seqs, self.settings)
+            for doc_id, d in zip(docs, ds):
+                if np.isfinite(d):
+                    self._push(float(d))
+                    out.append((doc_id, float(d)))
+        else:
+            for doc_id, seq in zip(docs, seqs):
+                md = -self.heap[0] if len(self.heap) >= self.k else None
+                s = DTWSettings(**{**self.settings.kwargs(), "max_dist": md})
+                d = distance(self.query, seq, s)
+                if d != np.inf:
+                    self._push(float(d))
+                    out.append((doc_id, float(d)))
         return pd.DataFrame(out, columns=["doc_id", "d"])
 
 
@@ -83,7 +106,13 @@ def subsequence_knn_tokens(spec, k: int = 10):
         dtype=np.float64,
     )
     corpus = token_table(spec)
-    return knn_search(corpus, q, k, DTWSettings(window=32, use_pruning=True))
+    knn = knn_search(corpus, q, k, DTWSettings(window=32, use_pruning=True))
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["d"] = batch["d"].round(6)  # hash-robust across kernel paths
+        return batch
+
+    return knn.map_batches(rnd, batch_format="pandas")
 
 
 class SubsequenceAlignment:

@@ -237,3 +237,60 @@ class TestMedoidsAndHooks:
         ).fit(series)
         assert ours == theirs
         assert w1 == w2
+
+
+class TestWeightedDTW:
+    """Parity vs reference dtw_weighted (pure Python)."""
+
+    def test_reference_test_distance1_case(self):
+        from dtaidistance import dtw_weighted as ref_w
+        from dtaidistance_ray.kernels import weighted as our_w
+
+        s1 = np.array([0., 0, 1, 2, 1, 0, 1, 0, 0, 2, 1, 0, 0])
+        s2 = np.array([0., 1, 2, 3, 1, 10, 1, 0, 2, 1, 0, 0, 0])
+        weights = np.full((len(s1), 8), np.inf)
+        weights[:, 2:4] = 0.0
+        weights[4:7, 2:4] = 10.0
+        weights[:, 4:6] = 0.0
+        weights[4:7, 4:6] = 10.0
+        d_ref, p_ref = ref_w.warping_paths(s1, s2, weights)
+        d_our, p_our = our_w.warping_paths(s1, s2, weights)
+        np.testing.assert_allclose(p_our, p_ref, rtol=1e-10)
+        assert d_our == pytest.approx(d_ref)
+
+    def test_windows_and_random_weights(self):
+        from dtaidistance import dtw_weighted as ref_w
+        from dtaidistance_ray.kernels import weighted as our_w
+
+        rng = np.random.default_rng(0)
+        s1 = np.array([0., 0, 1, 2, 1, 0, 1, 0, 0, 2, 1, 0, 0])
+        s2 = np.array([0., 1, 2, 3, 1, 10, 1, 0, 2, 1, 0, 0, 0])
+        for win in [None, 0, 2, 5]:
+            _, pr = ref_w.warping_paths(s1, s2, None, window=win)
+            _, po = our_w.warping_paths(s1, s2, None, window=win)
+            np.testing.assert_allclose(po, pr, rtol=1e-10)
+        for _ in range(4):
+            a = rng.normal(size=15)
+            b = rng.normal(size=18)
+            w = np.sort(rng.uniform(0, 2, size=(15, 4)), axis=1)
+            W = np.hstack([w[:, ::-1], w])
+            _, pr = ref_w.warping_paths(a, b, W, window=4)
+            _, po = our_w.warping_paths(a, b, W, window=4)
+            np.testing.assert_allclose(po, pr, rtol=1e-8, atol=1e-10)
+
+    def test_distance_matrix_asymmetric_min(self):
+        from dtaidistance import dtw_weighted as ref_w
+        from dtaidistance_ray.kernels import weighted as our_w
+
+        s = [
+            np.array([0., 0, 1, 2, 1, 0, 1.3, 0, 0]),
+            np.array([0., 1, 2, 0, 0, 0, 0, 0, 0]),
+            np.array([1., 2, 0, 0, 0, 0, 0, 1, 1]),
+        ]
+        w = np.full((9, 8), np.inf)
+        w[:, 2:6] = 0.0
+        w[3:6, 2:6] = 1.5
+        wts = {0: w}
+        mr = ref_w.distance_matrix(s, wts, window=2)
+        mo = our_w.distance_matrix(s, wts, window=2)
+        np.testing.assert_allclose(mo, mr, rtol=1e-10)

@@ -107,3 +107,73 @@ class TestMultimodal:
         out = sample_video_frames(rd.from_arrow(t), every_ms=10000).to_pandas()
         assert (out["frame_ms"] % 10000 == 0).all()
         assert out["media_id"].str.startswith("m").all()
+
+
+class TestBatchedPairKernel:
+    def test_parity_with_scalar_kernel(self):
+        from dtaidistance_ray.kernels.pairs_batch import batched_pair_distances
+
+        rng = np.random.default_rng(7)
+        for s in [
+            DTWSettings(),
+            DTWSettings(window=16),
+            DTWSettings(window=32, use_pruning=True),
+            DTWSettings(penalty=0.5, window=8),
+            DTWSettings(max_length_diff=5),
+        ]:
+            s1s = [rng.normal(size=int(rng.integers(8, 60))) for _ in range(40)]
+            s2s = [rng.normal(size=int(rng.integers(8, 60))) for _ in range(40)]
+            got = batched_pair_distances(s1s, s2s, s)
+            want = np.array([dtw_distance(a, b, s) for a, b in zip(s1s, s2s)])
+            finite = np.isfinite(want)
+            assert (finite == np.isfinite(got)).all()
+            np.testing.assert_allclose(got[finite], want[finite], rtol=1e-12)
+
+    def test_empty_and_single(self):
+        from dtaidistance_ray.kernels.pairs_batch import batched_pair_distances
+
+        out = batched_pair_distances([], [], DTWSettings())
+        assert out.shape == (0,)
+        out = batched_pair_distances(
+            [np.zeros(0)], [np.array([1.0, 2.0])], DTWSettings()
+        )
+        assert np.isinf(out[0])
+
+
+class TestSktimeConnector:
+    def test_column_vector_metric(self):
+        from dtaidistance_ray.connectors.sktime import dtw_distance, dtw_distance_create
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(30, 1))
+        y = rng.normal(size=(25, 1))
+        d = dtw_distance(x, y)
+        assert d == pytest.approx(dtw_distance(x[:, 0], y[:, 0]))
+        assert d == pytest.approx(ref_dtw.distance(x[:, 0], y[:, 0]))
+        fn = dtw_distance_create(window=10)
+        assert fn(x, y) == pytest.approx(ref_dtw.distance(x[:, 0], y[:, 0], window=10))
+
+
+class TestLowmemWarpingPath:
+    def test_path_parity_with_full_traceback(self):
+        from dtaidistance_ray.kernels.lowmem import warping_path_lowmem, warping_path_fast
+        from dtaidistance_ray.kernels.elastic import warping_path
+
+        rng = np.random.default_rng(5)
+        for _ in range(5):
+            s1 = rng.normal(size=int(rng.integers(20, 120)))
+            s2 = rng.normal(size=int(rng.integers(20, 120)))
+            assert warping_path_lowmem(s1, s2, switch_to_full=8) == warping_path(s1, s2)
+        # tie-heavy integer data: cost equality (an equally-optimal path)
+        s1 = rng.integers(0, 4, 80).astype(float)
+        s2 = rng.integers(0, 4, 90).astype(float)
+        p, d = warping_path_lowmem(s1, s2, switch_to_full=8, include_distance=True)
+        assert d == pytest.approx(dtw_distance(s1, s2))
+        assert np.sqrt(sum((s1[i] - s2[j]) ** 2 for i, j in p)) == pytest.approx(d)
+        assert p[0] == (0, 0) and p[-1] == (len(s1) - 1, len(s2) - 1)
+        # unsupported settings raise like the reference
+        for bad in (dict(window=4), dict(psi=2), dict(max_step=2.0), dict(penalty=0.1)):
+            with pytest.raises(ValueError):
+                warping_path_lowmem(s1, s2, DTWSettings(**bad))
+        # warping_path_fast dispatch
+        assert warping_path_fast(s1, s2, use_lowmem=False) == warping_path(s1, s2)

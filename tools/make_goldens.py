@@ -1,0 +1,423 @@
+"""Generate golden-oracle parquet for the non-SQL-expressible queries.
+
+For each name in __ray_entry__.GOLDEN_QUERIES the script:
+  1. runs the Ray query at sf0.01 TWICE and asserts the canonically
+     sorted results are identical (determinism gate);
+  2. where an independent implementation exists (the reference library
+     at /root/reference/src, a pure-Python recompute, or the engine's
+     single-process pandas oracle), recomputes the values and asserts
+     they match (provenance gate);
+  3. writes the sorted result to goldens/<name>.parquet.
+
+The driver's correctness gate then runs the SQL
+``SELECT * FROM read_parquet('goldens/<name>.parquet')`` against the
+live Ray run — converting these queries from rows-only checks to full
+row-count + schema + value-hash checks.
+
+Run:  python tools/make_goldens.py   (owns its Ray session)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+import zlib
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REFERENCE_SRC = "/root/reference/src"
+if REFERENCE_SRC not in sys.path:
+    sys.path.append(REFERENCE_SRC)
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = os.path.join(REPO, "goldens")
+
+PROVENANCE: dict[str, str] = {}
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def run_query(qs, name) -> pd.DataFrame:
+    r = qs[name](SF_DIR)
+    return canon(r.to_pandas() if hasattr(r, "to_pandas") else pd.DataFrame(r))
+
+
+# ---------------------------------------------------------------------------
+# independent recomputations
+# ---------------------------------------------------------------------------
+
+
+def _token_seqs(n):
+    import __ray_entry__ as E
+    from dtaidistance_ray.sources.synth import generate_batch
+
+    spec = E._token_spec(SF_DIR)
+    t = generate_batch(np.arange(n, dtype=np.int64), spec)
+    return spec, [np.asarray(x, dtype=np.float64) for x in t["tokens"].to_pylist()]
+
+
+def check_dtw_distance_matrix(got: pd.DataFrame):
+    from dtaidistance import dtw as ref_dtw
+
+    _, seqs = _token_seqs(48)
+    m = ref_dtw.distance_matrix(seqs, window=32, use_pruning=True)
+    for i, j, d in zip(got["i"], got["j"], got["d"]):
+        ref = m[int(i), int(j)]
+        assert abs(d - ref) < 5e-6 or (np.isinf(d) and np.isinf(ref)), (i, j, d, ref)  # d rounded to 6
+    return "reference dtw.distance_matrix(window=32, use_pruning) over the same 48 sequences"
+
+
+def check_subsequence_knn(got: pd.DataFrame):
+    from dtaidistance import dtw as ref_dtw
+
+    import __ray_entry__ as E
+    from dtaidistance_ray.sources.synth import generate_batch, token_table_arrow
+
+    spec = E._token_spec(SF_DIR)
+    q = np.asarray(
+        generate_batch(np.arange(1, dtype=np.int64), spec)["tokens"].to_pylist()[0],
+        dtype=np.float64,
+    )
+    t = token_table_arrow(spec)
+    dists = []
+    for doc_id, toks in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
+        s = np.asarray(toks, dtype=np.float64)
+        dists.append((ref_dtw.distance(q, s, window=32, use_pruning=True), doc_id))
+    dists.sort(key=lambda x: (x[0], x[1]))
+    want = {doc: d for d, doc in dists[: len(got)]}
+    for doc, d in zip(got["doc_id"], got["d"]):
+        assert doc in want and abs(want[doc] - d) < 5e-6, (doc, d, want.get(doc))  # d rounded to 6
+    return "brute-force reference dtw.distance top-k over the full corpus"
+
+
+def check_hierarchical(got: pd.DataFrame):
+    from dtaidistance import dtw as ref_dtw
+    from dtaidistance.clustering import hierarchical as ref_hier
+
+    _, seqs = _token_seqs(24)
+    model = ref_hier.Hierarchical(
+        ref_dtw.distance_matrix, {"window": 16}, max_dist=80.0
+    )
+    clusters = model.fit(seqs)
+    want = sorted(
+        (int(m), int(p)) for p, members in clusters.items() for m in members
+    )
+    ours = sorted(zip(got["series_idx"].astype(int), got["prototype_idx"].astype(int)))
+    assert want == ours, (want[:5], ours[:5])
+    return "reference clustering.Hierarchical on the same 24 sequences"
+
+
+def check_nw_align(got: pd.DataFrame):
+    from dtaidistance import alignment as ref_align
+
+    _, seqs = _token_seqs(20)
+    seqs = [list(np.asarray(s) % 16) for s in seqs]
+    for i, j, v in zip(got["i"], got["j"], got["nw_score"]):
+        ref_v = ref_align.needleman_wunsch(seqs[int(i)], seqs[int(j)])[0]
+        assert abs(float(ref_v) - v) < 1e-9, (i, j, v, ref_v)
+    return "reference alignment.needleman_wunsch per pair"
+
+
+def check_subsequence_alignment(got: pd.DataFrame):
+    from dtaidistance import subsequence as ref_sub
+
+    import __ray_entry__ as E
+    from dtaidistance_ray.sources.synth import generate_batch
+
+    spec = E._token_spec(SF_DIR)
+    t = generate_batch(np.arange(12, dtype=np.int64), spec)
+    want = []
+    for doc_id, toks in zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist()):
+        s = np.asarray(toks, dtype=np.float64)
+        if len(s) < 24:
+            continue
+        sa = ref_sub.subsequence_alignment(s[5:15], s, penalty=0.1)
+        for m in sa.kbest_matches(k=2):
+            seg = m.segment
+            want.append((doc_id, int(seg[0]), int(seg[1]), round(float(m.value), 6)))
+    ours = sorted(zip(got["doc_id"], got["start"], got["end"], got["value"]))
+    assert sorted(want) == [(a, int(b), int(c), float(d)) for a, b, c, d in ours], (
+        sorted(want)[:3],
+        ours[:3],
+    )
+    return "reference subsequence.subsequence_alignment kbest_matches per document"
+
+
+def _norm_text(t: str) -> str:
+    return " ".join(t.lower().split())
+
+
+def _string_shingles(t: str, k: int = 5) -> set:
+    t = _norm_text(t)
+    if not t:
+        return set()
+    if len(t) < k:
+        return {t}
+    return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+
+def _read_docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+
+def check_ngram_jaccard(got: pd.DataFrame):
+    docs = _read_docs()
+    texts = dict(zip(docs["doc_id"].astype(int), docs["text"]))
+    sh = {}
+    for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"]):
+        for d in (int(a), int(b)):
+            if d not in sh:
+                sh[d] = _string_shingles(texts[d])
+        inter = len(sh[int(a)] & sh[int(b)])
+        union = len(sh[int(a)] | sh[int(b)])
+        want = round(inter / union, 6) if union else 0.0
+        assert abs(want - j) < 1e-9, (a, b, j, want)
+    return "pure-Python STRING-shingle Jaccard per pair (independent of the hashed-shingle path)"
+
+
+def check_minhash_dedup_pairs(got: pd.DataFrame):
+    # soundness: every reported pair really meets the threshold on
+    # string shingles; completeness: brute-force all pairs, every true
+    # pair above threshold is reported (LSH recall check)
+    docs = _read_docs()
+    ids = docs["doc_id"].astype(int).to_numpy()
+    sh = [_string_shingles(t) for t in docs["text"]]
+    true_pairs = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sh[i] & sh[j])
+            if not inter:
+                continue
+            union = len(sh[i]) + len(sh[j]) - inter
+            jac = round(inter / union, 6)
+            if jac >= 0.6:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                true_pairs[(a, b)] = jac
+    ours = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+    }
+    assert set(ours) == set(true_pairs), (
+        set(ours) ^ set(true_pairs)
+    )
+    for k, v in ours.items():
+        assert abs(v - true_pairs[k]) < 1e-9, (k, v, true_pairs[k])
+    return "brute-force all-pairs string-shingle Jaccard >= 0.6 (soundness AND recall)"
+
+
+def check_doc_fingerprints(got: pd.DataFrame):
+    docs = _read_docs()
+    MOD = (1 << 61) - 1
+    want = {}
+    for d, t in zip(docs["doc_id"].astype(int), docs["text"]):
+        h = 0
+        for byte in t.encode():  # per-byte Horner — independent of from_bytes
+            h = (h * 256 + byte) % MOD
+        want[int(d)] = (h, zlib.crc32(t.encode()))
+    for d, fp, crc in zip(got["doc_id"], got["fingerprint"], got["crc32"]):
+        assert want[int(d)] == (int(fp), int(crc)), d
+    return "per-byte Horner recompute (base 256 mod 2^61-1) + crc32"
+
+
+def check_simhash(got: pd.DataFrame):
+    word_re = re.compile(r"\w+")
+    docs = _read_docs()
+    want = {}
+    for d, t in zip(docs["doc_id"].astype(int), docs["text"]):
+        acc = [0] * 64
+        for w in word_re.findall(t.lower()):
+            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        want[int(d)] = v - (1 << 64) if v >= (1 << 63) else v
+    for d, s in zip(got["doc_id"], got["simhash"]):
+        assert want[int(d)] == int(s), (d, s, want[int(d)])
+    return "per-word scalar recompute of the 64-bit hash-weighted majority"
+
+
+def check_minhash_signatures(got: pd.DataFrame):
+    from dtaidistance_ray.stages.dedup import shingle_hash_array
+
+    docs = _read_docs()
+    rng = np.random.default_rng(1234)
+    a = rng.integers(1, 2**63, size=64, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=64, dtype=np.uint64)
+    want = {}
+    for d, t in zip(docs["doc_id"].astype(int), docs["text"]):
+        h = shingle_hash_array(t)
+        sig = []
+        for p in range(64):  # scalar per-permutation loop (independent of the matrix path)
+            best = None
+            for x in h:
+                v = int((int(x) * int(a[p]) + int(b[p])) % (1 << 64))
+                best = v if best is None or v < best else best
+            sig.append(np.uint64(best if best is not None else 0).astype(np.int64))
+        want[int(d)] = [int(np.int64(np.uint64(s))) for s in sig]
+    for d in want:
+        sub = got[got["doc_id"] == d].sort_values("perm")
+        assert list(sub["sig"].astype(np.int64)) == want[d], d
+    return "scalar per-permutation multiply-shift recompute over the same shingle hashes"
+
+
+def check_embedding_near_dup(got: pd.DataFrame):
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    ids = emb["vec_id"].astype(int).to_numpy()
+    rng = np.random.default_rng(99)
+    planes = rng.normal(size=(m.shape[1], 4))
+    sig = ((m @ planes) > 0) @ (1 << np.arange(4))
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = set()
+    for bucket in np.unique(sig):
+        sel = np.flatnonzero(sig == bucket)
+        order = np.argsort(ids[sel])
+        sel = sel[order]
+        sims = np.round(mn[sel] @ mn[sel].T, 6)
+        for x in range(len(sel)):
+            for y in range(x + 1, len(sel)):
+                if sims[x, y] >= 0.35:
+                    want.add((int(ids[sel[x]]), int(ids[sel[y]]), float(sims[x, y])))
+    ours = {
+        (int(a), int(b), float(s))
+        for a, b, s in zip(got["vec_a"], got["vec_b"], got["cos_sim"])
+    }
+    assert want == ours, (len(want), len(ours))
+    return "driver-side numpy recompute of LSH buckets + in-bucket cosine from the raw parquet"
+
+
+def check_tier0_repr(got: pd.DataFrame):
+    import __ray_entry__ as E
+    from dtaidistance_ray.pipelines.flagship import rollup_oracle
+    from dtaidistance_ray.stages.rollup import RollupConfig
+
+    spec = E._token_spec(SF_DIR)
+    t0 = rollup_oracle(spec, RollupConfig())[0]
+    t0 = t0[~t0["gap_filled"]]
+    want = []
+    for src, bkt, rep in zip(t0["source"], t0["bucket"], t0["repr_series"]):
+        rep = np.asarray(rep, dtype=np.float64)
+        for pos, v in enumerate(np.round(rep, 6)):
+            want.append((src, int(bkt), pos, float(v)))
+    ours = list(
+        zip(got["source"], got["bucket"].astype(int), got["pos"].astype(int), got["val"])
+    )
+    assert sorted(want) == sorted(ours), (len(want), len(ours))
+    return "single-process pandas rollup_oracle (independent of the distributed scan path)"
+
+
+def check_warping_path_lowmem(got: pd.DataFrame):
+    from dtaidistance import dtw as ref_dtw
+
+    _, seqs = _token_seqs(12)
+    for p in range(6):
+        sub = got[got["pair"] == p].sort_values("step")
+        path = list(zip(sub["i"].astype(int), sub["j"].astype(int)))
+        s1, s2 = seqs[2 * p], seqs[2 * p + 1]
+        # validity: starts/ends at corners, monotone unit steps
+        assert path[0] == (0, 0) and path[-1] == (len(s1) - 1, len(s2) - 1)
+        for (a, b), (c, d) in zip(path, path[1:]):
+            assert (c - a, d - b) in {(0, 1), (1, 0), (1, 1)}
+        # optimality: path cost equals the reference DTW distance
+        cost = np.sqrt(sum((s1[i] - s2[j]) ** 2 for i, j in path))
+        assert abs(cost - ref_dtw.distance(s1, s2)) < 1e-9, p
+    return "path validity + cost == reference dtw.distance (optimality proof per pair)"
+
+
+def check_dtw_weighted_matrix(got: pd.DataFrame):
+    from dtaidistance import dtw_weighted as ref_w
+
+    _, seqs = _token_seqs(8)
+    seqs = [s[:24] % 64 for s in seqs]
+    w = np.full((len(seqs[0]), 8), np.inf)
+    w[:, 2:6] = 0.0
+    w[4:12, 2:6] = 8.0
+    m = ref_w.distance_matrix(seqs, {0: w}, window=8)
+    for i, j, d in zip(got["i"], got["j"], got["d"]):
+        assert abs(m[int(i), int(j)] - d) < 5e-6, (i, j, d, m[int(i), int(j)])
+    return "reference dtw_weighted.distance_matrix with the same weight profile"
+
+
+CHECKS = {
+    "warping_path_lowmem_tokens": check_warping_path_lowmem,
+    "dtw_weighted_matrix": check_dtw_weighted_matrix,
+    "dtw_distance_matrix": check_dtw_distance_matrix,
+    "subsequence_knn": check_subsequence_knn,
+    "hierarchical_clusters_tokens": check_hierarchical,
+    "nw_align_tokens": check_nw_align,
+    "subsequence_alignment_tokens": check_subsequence_alignment,
+    "ngram_jaccard_pairs": check_ngram_jaccard,
+    "minhash_dedup_pairs": check_minhash_dedup_pairs,
+    "doc_fingerprints": check_doc_fingerprints,
+    "simhash_signatures": check_simhash,
+    "minhash_signatures": check_minhash_signatures,
+    "embedding_near_dup_pairs": check_embedding_near_dup,
+    "tokens_rollup_tier0_repr": check_tier0_repr,
+}
+
+SELF_ONLY = {
+    "kmeans_clusters_tokens": "self (our k-means RNG; reference delegates to different RNG stream)",
+    "local_concurrences_tokens": "self (reference kbest_matches requires its compiled loco_cc)",
+    "symbolize_tokens": "self (pipeline composition ours; SymbolAlignment parity in tests)",
+    "doc_lang_id": "self (heuristic profile table is ours)",
+    "multimodal_decode": "self (decode is a declared deterministic stub)",
+}
+
+
+def main():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as E
+
+    os.makedirs(OUT, exist_ok=True)
+    qs = E.queries()
+    names = sys.argv[1:] or list(E.GOLDEN_QUERIES)
+    for name in names:
+        df1 = run_query(qs, name)
+        df2 = run_query(qs, name)
+        pd.testing.assert_frame_equal(df1, df2)
+        if name in CHECKS:
+            PROVENANCE[name] = CHECKS[name](df1)
+        else:
+            PROVENANCE[name] = SELF_ONLY.get(name, "self")
+        df1.to_parquet(os.path.join(OUT, f"{name}.parquet"), index=False)
+        print(f"golden {name}: {len(df1)} rows [{PROVENANCE[name]}]", flush=True)
+
+    # merge with prior runs' entries (partial regeneration keeps the rest)
+    prov_path = os.path.join(OUT, "PROVENANCE.md")
+    existing: dict[str, str] = {}
+    if os.path.exists(prov_path):
+        for line in open(prov_path):
+            m = re.match(r"- `([^`]+)` — (.*)", line)
+            if m:
+                existing[m.group(1)] = m.group(2)
+    existing.update(PROVENANCE)
+    with open(prov_path, "w") as f:
+        f.write(
+            "# Golden provenance\n\nEach golden is the canonically-sorted sf0.01 query "
+            "output, generated by tools/make_goldens.py after (a) a same-session "
+            "determinism double-run and (b) the independent verification below.\n\n"
+        )
+        for name in sorted(existing):
+            f.write(f"- `{name}` — {existing[name]}\n")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
