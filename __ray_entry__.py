@@ -613,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # similarity search
         "ann_cosine_topk": ann.ann_topk,
+        "ann_ivf_topk": ann.ivf_topk,
         "embedding_label_centroids": ann.label_centroids,
         "znormal_embeddings": ann.znormal_embeddings,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,

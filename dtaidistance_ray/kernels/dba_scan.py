@@ -28,7 +28,11 @@ from ..settings import DTWSettings
 
 INF = float("inf")
 
-_CHOICE_BUDGET = 16 * 1024 * 1024  # bytes of int8 choice matrix per sub-batch
+import os as _os
+
+# bytes of int8 choice matrix per sub-batch; smaller budgets shrink the
+# per-row DP working set toward per-core cache sizes (A/B'd in BASELINE)
+_CHOICE_BUDGET = int(float(_os.environ.get("DTAIR_CHOICE_MB", "16")) * 1024 * 1024)
 
 
 def _band_width(s_lens: np.ndarray, d_rs: np.ndarray, d_sr: np.ndarray, window: int) -> int:

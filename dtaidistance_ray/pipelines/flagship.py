@@ -30,8 +30,11 @@ from ..stages.rollup import (
     _rollup_group_base,
     _rollup_group_upper,
     bucketize,
+    encode_frame,
     encode_tier,
+    gap_fill_frame,
     gap_fill_tier,
+    promote_frame,
     rollup_base_tier,
     rollup_next_tier,
 )
@@ -107,6 +110,113 @@ def build_tiers(
     return tiers
 
 
+def downstream_fused(tier0, cfg: RollupConfig):
+    """Everything after tier 0 in ONE range-sharded Ray pass.
+
+    Tier rows are one per (source, bucket) — KB-scale regardless of
+    input size — and every downstream step (tier promotion chain,
+    gap-fill, encode) is a pure function of a (source, bucket-range)
+    shard when the range is aligned to the top tier's width: parents
+    never straddle shards, and gap-fill grids clip to the source's
+    global [min, max] extents (known from the tier-0 rows). So instead
+    of 5+ small per-tier Ray round-trips, one map over ~4x#cpus range
+    descriptors computes all remaining tiers and payloads — and the
+    hot-source straggler splits across shards. Same per-range functions
+    as the staged path (promote_frame / gap_fill_frame / encode_frame):
+    rows are bit-identical (asserted in tests/test_rollup.py).
+
+    tier0: Dataset or DataFrame of tier-0 rows (key-space sized; the
+    scan path assembles it on the driver anyway). For key-spaces too
+    large for one broadcast, the descriptors partition the key range
+    and the frame ships per range — the shard math is unchanged."""
+    import ray
+    import ray.data as rd
+
+    tier0_df = tier0.to_pandas() if hasattr(tier0, "to_pandas") else tier0
+    widths = cfg.tier_widths
+    ratios = [widths[t] // widths[t - 1] for t in range(1, len(widths))]
+    r_cum = [1]
+    for r in ratios:
+        r_cum.append(r_cum[-1] * r)
+    ratio_total = r_cum[-1]
+
+    ext = tier0_df.groupby("source")["bucket"].agg(["min", "max"])
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    total_parents = int(
+        sum((hi // ratio_total) - (lo // ratio_total) + 1 for lo, hi in ext.itertuples(index=False))
+    )
+    # shard-count trade-off: more shards split the hot-source straggler,
+    # fewer keep the co-batched DBA kernel's member batches big (tiny
+    # per-shard DPs fragment vectorization) — ~1.5 tasks/cpu balances
+    import os as _os
+
+    target_tasks = int(_os.environ.get("DTAIR_FUSED_TASKS", "0")) or max(8, (3 * ncpu) // 2)
+    parents_per_task = max(1, total_parents // target_tasks)
+    step = parents_per_task * ratio_total
+
+    # shard id = absolute bucket // step (step is a multiple of every
+    # tier ratio, so parents never straddle shards); one driver-made
+    # MARKER row per shard carries the gap-fill grid bounds and makes
+    # all-gap shards exist in the groupby at all
+    df = tier0_df.copy()
+    df["sid"] = df["bucket"] // step
+    df["grid_lo"] = np.int64(-1)
+    df["grid_hi"] = np.int64(-1)
+    markers = []
+    for src, (lo, hi) in ext.iterrows():
+        lo, hi = int(lo), int(hi)
+        for rlo in range(((lo // ratio_total) * ratio_total // step) * step, hi + 1, step):
+            markers.append(
+                {
+                    "source": src,
+                    "sid": rlo // step,
+                    "bucket": -1,
+                    "grid_lo": max(rlo, lo),
+                    "grid_hi": min(rlo + step - 1, hi),
+                }
+            )
+    mdf = pd.DataFrame(markers)
+    for c in df.columns:
+        if c not in mdf.columns:
+            mdf[c] = None
+    both = pd.concat([df, mdf[df.columns]], ignore_index=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        is_marker = g["bucket"].to_numpy() == -1
+        m = g[is_marker].iloc[0]
+        src, glo, ghi = m["source"], int(m["grid_lo"]), int(m["grid_hi"])
+        sub = g[~is_marker].drop(columns=["sid", "grid_lo", "grid_hi"])
+        # marker rows temporarily null-ified the int columns; restore
+        sub = sub.astype(
+            {
+                "bucket": "int64",
+                "agg_count": "int64",
+                "agg_n_tok_sum": "int64",
+                "agg_token_sum": "int64",
+                "gap_filled": "bool",
+            }
+        )
+        frames = {0: sub}
+        for t, ratio in enumerate(ratios, start=1):
+            frames[t] = promote_frame(frames[t - 1], ratio, cfg)
+        outs = []
+        for t, fr in frames.items():
+            fr = encode_frame(gap_fill_frame(fr, glo // r_cum[t], ghi // r_cum[t], src))
+            fr.insert(0, "tier", t)
+            outs.append(fr)
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        rd.from_pandas(both)
+        .repartition(min(64, max(8, 2 * ncpu)))
+        .groupby(["source", "sid"])
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
 def run_flagship(
     spec: TokenTableSpec,
     cfg: Optional[RollupConfig] = None,
@@ -164,17 +274,42 @@ def run_flagship(
 
             ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
+    if out_dir is None:
+        # metrics path: tier 0 scan, then ONE fused per-source pass for
+        # the rest (bit-identical rows, none of the per-tier round-trips)
+        import time as _time
+
+        timings: Dict[str, float] = {}
+        t0s = _time.perf_counter()
+        b = bucketize(ds, cfg.tier_widths[0], spec)
+        from ..stages.rollup_scan import LAST_TIMINGS, scan_rollup_base_tier
+
+        tier0 = scan_rollup_base_tier(b, cfg)
+        timings.update({f"tier0_{k}": v for k, v in LAST_TIMINGS.items()})
+        timings["tier0"] = round(_time.perf_counter() - t0s, 2)
+        t0s = _time.perf_counter()
+        fused = downstream_fused(tier0, cfg)
+
+        def tier_counts(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.groupby("tier", as_index=False).size()
+
+        parts = fused.map_batches(tier_counts, batch_format="pandas").to_pandas()
+        rows_per_tier = parts.groupby("tier")["size"].sum()
+        for t in range(len(cfg.tier_widths)):
+            metrics["tiers"][t] = {"rows": int(rows_per_tier.get(t, 0))}
+        timings["downstream_fused"] = round(_time.perf_counter() - t0s, 2)
+        metrics["phase_timings"] = timings
+        metrics["wall_time_s"] = time.perf_counter() - t0
+        metrics["sequences_per_sec"] = spec.num_rows / metrics["wall_time_s"]
+        metrics["settings_hash"] = shash
+        metrics["input_fingerprint"] = input_fp
+        return metrics
+
     tiers = build_tiers(ds, spec, cfg)
     metrics["phase_timings"] = tiers.pop("timings", {})
     for t in range(len(cfg.tier_widths)):
         pt0 = time.perf_counter()
         tier_ds = encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t])
-        if out_dir is None:
-            metrics["tiers"][t] = {"rows": tier_ds.count()}
-            metrics["phase_timings"][f"gapfill_encode_t{t}"] = round(
-                time.perf_counter() - pt0, 2
-            )
-            continue
         # checkpointed write: one task per shard, atomic rename + manifest
         def write_shard(g: pd.DataFrame, tier=t) -> pd.DataFrame:
             ws = time.perf_counter()

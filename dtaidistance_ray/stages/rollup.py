@@ -225,48 +225,74 @@ def rollup_next_tier(tier_ds, child_width: int, width: int, cfg: RollupConfig):
 # ---------------------------------------------------------------------------
 
 
-def gap_fill_tier(tier_ds):
-    """Per source, emit rows for missing buckets in [min, max] with
-    agg_count = 0 / null aggregates / empty representative."""
+def gap_fill_frame(g: pd.DataFrame, lo: int = None, hi: int = None,
+                   source: str = None) -> pd.DataFrame:
+    """One source's tier rows -> rows for missing buckets in the grid.
 
-    def fill(g: pd.DataFrame) -> pd.DataFrame:
+    Default grid is [min, max] of the present rows (whole-source call);
+    range-sharded callers pass explicit [lo, hi] (and the source name,
+    so an all-gap shard with zero present rows still fills)."""
+    if lo is None:
         g = g.sort_values("bucket", kind="mergesort")
         lo, hi = int(g["bucket"].min()), int(g["bucket"].max())
-        grid = np.arange(lo, hi + 1, dtype=np.int64)
-        missing = np.setdiff1d(grid, g["bucket"].to_numpy(), assume_unique=False)
-        if len(missing) == 0:
-            return g
-        fill_df = pd.DataFrame(
+    elif len(g) == 0:
+        return pd.DataFrame(
             {
-                "source": g["source"].iloc[0],
-                "bucket": missing,
+                "source": source,
+                "bucket": np.arange(lo, hi + 1, dtype=np.int64),
                 "agg_count": 0,
                 "agg_n_tok_sum": 0,
                 "agg_token_sum": 0,
                 "agg_token_min": np.nan,
                 "agg_token_max": np.nan,
                 "agg_token_mean": np.nan,
-                "repr_series": [[] for _ in missing],
+                "repr_series": [[] for _ in range(hi - lo + 1)],
                 "gap_filled": True,
             }
         )
-        out = pd.concat([g, fill_df], ignore_index=True)
-        return out.sort_values("bucket", kind="mergesort")
+    else:
+        g = g.sort_values("bucket", kind="mergesort")
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    missing = np.setdiff1d(grid, g["bucket"].to_numpy(), assume_unique=False)
+    if len(missing) == 0:
+        return g
+    fill_df = pd.DataFrame(
+        {
+            "source": g["source"].iloc[0],
+            "bucket": missing,
+            "agg_count": 0,
+            "agg_n_tok_sum": 0,
+            "agg_token_sum": 0,
+            "agg_token_min": np.nan,
+            "agg_token_max": np.nan,
+            "agg_token_mean": np.nan,
+            "repr_series": [[] for _ in missing],
+            "gap_filled": True,
+        }
+    )
+    out = pd.concat([g, fill_df], ignore_index=True)
+    return out.sort_values("bucket", kind="mergesort")
 
-    return tier_ds.groupby("source").map_groups(fill, batch_format="pandas")
+
+def gap_fill_tier(tier_ds):
+    """Per source, emit rows for missing buckets in [min, max] with
+    agg_count = 0 / null aggregates / empty representative."""
+    return tier_ds.groupby("source").map_groups(gap_fill_frame, batch_format="pandas")
+
+
+def encode_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    """Add the Gorilla XOR payload column for the representatives."""
+    batch = batch.copy()
+    batch["repr_gorilla"] = [
+        gorilla_encode(np.asarray(r, dtype=np.float64)) for r in batch["repr_series"]
+    ]
+    return batch
 
 
 def encode_tier(tier_ds, width: int):
     """Add the compressed payload columns: Gorilla XOR for the
     representative series, delta-of-delta for the bucket start time."""
-
-    def enc(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["repr_gorilla"] = [
-            gorilla_encode(np.asarray(r, dtype=np.float64)) for r in batch["repr_series"]
-        ]
-        return batch
-
-    return tier_ds.map_batches(enc, batch_format="pandas")
+    return tier_ds.map_batches(encode_frame, batch_format="pandas")
 
 
 def tier_time_index(tier_ds, width: int):

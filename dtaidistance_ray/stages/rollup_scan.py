@@ -224,9 +224,14 @@ def _make_sweep_fn(centers_ref, dtw: DTWSettings):
 
 LAST_TIMINGS: Dict[str, float] = {}
 
+import os as _os
+
 # CPUs reserved per sweep task (tunable; 2 halves concurrency on
 # SMT hosts where 1-per-thread thrashes the memory system)
-_SWEEP_NUM_CPUS = 1
+_SWEEP_NUM_CPUS = float(_os.environ.get("DTAIR_SWEEP_NUM_CPUS", "1"))
+# target sweep blocks per CPU (higher = finer straggler splitting at
+# the cost of smaller per-task batches for the vectorized kernel)
+_BLOCKS_PER_CPU = float(_os.environ.get("DTAIR_BLOCKS_PER_CPU", "0"))
 
 
 def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
@@ -251,7 +256,11 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
         ncpu = 8
     ds = bucketed_ds.materialize() if cache else bucketed_ds
     try:
-        if cache and ds.num_blocks() < max(2, ncpu // 2):
+        if _BLOCKS_PER_CPU > 0:
+            want = max(2, int(ncpu * _BLOCKS_PER_CPU))
+            if cache and ds.num_blocks() != want:
+                ds = ds.repartition(want).materialize()
+        elif cache and ds.num_blocks() < max(2, ncpu // 2):
             ds = ds.repartition(ncpu).materialize()
     except Exception:
         pass

@@ -170,3 +170,69 @@ class TestEmptyTokenRows:
         # empty center: reported with empty accumulators, no hang
         out = scan_dba_partials(keys, seqs, {("g", 0): np.zeros(0)}, DTWSettings())
         assert out[("g", 0)][0].shape == (0,)
+
+
+class TestFusedDownstream:
+    def test_fused_rows_bit_equal_staged(self, ray_session):
+        import pandas as pd
+        from dtaidistance_ray.pipelines.flagship import build_tiers, downstream_fused
+        from dtaidistance_ray.stages.rollup import encode_tier, gap_fill_tier
+
+        spec = TokenTableSpec(num_rows=150, num_sources=4, max_len=32, ts_span=12 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 7200), dba_max_it=2)
+        tiers = build_tiers(token_table(spec), spec, cfg)
+        fused = downstream_fused(tiers[0], cfg).to_pandas()
+
+        def canon(df):
+            df = df.copy()
+            df["repr_series"] = df["repr_series"].map(lambda v: tuple(np.asarray(v, dtype=np.float64)))
+            df["repr_gorilla"] = df["repr_gorilla"].map(bytes)
+            return df.sort_values(["source", "bucket"], kind="mergesort").reset_index(drop=True)
+
+        for t in (0, 1):
+            staged = canon(encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t]).to_pandas())
+            got = canon(fused[fused["tier"] == t].drop(columns=["tier"]))
+            pd.testing.assert_frame_equal(
+                got.reset_index(drop=True)[staged.columns], staged, check_dtype=False
+            )
+
+    def test_run_flagship_metrics_path(self, ray_session):
+        spec = TokenTableSpec(num_rows=120, num_sources=3, max_len=24, ts_span=6 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 7200), dba_max_it=1)
+        m = run_flagship(spec, cfg, out_dir=None)
+        assert m["tiers"][0]["rows"] > 0 and m["tiers"][1]["rows"] > 0
+        assert "downstream_fused" in m["phase_timings"]
+
+    def test_fused_sparse_sources_all_gap_shards(self, ray_session):
+        # sparse input: most tier-0 buckets missing, so some range
+        # shards contain ZERO present rows and must still emit their
+        # gap rows (explicit-grid gap_fill_frame path)
+        import pandas as pd
+        from dtaidistance_ray.pipelines.flagship import build_tiers, downstream_fused
+        from dtaidistance_ray.stages.rollup import encode_tier, gap_fill_tier
+
+        spec = TokenTableSpec(
+            num_rows=40, num_sources=2, max_len=16, ts_span=14 * 24 * 3600
+        )
+        cfg = RollupConfig(tier_widths=(3600, 14400, 57600), dba_max_it=1)
+        tiers = build_tiers(token_table(spec), spec, cfg)
+        fused = downstream_fused(tiers[0], cfg).to_pandas()
+        for t in range(3):
+            staged = (
+                encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t])
+                .to_pandas()
+                .sort_values(["source", "bucket"], kind="mergesort")
+                .reset_index(drop=True)
+            )
+            got = (
+                fused[fused["tier"] == t]
+                .drop(columns=["tier"])
+                .sort_values(["source", "bucket"], kind="mergesort")
+                .reset_index(drop=True)
+            )
+            assert len(got) == len(staged), (t, len(got), len(staged))
+            pd.testing.assert_frame_equal(
+                got[["source", "bucket", "agg_count", "gap_filled"]],
+                staged[["source", "bucket", "agg_count", "gap_filled"]],
+                check_dtype=False,
+            )

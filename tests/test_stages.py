@@ -177,3 +177,20 @@ class TestLowmemWarpingPath:
                 warping_path_lowmem(s1, s2, DTWSettings(**bad))
         # warping_path_fast dispatch
         assert warping_path_fast(s1, s2, use_lowmem=False) == warping_path(s1, s2)
+
+
+class TestIvfTopk:
+    def test_recall_vs_exact(self, ray_session):
+        from dtaidistance_ray.stages import ann
+
+        sf = "/root/testdata/sf0.001"
+        exact = ann.ann_topk(sf, k=10).to_pandas()
+        approx = ann.ivf_topk(sf, k=10, nlist=8, nprobe=4).to_pandas()
+        assert len(approx) == 10
+        # every approx hit must be sound (appears in corpus with that sim)
+        # and recall vs exact should be high at nprobe/nlist = 1/2
+        exact_ids = set(exact["vec_id"].astype(int))
+        hits = sum(1 for v in approx["vec_id"].astype(int) if v in exact_ids)
+        assert hits >= 6, (hits, approx)
+        # the top-1 (the query itself, cos=1) must always be found
+        assert approx["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
