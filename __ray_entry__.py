@@ -487,6 +487,31 @@ def _q_dtw_weighted_matrix(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_explain_pairs(sf_dir: str):
+    """DSW warping-path explanations (stages/explain.py ExplainPair)
+    for token sequence pairs — one row per simplified segment."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dtaidistance_ray.stages.explain import explain_pairs_dataset
+    from dtaidistance_ray.sources.synth import generate_batch
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(12, dtype=np.int64), spec)
+    seqs = [np.asarray(x, dtype=np.float64) for x in t["tokens"].to_pylist()]
+    pairs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "pair_id": list(range(6)),
+                "series_from": [seqs[2 * p] for p in range(6)],
+                "series_to": [seqs[2 * p + 1] for p in range(6)],
+            }
+        )
+    ).repartition(4)
+    return explain_pairs_dataset(pairs, delta_rel=1, delta_abs=2.0)
+
+
 def _q_minhash_signatures(sf_dir: str):
     """MinHash signatures in long format (doc_id, perm, sig) — the
     permutation slots become rows so the values hash in the gate."""
@@ -574,6 +599,7 @@ GOLDEN_QUERIES = (
     "tokens_rollup_tier0_repr",
     "warping_path_lowmem_tokens",
     "dtw_weighted_matrix",
+    "explain_pairs_tokens",
 )
 
 
@@ -626,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_rollup_tier0_repr": _q_tokens_rollup_tier0_repr,
         "warping_path_lowmem_tokens": _q_warping_path_lowmem,
         "dtw_weighted_matrix": _q_dtw_weighted_matrix,
+        "explain_pairs_tokens": _q_explain_pairs,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,
         # per-series preprocessing (§2.2)

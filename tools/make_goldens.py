@@ -349,9 +349,33 @@ def check_dtw_weighted_matrix(got: pd.DataFrame):
     return "reference dtw_weighted.distance_matrix with the same weight profile"
 
 
+def check_explain_pairs(got: pd.DataFrame):
+    from dtaidistance.explain.dsw.explainpair import ExplainPair as RefEP
+
+    _, seqs = _token_seqs(12)
+    for p in range(6):
+        r = RefEP(seqs[2 * p], seqs[2 * p + 1], delta_rel=1, delta_abs=2.0)
+        want = [
+            (int(s.s_idx), int(s.e_idx), int(s.s_idx_y), int(s.e_idx_y),
+             int(s.shift), int(s.elasticity))
+            for s in r.segments
+        ]
+        sub = got[got["pair_id"] == p].sort_values(["s_idx", "s_idx_y"])
+        ours = list(
+            zip(
+                sub["s_idx"].astype(int), sub["e_idx"].astype(int),
+                sub["s_idx_y"].astype(int), sub["e_idx_y"].astype(int),
+                sub["shift"].astype(int), sub["elasticity"].astype(int),
+            )
+        )
+        assert sorted(want) == sorted(ours), (p, want[:3], ours[:3])
+    return "reference explain.dsw ExplainPair segments per pair"
+
+
 CHECKS = {
     "warping_path_lowmem_tokens": check_warping_path_lowmem,
     "dtw_weighted_matrix": check_dtw_weighted_matrix,
+    "explain_pairs_tokens": check_explain_pairs,
     "dtw_distance_matrix": check_dtw_distance_matrix,
     "subsequence_knn": check_subsequence_knn,
     "hierarchical_clusters_tokens": check_hierarchical,
