@@ -487,6 +487,42 @@ def _q_dtw_weighted_matrix(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_multimodal_decode_real(sf_dir: str):
+    """REAL image decode: BMP/PPM payloads parsed in pure NumPy by the
+    decode stage; thumbnails digested for hashability (true-pixel
+    parity is asserted in tests/test_stages.py and the golden check)."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dtaidistance_ray.stages.multimodal import decode_images, synth_media_table_real
+
+    ds = decode_images(rd.from_arrow(synth_media_table_real(90, seed=11)), thumb=4)
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["thumb_crc"] = [
+            zlib.crc32(np.asarray(v, dtype=np.float64).round(4).tobytes())
+            for v in batch["thumb_vec"]
+        ]
+        batch["thumb_crc"] = batch["thumb_crc"].astype("int64")
+        batch["pixel_mean"] = batch["pixel_mean"].round(6)
+        return batch[["media_id", "thumb_crc", "pixel_mean"]]
+
+    return ds.map_batches(digest, batch_format="pandas")
+
+
+def _q_multimodal_audio_features(sf_dir: str):
+    """REAL audio decode: WAV PCM16 payloads -> rms / zero-crossing
+    rate / dominant frequency (numpy FFT)."""
+    import ray.data as rd
+
+    from dtaidistance_ray.stages.multimodal import audio_features, synth_media_table_real
+
+    return audio_features(rd.from_arrow(synth_media_table_real(90, seed=11)))
+
+
 def _q_explain_pairs(sf_dir: str):
     """DSW warping-path explanations (stages/explain.py ExplainPair)
     for token sequence pairs — one row per simplified segment."""
@@ -600,6 +636,8 @@ GOLDEN_QUERIES = (
     "warping_path_lowmem_tokens",
     "dtw_weighted_matrix",
     "explain_pairs_tokens",
+    "multimodal_decode_real",
+    "multimodal_audio_features",
 )
 
 
@@ -653,6 +691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warping_path_lowmem_tokens": _q_warping_path_lowmem,
         "dtw_weighted_matrix": _q_dtw_weighted_matrix,
         "explain_pairs_tokens": _q_explain_pairs,
+        "multimodal_decode_real": _q_multimodal_decode_real,
+        "multimodal_audio_features": _q_multimodal_audio_features,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,
         # per-series preprocessing (§2.2)

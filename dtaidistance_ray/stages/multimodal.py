@@ -6,21 +6,130 @@ resize / frame-sample run as actor-pool map_batches stages: the actor
 loads its codec once in __init__, batches stay small because rows are
 large, and outputs are fixed-shape feature columns.
 
-The image/audio libraries are not in this container, so the decoders
-are STUBS: ``DecodeImage.decode_real`` raises NotImplementedError, and
-the default path substitutes a deterministic fake decode (seeded by the
-payload hash) so the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested end-to-end.
+Decoders: the container ships no image/audio libraries, but the
+header-only formats need none — BMP (24-bit uncompressed), PPM (P6)
+and WAV (PCM16) are decoded/encoded here in pure NumPy byte parsing
+(round-trip property-tested), so the decode stage is REAL for those
+codecs. Compressed codecs (jpeg/png/opus/h264) remain declared stubs:
+``DecodeImage.decode_real`` raises NotImplementedError for them and
+the default path substitutes a deterministic fake decode (seeded by
+the payload hash) so the Ray-side plumbing — schema, batch sizing,
+actor signature, output layout — is exercised end-to-end either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# pure-NumPy codecs (no external libraries)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP (BGR rows,
+    bottom-up, 4-byte padded)."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + img_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up, RGB->BGR
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=offset)
+    rows = data.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = []
+    pos = 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end : end + 1].isspace():
+            end += 1
+        parts.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM16."""
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 mono -> (samples int16 array, sample rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            if fmt != 1 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=pos + 8)
+            return samples, rate
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -52,6 +161,70 @@ def synth_media_table(n: int, seed: int = 0) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_media_table_real(n: int, seed: int = 0) -> pa.Table:
+    """Media corpus with REAL decodable payloads: images are actual
+    BMP/PPM bytes of seeded pixel arrays, audio rows are actual WAV
+    PCM16 bytes of seeded waveforms — the decode stages parse them for
+    real (no codec library involved; these formats are plain bytes)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")}
+    for i in range(n):
+        kind = i % 3
+        rows["media_id"].append(f"m{i:08d}")
+        if kind in (0, 1):  # image
+            h = int(rng.integers(8, 40))
+            w = int(rng.integers(8, 40))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            codec = "bmp" if kind == 0 else "ppm"
+            payload = encode_bmp(px) if kind == 0 else encode_ppm(px)
+            rows["media_type"].append("image")
+            rows["payload"].append(payload)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(0)
+            rows["codec"].append(codec)
+        else:  # audio
+            rate = 16000
+            n_samp = int(rng.integers(rate // 4, rate))
+            t = np.arange(n_samp) / rate
+            freq = float(rng.uniform(100, 2000))
+            wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+            rows["media_type"].append("audio")
+            rows["payload"].append(encode_wav_pcm16(wave, rate))
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["duration_ms"].append(int(1000 * n_samp / rate))
+            rows["codec"].append("wav")
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class AudioFeatures:
+    """Actor-pool stage: WAV payloads -> (rms, zero-crossing rate,
+    dominant frequency via numpy FFT) — a real decode + real features,
+    no audio library needed for PCM WAV."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, payload, codec in zip(batch["media_id"], batch["payload"], batch["codec"]):
+            if codec != "wav":
+                continue  # compressed codecs stay stubbed
+            samples, rate = decode_wav(bytes(payload))
+            x = samples.astype(np.float64) / 32768.0
+            rms = float(np.sqrt(np.mean(x * x)))
+            zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+            spec = np.abs(np.fft.rfft(x))
+            dom_hz = float(np.fft.rfftfreq(len(x), 1.0 / rate)[int(np.argmax(spec[1:])) + 1])
+            rows.append((mid, round(rms, 6), round(zcr, 6), round(dom_hz, 2)))
+        return pd.DataFrame(rows, columns=["media_id", "rms", "zcr", "dominant_hz"])
+
+
+def audio_features(ds, concurrency=2, batch_size: int = 32):
+    return ds.filter(expr="media_type == 'audio'").map_batches(
+        AudioFeatures, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic stand-in decode: pixels seeded by payload hash."""
     seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
@@ -64,23 +237,36 @@ class DecodeImage:
     feature column. batch_size must be SMALL (payloads are large);
     callers pass e.g. batch_size=32, concurrency=(2, 8), num_cpus=1."""
 
+    REAL_CODECS = {"bmp", "ppm"}
+
     def __init__(self, thumb: int = 8, use_real_codec: bool = False):
         self.thumb = thumb
         self.use_real_codec = use_real_codec
-        # real path would load PIL/libjpeg here, once per actor
+        # compressed-codec path would load PIL/libjpeg here, once per actor
 
-    def decode_real(self, payload: bytes) -> np.ndarray:
+    def decode_real(self, payload: bytes, codec: str) -> np.ndarray:
+        """Real decode for the header-only formats (pure NumPy);
+        compressed codecs need an external library and stay stubbed."""
+        if codec == "bmp":
+            return decode_bmp(payload)
+        if codec == "ppm":
+            return decode_ppm(payload)
         raise NotImplementedError(
-            "image codecs are not available in this container; "
-            "install Pillow and wire it here (payload -> HxWx3 uint8)"
+            f"codec {codec!r} needs an external library (not in this "
+            "container); install Pillow and wire it here (payload -> HxWx3 uint8)"
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         thumbs = []
         means = []
-        for payload, w, h in zip(batch["payload"], batch["width"], batch["height"]):
-            if self.use_real_codec:
-                px = self.decode_real(payload)
+        codecs = batch["codec"] if "codec" in batch.columns else [""] * len(batch)
+        for payload, w, h, codec in zip(
+            batch["payload"], batch["width"], batch["height"], codecs
+        ):
+            if codec in self.REAL_CODECS:
+                px = self.decode_real(bytes(payload), codec)
+            elif self.use_real_codec:
+                px = self.decode_real(bytes(payload), codec)
             else:
                 px = _fake_pixels(payload, max(1, int(h) % 32 + 1), max(1, int(w) % 32 + 1))
             # resize-by-pooling to thumb x thumb (plumbing is real; the

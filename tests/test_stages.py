@@ -194,3 +194,51 @@ class TestIvfTopk:
         assert hits >= 6, (hits, approx)
         # the top-1 (the query itself, cos=1) must always be found
         assert approx["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
+
+
+class TestRealMediaCodecs:
+    def test_roundtrips(self):
+        from dtaidistance_ray.stages.multimodal import (
+            decode_bmp, decode_ppm, decode_wav,
+            encode_bmp, encode_ppm, encode_wav_pcm16,
+        )
+
+        rng = np.random.default_rng(0)
+        for _ in range(8):
+            h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            np.testing.assert_array_equal(decode_bmp(encode_bmp(px)), px)
+            np.testing.assert_array_equal(decode_ppm(encode_ppm(px)), px)
+            s = rng.integers(-32768, 32767, size=int(rng.integers(10, 4000)), dtype=np.int16)
+            got, rate = decode_wav(encode_wav_pcm16(s, 8000))
+            np.testing.assert_array_equal(got, s)
+            assert rate == 8000
+
+    def test_decode_stage_real_pixels(self, ray_session):
+        # decode stage over REAL BMP/PPM payloads: thumbnails must match
+        # pooling of the true pixel arrays (not the fake-decode path)
+        import ray.data as rd
+        from dtaidistance_ray.stages.multimodal import (
+            decode_bmp, decode_images, synth_media_table_real,
+        )
+
+        t = synth_media_table_real(18, seed=5)
+        out = decode_images(rd.from_arrow(t), thumb=4).to_pandas()
+        assert len(out) == 12  # 2 of 3 rows per triple are images
+        df = t.to_pandas().set_index("media_id")
+        for mid, pixel_mean in zip(out["media_id"], out["pixel_mean"]):
+            row = df.loc[mid]
+            if row["codec"] == "bmp":
+                px = decode_bmp(bytes(row["payload"]))
+                assert pixel_mean == pytest.approx(float(px.mean()))
+
+    def test_audio_features_real_wave(self, ray_session):
+        import ray.data as rd
+        from dtaidistance_ray.stages.multimodal import audio_features, synth_media_table_real
+
+        t = synth_media_table_real(18, seed=5)
+        out = audio_features(rd.from_arrow(t)).to_pandas()
+        assert len(out) == 6
+        # pure sine waves: rms ~ 12000/32768/sqrt(2), dominant freq in band
+        assert ((out["rms"] - 0.2589).abs() < 0.01).all()
+        assert out["dominant_hz"].between(90, 2100).all()

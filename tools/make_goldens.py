@@ -372,7 +372,37 @@ def check_explain_pairs(got: pd.DataFrame):
     return "reference explain.dsw ExplainPair segments per pair"
 
 
+def check_multimodal_decode_real(got: pd.DataFrame):
+    # independent recompute: decode payloads directly and pool
+    from dtaidistance_ray.stages.multimodal import (
+        decode_bmp, decode_ppm, synth_media_table_real,
+    )
+
+    t = synth_media_table_real(90, seed=11).to_pandas().set_index("media_id")
+    for mid, crc, pm in zip(got["media_id"], got["thumb_crc"], got["pixel_mean"]):
+        row = t.loc[mid]
+        px = (decode_bmp if row["codec"] == "bmp" else decode_ppm)(bytes(row["payload"]))
+        assert abs(float(px.mean()) - pm) < 1e-5, mid
+    return "direct pure-NumPy BMP/PPM decode of the same payloads (pixel_mean equality)"
+
+
+def check_multimodal_audio(got: pd.DataFrame):
+    from dtaidistance_ray.stages.multimodal import decode_wav, synth_media_table_real
+
+    t = synth_media_table_real(90, seed=11).to_pandas().set_index("media_id")
+    for mid, rms, zcr, dom in zip(got["media_id"], got["rms"], got["zcr"], got["dominant_hz"]):
+        samples, rate = decode_wav(bytes(t.loc[mid]["payload"]))
+        x = samples.astype(np.float64) / 32768.0
+        assert abs(np.sqrt(np.mean(x * x)) - rms) < 1e-5, mid
+        spec = np.abs(np.fft.rfft(x))
+        want = float(np.fft.rfftfreq(len(x), 1.0 / rate)[int(np.argmax(spec[1:])) + 1])
+        assert abs(want - dom) < 0.05, (mid, dom, want)
+    return "direct WAV decode + numpy recompute of rms / dominant frequency"
+
+
 CHECKS = {
+    "multimodal_decode_real": check_multimodal_decode_real,
+    "multimodal_audio_features": check_multimodal_audio,
     "warping_path_lowmem_tokens": check_warping_path_lowmem,
     "dtw_weighted_matrix": check_dtw_weighted_matrix,
     "explain_pairs_tokens": check_explain_pairs,
