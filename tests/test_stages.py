@@ -94,11 +94,11 @@ class TestMultimodal:
         b = out2.sort_values("media_id").reset_index(drop=True)
         assert (a["pixel_mean"] == b["pixel_mean"]).all()
 
-    def test_real_codec_is_stubbed(self):
+    def test_compressed_codecs_are_stubbed(self):
         from dtaidistance_ray.stages.multimodal import DecodeImage
 
         with pytest.raises(NotImplementedError):
-            DecodeImage(use_real_codec=True).decode_real(b"xx")
+            DecodeImage(use_real_codec=True).decode_real(b"xx", "jpeg")
 
     def test_frame_sampling(self, ray_session):
         import ray.data as rd
