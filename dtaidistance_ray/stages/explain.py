@@ -24,9 +24,9 @@ reference derives them (delta_rel scales with the optimal distance,
 delta_abs amortizes an absolute distance allowance over the path).
 
 Implemented approx types: max_factor, max_factor_and_diff (default),
-max_diff, max_dist, max_index (plain spatial RDP). Split strategy:
-spatial distance (the reference default); the derivative-based
-strategies are not implemented. Plotting is out of scope.
+max_diff, max_dist, max_index (plain spatial RDP). Split strategies:
+spatialdist (default), pathdiff, deriv, derivdist. Plotting is out of
+scope.
 
 Value parity with the reference implementation is asserted in
 tests/test_explain.py across types and tolerances.
@@ -119,6 +119,7 @@ class ExplainPair:
         delta_abs: Optional[float] = None,
         approx_prune: bool = True,
         approx_local: bool = True,
+        split_strategy: str = "spatialdist",
         onlychanges: Optional[int] = None,
         path: Optional[list] = None,
         dtw_settings: Optional[DTWSettings] = None,
@@ -130,6 +131,7 @@ class ExplainPair:
         self.delta_abs = 0.1 if delta_abs is None else delta_abs
         self.approx_prune = approx_prune
         self.approx_local = approx_local
+        self.split_strategy = str(split_strategy).lower()
         self.onlychanges = onlychanges
         self.dtw_settings = dtw_settings or DTWSettings()
         if path is None:
@@ -239,6 +241,122 @@ class ExplainPair:
                 )
         return i0 + int(np.argmax(dist))
 
+    # -- split-point selection -------------------------------------------
+
+    def _deriv1(self, points: np.ndarray, h: int = 1) -> np.ndarray:
+        """First derivative of the |cost| surface at each path point
+        (max over the centered differences in both axes; border points
+        fall back to clamped one-sided differences). Zero values are
+        floored to 10% of the max so distance still matters in the
+        Taylor mix."""
+        sf, st = self.series_from, self.series_to
+        fi_m = len(sf) - h - 1
+        ti_m = len(st) - h - 1
+        ders = np.zeros(len(points))
+        for idx, (fi, ti) in enumerate(points):
+            c = abs(sf[fi] - st[ti])
+            lo_t, hi_t = max(0, ti - h), min(ti_m, ti + h)
+            lo_f, hi_f = max(0, fi - h), min(fi_m, fi + h)
+            ders[idx] = abs(
+                max(
+                    abs(c - abs(sf[fi] - st[lo_t])) / h,
+                    abs(c - abs(sf[fi] - st[hi_t])) / h,
+                    abs(c - abs(sf[lo_f] - st[ti])) / h,
+                    abs(c - abs(sf[hi_f] - st[ti])) / h,
+                )
+            )
+        floor = np.max(ders) * 0.1
+        ders[ders < floor] = floor
+        return ders
+
+    def _deriv2(self, points: np.ndarray, h: int = 1) -> np.ndarray:
+        """Second derivative (centered differences along each axis,
+        max of |axis values|; clamped at borders)."""
+        sf, st = self.series_from, self.series_to
+        fi_m = len(sf) - h - 1
+        ti_m = len(st) - h - 1
+        ders = np.zeros(len(points))
+        for idx, (fi, ti) in enumerate(points):
+            c = abs(sf[fi] - st[ti])
+            lo_t, hi_t = max(0, ti - h), min(ti_m, ti + h)
+            lo_f, hi_f = max(0, fi - h), min(fi_m, fi + h)
+            ders[idx] = abs(
+                max(
+                    abs(abs(sf[fi] - st[lo_t]) + abs(sf[fi] - st[hi_t]) - 2 * c) / h**2,
+                    abs(abs(sf[hi_f] - st[ti]) + abs(sf[lo_f] - st[ti]) - 2 * c) / h**2,
+                )
+            )
+        return ders
+
+    def _split_pathdiff(self, points: np.ndarray, i0: int, i1: int) -> int:
+        """Largest cost increase when projecting the path point onto
+        the straight segment (horizontal and vertical projections)."""
+        sf, st = self.series_from, self.series_to
+        p0, p1 = points[i0], points[i1]
+        s_tf = (p1[1] - p0[1]) / (p1[0] - p0[0])
+        s_ft = (p1[0] - p0[0]) / (p1[1] - p0[1])
+        max_f = len(sf) - 1
+        max_t = len(st) - 1
+        best, best_idx = 0.0, i0
+        for idx in range(i0 + 1, i1):
+            fi, ti = points[idx]
+            c_o = _inner_sq(sf[fi], st[ti])
+            lf = min(int(s_tf * (ti - p0[1]) + p0[0]), max_f)
+            diff = _inner_sq(sf[lf], st[ti]) - c_o
+            lt = min(int(s_ft * (fi - p0[0]) + p0[1]), max_t)
+            diff = max(diff, _inner_sq(sf[fi], st[lt]) - c_o)
+            if diff > best:
+                best, best_idx = diff, idx
+        return best_idx
+
+    def _split_deriv(self, ders2: np.ndarray, i0: int, i1: int) -> int:
+        best, best_idx = 0.0, i0
+        for idx in range(i0 + 1, i1):
+            if ders2[idx] > best:
+                best, best_idx = ders2[idx], idx
+        return best_idx
+
+    def _split_derivdist(
+        self, ders1: np.ndarray, ders2: np.ndarray, points: np.ndarray, i0: int, i1: int
+    ) -> int:
+        """Second-order Taylor mix of spatial deviation with the local
+        cost derivatives: score = d1*dist + d2*dist^2/2."""
+        p0 = points[i0].astype(np.float64)
+        p1 = points[i1].astype(np.float64)
+        nsq = float(np.linalg.norm(p1 - p0)) ** 2
+        best, best_idx = 0.0, i0
+        for idx in range(i0, i1):
+            p = points[idx].astype(np.float64)
+            if np.allclose(p0, p1):
+                dist = float(np.linalg.norm(p - p0))
+            else:
+                t = ((p[0] - p0[0]) * (p1[0] - p0[0]) + (p[1] - p0[1]) * (p1[1] - p0[1])) / nsq
+                if t < 0:
+                    dist = float(np.linalg.norm(p - p0))
+                elif t > 1:
+                    dist = float(np.linalg.norm(p - p1))
+                else:
+                    pt = np.array([p0[0] + t * (p1[0] - p0[0]), p0[1] + t * (p1[1] - p0[1])])
+                    dist = float(np.linalg.norm(p - pt))
+            score = ders1[idx] * dist + 0.5 * ders2[idx] * dist**2
+            if score > best:
+                best, best_idx = score, idx
+        return best_idx
+
+    def _make_split_selector(self, points: np.ndarray):
+        if self.split_strategy == "spatialdist":
+            return lambda i0, i1: self._farthest_point(points, i0, i1)
+        if self.split_strategy == "pathdiff":
+            return lambda i0, i1: self._split_pathdiff(points, i0, i1)
+        if self.split_strategy == "deriv":
+            ders2 = self._deriv2(points)
+            return lambda i0, i1: self._split_deriv(ders2, i0, i1)
+        if self.split_strategy == "derivdist":
+            ders1 = self._deriv1(points)
+            ders2 = self._deriv2(points)
+            return lambda i0, i1: self._split_derivdist(ders1, ders2, points, i0, i1)
+        raise AttributeError(f"Unknown split strategy: {self.split_strategy}")
+
     # -- simplification ---------------------------------------------------
 
     def _simplify(self, points: np.ndarray) -> List[int]:
@@ -251,6 +369,7 @@ class ExplainPair:
         if self.approx_type == "max_index":
             keep = _rdp_spatial(points, self.delta_abs)
         else:
+            split_at = self._make_split_selector(points)
             ub_m, ub_a = self._tolerance_factors(ccost_o, n)
             keep = set()
             queue = deque([(0, n - 1)])
@@ -270,7 +389,7 @@ class ExplainPair:
                     keep.add(i0)
                     keep.add(i1)
                 else:
-                    mid = self._farthest_point(points, i0, i1)
+                    mid = split_at(i0, i1)
                     if mid == i0:
                         mid = i0 + 1
                     queue.append((i0, mid))

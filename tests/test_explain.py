@@ -20,6 +20,9 @@ CONFIGS = [
     dict(approx_type="max_dist", delta_abs=3.0),
     dict(delta_rel=1, delta_abs=0.3, approx_local=False),
     dict(delta_rel=1, delta_abs=0.3, onlychanges=3),
+    dict(delta_rel=1, delta_abs=0.3, split_strategy="pathdiff"),
+    dict(delta_rel=1, delta_abs=0.3, split_strategy="deriv"),
+    dict(delta_rel=1, delta_abs=0.3, split_strategy="derivdist"),
 ]
 
 
