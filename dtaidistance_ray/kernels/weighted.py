@@ -91,6 +91,92 @@ def warping_paths(s1, s2, weights=None, window: Optional[int] = None, **_kwargs)
     return paths[l1 - 1, l2 - 1], paths
 
 
+def _largest_ml_below_cl(mls, cls) -> float:
+    """Largest must-link value that stays below every cannot-link value."""
+    mls = sorted(mls)
+    cls = sorted(cls)
+    cl_floor = cls[0] if cls else INF
+    best = 0.0
+    for v in mls:
+        if v > cl_floor:
+            return best
+        if v > best:
+            best = v
+    return best
+
+
+def _smallest_cl_above_ml(cls, mls, keep_largest: bool = True) -> float:
+    """Smallest cannot-link value above every must-link value; when
+    none qualifies and keep_largest, fall back to the largest cl."""
+    mls = sorted(mls)
+    cls = sorted(cls)
+    ml_ceil = mls[-1] if mls else 0.0
+    best = INF
+    for v in reversed(cls):
+        if v < ml_ceil:
+            break
+        if v < best:
+            best = v
+    if keep_largest and np.isinf(best) and cls:
+        best = cls[-1]
+    return best
+
+
+def compute_weights_from_mlclvalues(serie, ml_values, cl_values, only_max=False,
+                                    strict_cl=True, **_kwargs):
+    """Per-point weight profiles from must-link / cannot-link distance
+    observations (reference dtw_weighted.py:441-543 semantics).
+
+    ml_values / cl_values: dict idx -> (neg list, pos list) of observed
+    |differences| toward same-class / other-class series. The dead zone
+    ends inside the must-link range, the amplification zone starts at
+    the cleaned cannot-link minimum:
+
+        x1 = min(1.5*ml_max, x3); x0 = x1/2; x3 = cl_min; x2 = 0.9*x3
+        (x1 and x2 meet at their midpoint if they cross)
+    """
+    n = len(serie)
+    w = np.zeros((n, 8), dtype=np.double)
+    w[:, 0:2] = INF
+    w[:, 6:8] = INF
+
+    bounds = {side: np.zeros((n, 3)) for side in (0, 1)}
+    for idx in range(n):
+        for side in (0, 1):  # 0 = negative differences, 1 = positive
+            mls = list(ml_values[idx][side]) if idx in ml_values else []
+            cls = list(cl_values[idx][side]) if idx in cl_values else []
+            ml_max = _largest_ml_below_cl(mls, cls)
+            cl_min = _smallest_cl_above_ml(cls, mls, strict_cl)
+            diff = 0.0 if np.isinf(cl_min) else cl_min - ml_max
+            bounds[side][idx] = [ml_max, cl_min, diff]
+
+    if only_max:
+        # keep the cl-min only where the ml/cl margin is widest
+        for side in (0, 1):
+            b = bounds[side]
+            widest = b[:, 2] == np.max(b[:, 2])
+            kept = b[:, 1][widest]
+            b[:, 1] = INF
+            b[:, 1][widest] = kept
+
+    for idx in range(n):
+        row = []
+        for side in (0, 1):
+            ml_max, cl_min, _ = bounds[side][idx]
+            x1 = 1.5 * ml_max
+            x3 = cl_min
+            if x1 > x3:
+                x1 = x3
+            x0 = 0.5 * x1
+            x2 = 0.9 * x3
+            if x2 < x1:
+                x1 = x2 = (x1 + x2) / 2
+            row.append((x0, x1, x2, x3))
+        (n0, n1, n2, n3), (p0, p1, p2, p3) = row
+        w[idx, :] = [n3, n2, n1, n0, p0, p1, p2, p3]
+    return w
+
+
 def distance_matrix(s, weights: Dict[int, np.ndarray], window: Optional[int] = None,
                     **_kwargs):
     """Pairwise weighted distances (reference dtw_weighted.py:121-152):

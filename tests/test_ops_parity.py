@@ -294,3 +294,35 @@ class TestWeightedDTW:
         mr = ref_w.distance_matrix(s, wts, window=2)
         mo = our_w.distance_matrix(s, wts, window=2)
         np.testing.assert_allclose(mo, mr, rtol=1e-10)
+
+    def test_compute_weights_from_mlclvalues(self):
+        import copy
+        from collections import defaultdict
+
+        from dtaidistance import dtw_weighted as ref_w
+        from dtaidistance_ray.kernels import weighted as our_w
+
+        rng = np.random.default_rng(0)
+        for _ in range(6):
+            n = int(rng.integers(5, 20))
+            serie = rng.normal(size=n)
+            ml = defaultdict(lambda: ([], []))
+            cl = defaultdict(lambda: ([], []))
+            for idx in range(n):
+                if rng.random() < 0.8:
+                    ml[idx][0].extend(rng.uniform(0, 2, rng.integers(0, 5)).tolist())
+                    ml[idx][1].extend(rng.uniform(0, 2, rng.integers(0, 5)).tolist())
+                if rng.random() < 0.8:
+                    cl[idx][0].extend(rng.uniform(0, 4, rng.integers(0, 5)).tolist())
+                    cl[idx][1].extend(rng.uniform(0, 4, rng.integers(0, 5)).tolist())
+            for om in (False, True):
+                for sc in (True, False):
+                    got = our_w.compute_weights_from_mlclvalues(
+                        serie, copy.deepcopy(dict(ml)), copy.deepcopy(dict(cl)),
+                        only_max=om, strict_cl=sc,
+                    )
+                    want = ref_w.compute_weights_from_mlclvalues(
+                        serie, copy.deepcopy(dict(ml)), copy.deepcopy(dict(cl)),
+                        only_max=om, strict_cl=sc,
+                    )
+                    np.testing.assert_allclose(got, want, rtol=1e-12)
