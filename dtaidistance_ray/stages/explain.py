@@ -35,7 +35,7 @@ tests/test_explain.py across types and tolerances.
 from __future__ import annotations
 
 import heapq
-from bisect import bisect_left, insort
+from bisect import bisect_left
 from collections import defaultdict, deque
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
