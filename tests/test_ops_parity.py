@@ -326,3 +326,61 @@ class TestWeightedDTW:
                         only_max=om, strict_cl=sc,
                     )
                     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+class TestWeightedDTWDecisionTree:
+    """series_to_dt / compute_weights_using_dt parity vs the reference
+    (its own DecisionTreeClassifier; sklearn is absent both here and as
+    the reference's fallback). The reference needs a test-only np.int
+    shim on modern NumPy."""
+
+    @staticmethod
+    def _canon_cl(cl):
+        return {
+            int(k): (sorted(map(float, v[0])), sorted(map(float, v[1])))
+            for k, v in dict(cl).items()
+        }
+
+    def test_series_to_dt_parity(self):
+        np.int = int  # removed alias the reference still uses
+        from dtaidistance import dtw_weighted as ref_w
+        from dtaidistance_ray.kernels import weighted_dt as our_dt
+
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            n_series = int(rng.integers(6, 12))
+            length = int(rng.integers(8, 16))
+            base = rng.normal(size=length)
+            series = np.stack(
+                [base + rng.normal(scale=(0.1 if i % 2 else 1.0), size=length)
+                 for i in range(n_series)]
+            )
+            labels = np.array([1 if i % 2 else 0 for i in range(n_series)])
+            labels[0] = 1
+            for kw in [dict(), dict(max_clfs=2), dict(window=3), dict(patternlen=6)]:
+                rml, rcl, _, _ = ref_w.series_to_dt(series, labels, 0, **kw)
+                oml, ocl, _, _ = our_dt.series_to_dt(series, labels, 0, **kw)
+                assert self._canon_cl(rml) == self._canon_cl(oml), kw
+                assert self._canon_cl(rcl) == self._canon_cl(ocl), kw
+            rw, _ = ref_w.compute_weights_using_dt(series, labels, 0)
+            ow, _ = our_dt.compute_weights_using_dt(series, labels, 0)
+            np.testing.assert_allclose(ow, rw, rtol=1e-12)
+
+    def test_weighted_distance_separates_classes(self):
+        # end-to-end: DT-learned weights make the prototype closer to
+        # its must-link series than to cannot-link series
+        from dtaidistance_ray.kernels import weighted as our_w
+        from dtaidistance_ray.kernels import weighted_dt as our_dt
+
+        rng = np.random.default_rng(3)
+        base = np.sin(np.linspace(0, 3 * np.pi, 24))
+        series = np.stack(
+            [base + rng.normal(scale=0.05, size=24) for _ in range(4)]
+            + [base + np.where(np.arange(24) % 7 == 0, 3.0, 0.0)
+               + rng.normal(scale=0.05, size=24) for _ in range(4)]
+        )
+        labels = np.array([1, 1, 1, 1, 0, 0, 0, 0])
+        w, _ = our_dt.compute_weights_using_dt(series, labels, 0)
+        d_ml = [our_w.warping_paths(series[0], series[i], w)[0] for i in (1, 2, 3)]
+        d_cl = [our_w.warping_paths(series[0], series[i], w)[0] for i in (4, 5, 6, 7)]
+        assert max(d_ml) < min(d_cl), (d_ml, d_cl)
