@@ -638,6 +638,7 @@ GOLDEN_QUERIES = (
     "explain_pairs_tokens",
     "multimodal_decode_real",
     "multimodal_audio_features",
+    "ann_ivf_topk",
 )
 
 

@@ -400,7 +400,35 @@ def check_multimodal_audio(got: pd.DataFrame):
     return "direct WAV decode + numpy recompute of rms / dominant frequency"
 
 
+def check_ann_ivf_topk(got: pd.DataFrame):
+    # independent recompute: same deterministic centroids (train sample
+    # = first train_size rows by storage order), probing, and scoring
+    from dtaidistance_ray.stages.ann import _kmeans_centroids
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    ids = emb["vec_id"].astype(int).to_numpy()
+    cent = _kmeans_centroids(m[:2048], 16)
+    q = m[int(np.argmin(ids))]
+    qn = q / np.linalg.norm(q)
+    probe = set(np.argsort(-(cent @ qn))[:4].tolist())
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    assign = np.argmax(mn @ cent.T, axis=1)
+    keep = np.array([a in probe for a in assign])
+    sims = np.round(mn[keep] @ qn, 6)
+    kid = ids[keep]
+    order = np.lexsort((kid, -sims))[:10]
+    want = list(zip(kid[order], sims[order]))
+    ours = list(zip(got["vec_id"].astype(int), got["cos_sim"]))
+    # compare as sorted sets (driver sorts rows canonically anyway)
+    assert sorted(want) == sorted((int(a), float(b)) for a, b in ours), (want, ours)
+    return "driver-side numpy recompute of the IVF probe + scoring from raw parquet"
+
+
 CHECKS = {
+    "ann_ivf_topk": check_ann_ivf_topk,
     "multimodal_decode_real": check_multimodal_decode_real,
     "multimodal_audio_features": check_multimodal_audio,
     "warping_path_lowmem_tokens": check_warping_path_lowmem,
