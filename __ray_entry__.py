@@ -548,6 +548,50 @@ def _q_explain_pairs(sf_dir: str):
     return explain_pairs_dataset(pairs, delta_rel=1, delta_abs=2.0)
 
 
+def _q_tokens_rollup_payload_crc(sf_dir: str):
+    """Gorilla-encoded representative payloads of every tier, reduced
+    to crc32 per (tier, source, bucket) — hash-checks the encode path
+    end-to-end in the gate (golden = the single-process oracle's rows
+    encoded with the same codec)."""
+    import zlib
+
+    import pandas as pd
+
+    from dtaidistance_ray.pipelines.flagship import build_tiers
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
+
+    spec = _token_spec(sf_dir)
+    cfg = RollupConfig()
+    tiers = build_tiers(token_table(spec), spec, cfg)
+
+    def crc(tier):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["source", "bucket"]].copy()
+            out.insert(0, "tier", tier)
+            out["payload_crc"] = [zlib.crc32(bytes(p)) for p in batch["repr_gorilla"]]
+            out["payload_crc"] = out["payload_crc"].astype("int64")
+            out["tier"] = out["tier"].astype("int64")
+            out["bucket"] = out["bucket"].astype("int64")
+            return out
+
+        return fn
+
+    # the staged per-tier path: bit-exact vs the single-process oracle
+    # (the fused metrics path may differ by float-summation ULPs on
+    # upper-tier averages — see downstream_fused docstring)
+    parts = [
+        encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t]).map_batches(
+            crc(t), batch_format="pandas"
+        )
+        for t in range(len(cfg.tier_widths))
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def _q_minhash_signatures(sf_dir: str):
     """MinHash signatures in long format (doc_id, perm, sig) — the
     permutation slots become rows so the values hash in the gate."""
@@ -639,6 +683,7 @@ GOLDEN_QUERIES = (
     "multimodal_decode_real",
     "multimodal_audio_features",
     "ann_ivf_topk",
+    "tokens_rollup_payload_crc",
 )
 
 
@@ -689,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
         "tokens_rollup_tier0_repr": _q_tokens_rollup_tier0_repr,
+        "tokens_rollup_payload_crc": _q_tokens_rollup_payload_crc,
         "warping_path_lowmem_tokens": _q_warping_path_lowmem,
         "dtw_weighted_matrix": _q_dtw_weighted_matrix,
         "explain_pairs_tokens": _q_explain_pairs,

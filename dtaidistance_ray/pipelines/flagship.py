@@ -122,8 +122,15 @@ def downstream_fused(tier0, cfg: RollupConfig):
     of 5+ small per-tier Ray round-trips, one map over ~4x#cpus range
     descriptors computes all remaining tiers and payloads — and the
     hot-source straggler splits across shards. Same per-range functions
-    as the staged path (promote_frame / gap_fill_frame / encode_frame):
-    rows are bit-identical (asserted in tests/test_rollup.py).
+    as the staged path (promote_frame / gap_fill_frame / encode_frame).
+    Values match the staged path up to float-summation ORDER on
+    upper-tier DBA averages: shard composition changes the co-batched
+    kernel's member accumulation order, so ~0.3% of tier>=1 repr values
+    differ by 1 ULP (tier 0 stays bit-exact — integer sums are
+    order-free). The checkpoint/write pipeline and the oracle-checked
+    queries use the staged per-source path, which IS bit-exact vs the
+    single-process oracle; this fused pass serves the metrics/bench
+    path (asserted to tolerance in tests/test_rollup.py).
 
     tier0: Dataset or DataFrame of tier-0 rows (key-space sized; the
     scan path assembles it on the driver anyway). For key-spaces too

@@ -173,7 +173,11 @@ class TestEmptyTokenRows:
 
 
 class TestFusedDownstream:
-    def test_fused_rows_bit_equal_staged(self, ray_session):
+    def test_fused_rows_match_staged(self, ray_session):
+        # value equality at assert_frame_equal's float tolerance: the
+        # range-sharded pass may differ from the staged path by 1 ULP
+        # on upper-tier DBA averages (float-summation order; tier 0 is
+        # bit-exact - integer sums are order-free)
         import pandas as pd
         from dtaidistance_ray.pipelines.flagship import build_tiers, downstream_fused
         from dtaidistance_ray.stages.rollup import encode_tier, gap_fill_tier

@@ -427,7 +427,30 @@ def check_ann_ivf_topk(got: pd.DataFrame):
     return "driver-side numpy recompute of the IVF probe + scoring from raw parquet"
 
 
+def check_payload_crc(got: pd.DataFrame):
+    import zlib
+
+    import __ray_entry__ as E
+    from dtaidistance_ray.pipelines.flagship import rollup_oracle
+    from dtaidistance_ray.stages.rollup import RollupConfig, encode_frame
+
+    spec = E._token_spec(SF_DIR)
+    tiers = rollup_oracle(spec, RollupConfig())
+    want = {}
+    for t, frame in tiers.items():
+        enc = encode_frame(frame)
+        for src, bkt, payload in zip(enc["source"], enc["bucket"], enc["repr_gorilla"]):
+            want[(int(t), src, int(bkt))] = zlib.crc32(bytes(payload))
+    ours = {
+        (int(t), s, int(b)): int(c)
+        for t, s, b, c in zip(got["tier"], got["source"], got["bucket"], got["payload_crc"])
+    }
+    assert want == ours, (len(want), len(ours))
+    return "single-process rollup_oracle rows encoded with the same codec (crc equality per (tier, source, bucket))"
+
+
 CHECKS = {
+    "tokens_rollup_payload_crc": check_payload_crc,
     "ann_ivf_topk": check_ann_ivf_topk,
     "multimodal_decode_real": check_multimodal_decode_real,
     "multimodal_audio_features": check_multimodal_audio,
