@@ -389,3 +389,168 @@ class KMeans:
         }
         self.inertia = float(np.sum(dists**2))
         return self.cluster_idx
+
+
+class KMeansReferenceParity:
+    """Call-for-call mirror of the reference KMeans.fit
+    (clustering/kmeans.py:96-420; use_parallel=False, 1-D, pure
+    Python): identical global np.random / random draw sequence
+    (k-means++ init), identical assignment / drop_stddev trimming /
+    empty-cluster rescue / DBA update order — so from an identically
+    seeded global RNG state it reproduces the reference's exact
+    clusters and means (asserted in tests/test_ops_parity.py). The
+    engine's scalable KMeans above keeps its own explicit-RNG design;
+    this class pins the reference's stochastic path, including its
+    quirks (the DBA update ignores dists_options; the non-k-means++
+    init draws indices it does not use)."""
+
+    def __init__(self, k, max_it=10, max_dba_it=10, thr=0.0001, drop_stddev=None,
+                 initialize_with_kmeanspp=True, initialize_sample_size=None,
+                 settings: Optional[DTWSettings] = None):
+        self.k = k
+        self.max_it = max_it
+        self.max_dba_it = max_dba_it
+        self.thr = thr
+        self.drop_stddev = drop_stddev
+        self.initialize_with_kmeanspp = initialize_with_kmeanspp
+        self.initialize_sample_size = initialize_sample_size
+        self.settings = settings or DTWSettings()
+        self.means = [None] * k
+        self.cluster_idx: Dict[int, Set[int]] = {}
+
+    def _dist_row_sq(self, seqs, idx) -> np.ndarray:
+        from ..kernels.pairs_batch import batched_pair_distances, pairs_supported
+
+        if pairs_supported(self.settings):
+            d = batched_pair_distances([seqs[idx]] * len(seqs), seqs, self.settings)
+        else:
+            d = np.array([dtw_distance(seqs[idx], s, self.settings) for s in seqs])
+        return np.power(d, 2)
+
+    def _kmeanspp(self, seqs) -> List[np.ndarray]:
+        import math as _math
+
+        if self.initialize_sample_size is None:
+            n_samples = min(2 + int(_math.log(self.k)), len(seqs) - self.k)
+        else:
+            n_samples = self.initialize_sample_size
+        dists = np.empty((n_samples, len(seqs)))
+        idx = np.random.randint(0, len(seqs))
+        min_dists = self._dist_row_sq(seqs, idx)
+        indices = [idx]
+        for _k_idx in range(1, self.k):
+            total = np.sum(min_dists)
+            weights = None if total == 0.0 else min_dists / total
+            idx_cand = np.random.choice(len(min_dists), size=n_samples, replace=False, p=weights)
+            for s_idx, cand in enumerate(idx_cand):
+                dists[s_idx, :] = np.minimum(self._dist_row_sq(seqs, cand), min_dists)
+            best = int(np.argmin(np.sum(dists, axis=1)))
+            indices.append(int(idx_cand[best]))
+            min_dists = dists[best, :].copy()
+        return [seqs[i] for i in indices]
+
+    def fit(self, series) -> Tuple[Dict[int, Set[int]], int]:
+        import math as _math
+        import random as _random
+
+        from ..kernels.dba import dba_loop
+
+        seqs = [np.asarray(s, dtype=np.float64) for s in series]
+        n = len(seqs)
+        mask = np.full((self.k, n), False, dtype=bool)
+        mask_new = np.full((self.k, n), False, dtype=bool)
+        performed_it = 1
+        drop_stddev = max(self.drop_stddev, 4) if self.drop_stddev is not None else None
+
+        if self.initialize_with_kmeanspp:
+            self.means = self._kmeanspp(seqs)
+        else:
+            indices = np.random.choice(range(n), self.k, replace=False)
+            # reference quirk: ignores `indices`, draws again per slot
+            self.means = [seqs[_random.randint(0, n - 1)] for _ki in indices]
+
+        def assign():
+            out = []
+            for s in seqs:
+                best_i, best_d = -1, float("inf")
+                for i, avg in enumerate(self.means):
+                    d = dtw_distance(s, avg, self.settings)
+                    if d < best_d:
+                        best_d, best_i = d, i
+                out.append((best_i, best_d))
+            return out
+
+        for it_nb in range(self.max_it):
+            performed_it += 1
+            clusters_distances = assign()
+            distances = [d for _, d in clusters_distances]
+
+            best_medoid = [0] * self.k
+            best_dist = [float("inf")] * self.k
+            for idx, (cluster, d) in enumerate(clusters_distances):
+                if d < best_dist[cluster]:
+                    best_dist[cluster] = d
+                    best_medoid[cluster] = idx
+
+            if self.drop_stddev is not None and self.drop_stddev != 0:
+                stats = [[0.0, 0.0, 0] for _ in range(self.k)]
+                for cluster, d in clusters_distances:
+                    stats[cluster][0] += d
+                    stats[cluster][2] += 1
+                for ki in range(self.k):
+                    stats[ki][0] = 0 if stats[ki][2] == 0 else stats[ki][0] / stats[ki][2]
+                for cluster, d in clusters_distances:
+                    stats[cluster][1] += (stats[cluster][0] - d) ** 2
+                max_value = []
+                for ki in range(self.k):
+                    if stats[ki][2] == 0:
+                        stats[ki][1] = 0
+                    else:
+                        stats[ki][1] = _math.sqrt(stats[ki][1] / stats[ki][2])
+                    max_value.append(stats[ki][0] + stats[ki][1] * drop_stddev)
+                drop_stddev = (drop_stddev + self.drop_stddev) / 2
+            else:
+                max_value = None
+
+            mask_new[:, :] = False
+            for idx, (cluster, d) in enumerate(clusters_distances):
+                if max_value is None or d <= max_value[cluster]:
+                    mask_new[cluster, idx] = True
+            if (mask == mask_new).all():
+                break
+            mask[:, :] = mask_new
+            for ki in range(self.k):
+                if not mask[ki, :].any():
+                    idx = int(np.argmax(distances))
+                    mask[:, idx] = False
+                    mask[ki, idx] = True
+                    distances[idx] = 0
+
+            # DBA update — reference quirk: runs with DEFAULT dtw
+            # settings regardless of the assignment's dists_options
+            new_means = [
+                dba_loop(
+                    [seqs[i] for i in range(n) if mask[ki, i]],
+                    c=seqs[best_medoid[ki]],
+                    max_it=self.max_dba_it,
+                    thr=self.thr,
+                )
+                for ki in range(self.k)
+            ]
+            diff = 0.0
+            difflen = 0
+            for ki in range(self.k):
+                curlen = min(len(new_means[ki]), len(self.means[ki]))
+                difflen += curlen
+                for a, b in zip(new_means[ki], self.means[ki]):
+                    diff += abs(a - b)
+                self.means[ki] = new_means[ki]
+            diff /= difflen
+            if diff <= self.thr:
+                break
+
+        clusters_distances = assign()
+        self.cluster_idx = {ki: set() for ki in range(self.k)}
+        for idx, (cluster, _d) in enumerate(clusters_distances):
+            self.cluster_idx[cluster].add(idx)
+        return self.cluster_idx, performed_it

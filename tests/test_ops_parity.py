@@ -384,3 +384,33 @@ class TestWeightedDTWDecisionTree:
         d_ml = [our_w.warping_paths(series[0], series[i], w)[0] for i in (1, 2, 3)]
         d_cl = [our_w.warping_paths(series[0], series[i], w)[0] for i in (4, 5, 6, 7)]
         assert max(d_ml) < min(d_cl), (d_ml, d_cl)
+
+
+class TestKMeansExactRNGParity:
+    def test_reference_rng_replica(self):
+        """KMeansReferenceParity replays the reference KMeans.fit
+        call-for-call: identical seeded global RNG state => identical
+        clusters, iteration counts, and bit-equal means."""
+        import random
+
+        from dtaidistance.clustering.kmeans import KMeans as RefKMeans
+        from dtaidistance_ray.stages.clustering import KMeansReferenceParity
+
+        rng = np.random.default_rng(0)
+        for trial in range(2):
+            n = int(rng.integers(15, 30))
+            L = int(rng.integers(10, 20))
+            seqs = [np.cumsum(rng.normal(size=L)) for _ in range(n)]
+            for kw in [dict(k=3), dict(k=3, drop_stddev=2)]:
+                np.random.seed(42 + trial)
+                random.seed(42 + trial)
+                ref = RefKMeans(dists_options={"window": 5}, show_progress=False, **kw)
+                rci, rits = ref.fit(seqs, use_parallel=False)
+                np.random.seed(42 + trial)
+                random.seed(42 + trial)
+                ours = KMeansReferenceParity(settings=DTWSettings(window=5), **kw)
+                oci, oits = ours.fit(seqs)
+                assert rits == oits
+                assert {k: set(v) for k, v in rci.items()} == oci
+                for a, b in zip(ref.means, ours.means):
+                    np.testing.assert_array_equal(np.asarray(a, dtype=np.float64), b)
