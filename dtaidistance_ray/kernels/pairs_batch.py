@@ -118,6 +118,7 @@ def batched_pair_distances(
     s = settings or DTWSettings()
     n = len(s1s)
     out = np.full(n, INF)
+    ndim_pairs: List[int] = []  # multi-dimensional: scalar kernel path
     classes: Dict[Tuple[int, int], List[int]] = {}
     lens1 = np.array([len(x) for x in s1s], dtype=np.int64)
     lens2 = np.array([len(x) for x in s2s], dtype=np.int64)
@@ -125,6 +126,9 @@ def batched_pair_distances(
         r, m = int(lens1[k]), int(lens2[k])
         if r == 0 or m == 0 or abs(r - m) > s.adj_max_length_diff:
             continue  # inf (reference max_length_diff semantics)
+        if np.ndim(s1s[k]) > 1 or np.ndim(s2s[k]) > 1:
+            ndim_pairs.append(k)
+            continue
         classes.setdefault((_ladder(r), _ladder(m)), []).append(k)
     for (R, M), ks in classes.items():
         B = len(ks)
@@ -141,4 +145,12 @@ def batched_pair_distances(
         )
         d = _class_distances(C, c_lens, S, s_lens, windows, s.adj_penalty)
         out[np.asarray(ks)] = d
-    return np.array([s.result(v) for v in out])
+    result = np.array([s.result(v) for v in out])
+    if ndim_pairs:
+        # the class DP packs scalar rows; ndim pairs (vector inner
+        # cost) use the scalar kernel, which applies s.result itself
+        from .elastic import distance as _scalar_distance
+
+        for k in ndim_pairs:
+            result[k] = _scalar_distance(s1s[k], s2s[k], s)
+    return result

@@ -242,3 +242,13 @@ class TestRealMediaCodecs:
         # pure sine waves: rms ~ 12000/32768/sqrt(2), dominant freq in band
         assert ((out["rms"] - 0.2589).abs() < 0.01).all()
         assert out["dominant_hz"].between(90, 2100).all()
+
+    def test_ndim_pairs_fall_back_to_scalar(self):
+        from dtaidistance_ray.kernels.pairs_batch import batched_pair_distances
+
+        rng = np.random.default_rng(9)
+        s1s = [rng.normal(size=(20, 3)), rng.normal(size=30)]
+        s2s = [rng.normal(size=(25, 3)), rng.normal(size=28)]
+        got = batched_pair_distances(s1s, s2s, DTWSettings())
+        want = [dtw_distance(a, b) for a, b in zip(s1s, s2s)]
+        np.testing.assert_allclose(got, want, rtol=1e-12)
