@@ -117,6 +117,11 @@ def warping_path_lowmem(
         raise ValueError("only the default inner distance is supported when use_lowmem=True")
     s1 = np.asarray(s1, dtype=np.float64)
     s2 = np.asarray(s2, dtype=np.float64)
+    if s1.ndim > 1 or s2.ndim > 1:
+        raise ValueError(
+            "warping_path_lowmem supports 1-D series; use the full-matrix "
+            "warping_path for multi-dimensional input"
+        )
     penalty = s.adj_penalty
     out: List[Tuple[int, int]] = []
     _hirschberg(s1, s2, 0, 0, penalty, max(2, switch_to_full), out)

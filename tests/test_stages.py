@@ -177,6 +177,9 @@ class TestLowmemWarpingPath:
                 warping_path_lowmem(s1, s2, DTWSettings(**bad))
         # warping_path_fast dispatch
         assert warping_path_fast(s1, s2, use_lowmem=False) == warping_path(s1, s2)
+        # ndim input raises clearly (the full-matrix path handles ndim)
+        with pytest.raises(ValueError):
+            warping_path_lowmem(np.zeros((10, 2)), np.zeros((12, 2)))
 
 
 class TestIvfTopk:
