@@ -636,6 +636,7 @@ def explain_pairs_dataset(pairs, sf_dir: Optional[str] = None, **kwargs):
                         "elasticity": int(s.elasticity),
                     }
                 )
-        return pd.DataFrame(rows)
+        cols = ["pair_id", "s_idx", "e_idx", "s_idx_y", "e_idx_y", "shift", "elasticity"]
+        return pd.DataFrame(rows, columns=cols)
 
     return pairs.map_batches(explain_batch, batch_format="pandas", concurrency=2)

@@ -213,7 +213,10 @@ class AudioFeatures:
             rms = float(np.sqrt(np.mean(x * x)))
             zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
             spec = np.abs(np.fft.rfft(x))
-            dom_hz = float(np.fft.rfftfreq(len(x), 1.0 / rate)[int(np.argmax(spec[1:])) + 1])
+            if len(spec) > 1:
+                dom_hz = float(np.fft.rfftfreq(len(x), 1.0 / rate)[int(np.argmax(spec[1:])) + 1])
+            else:
+                dom_hz = 0.0  # too short for a non-DC bin
             rows.append((mid, round(rms, 6), round(zcr, 6), round(dom_hz, 2)))
         return pd.DataFrame(rows, columns=["media_id", "rms", "zcr", "dominant_hz"])
 
