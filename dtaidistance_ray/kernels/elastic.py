@@ -268,7 +268,11 @@ def distance(s1, s2, settings: Optional[DTWSettings] = None) -> float:
             d = min(float(vc.min()), psi_shortest)
         else:
             d = min(last[ic], psi_shortest)
-    if max_dist and d > max_dist:
+    # Relative tolerance on the cutoff: at the exact d == max_dist
+    # boundary (e.g. use_pruning where the diagonal path IS the
+    # Euclidean upper bound) last-ULP rounding of sum-of-squares vs
+    # (sqrt(sum))**2 would otherwise flip the strict `>` arbitrarily.
+    if max_dist and d > max_dist * (1.0 + 1e-12):
         d = INF
     return float(s.result(d))
 

@@ -10,10 +10,14 @@ arrays hold only the Sakoe-Chiba band in per-pair diagonal coordinates
 length ladder so padding waste is bounded.
 
 Supported settings: window (per-pair effective), penalty,
-max_length_diff, use_pruning (a no-op for the VALUE: DTW through the
-band never exceeds the Euclidean upper bound, so pruning only skips
-work, never changes the result). psi / max_step / max_dist fall back
-to the scalar kernel in the callers.
+max_length_diff, use_pruning. use_pruning is NOT value-neutral: the
+reference (dtw.py:199-203 + the final ``d > max_dist`` check) returns
+inf when the DTW cost exceeds ub_euclidean, and ub_euclidean's
+unequal-length tail truncation (or a nonzero penalty) makes that
+reachable — so this kernel post-applies the same cutoff per pair
+after the exact DP (parity asserted in tests/test_stages.py).
+psi / max_step / max_dist fall back to the scalar kernel in the
+callers.
 """
 
 from __future__ import annotations
@@ -145,6 +149,21 @@ def batched_pair_distances(
         )
         d = _class_distances(C, c_lens, S, s_lens, windows, s.adj_penalty)
         out[np.asarray(ks)] = d
+    if s.use_pruning and (s.max_dist is None or s.max_dist == 0):
+        # Reference PrunedDTW semantics: the accumulated (inner-domain)
+        # cost is compared against ub_euclidean and the result is inf
+        # when it exceeds it (mirrors elastic.distance's final check).
+        from .elastic import ub_euclidean
+
+        for ks in classes.values():
+            for k in ks:
+                if out[k] == INF:
+                    continue
+                md = s.inner_val(ub_euclidean(s1s[k], s2s[k], s.inner_dist))
+                # same relative tolerance as elastic.distance's final
+                # check (d == ub boundary is rounding-order dependent)
+                if md and out[k] > md * (1.0 + 1e-12):
+                    out[k] = INF
     result = np.array([s.result(v) for v in out])
     if ndim_pairs:
         # the class DP packs scalar rows; ndim pairs (vector inner

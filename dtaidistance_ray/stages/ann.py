@@ -176,7 +176,10 @@ def _kmeans_centroids(sample: np.ndarray, nlist: int, iters: int = 8, seed: int 
     """Small driver-side spherical k-means for IVF coarse quantization
     (deterministic; the sample is bounded, not the corpus)."""
     rng = np.random.default_rng(seed)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # zero embeddings must not poison centroids
+    sample = sample / norms
+    nlist = min(nlist, len(sample))  # choice(replace=False) needs n >= nlist
     cent = sample[rng.choice(len(sample), size=nlist, replace=False)]
     for _ in range(iters):
         assign = np.argmax(sample @ cent.T, axis=1)

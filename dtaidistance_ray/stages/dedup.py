@@ -320,11 +320,12 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.6):
     state is the (collision-sized) candidate pair list."""
     cand = minhash_lsh_candidates(sf_dir)
     cand_df = cand.to_pandas()  # collision-sized, not corpus-sized
-    if not len(cand_df):
-        return cand_df.assign(jaccard=pd.Series(dtype="float64"))
-    cand_ids = set(cand_df["doc_a"].astype(int)) | set(cand_df["doc_b"].astype(int))
     import ray.data as rd
 
+    if not len(cand_df):
+        # keep the return type a Dataset on both branches
+        return rd.from_pandas(cand_df.assign(jaccard=pd.Series(dtype="float64")))
+    cand_ids = set(cand_df["doc_a"].astype(int)) | set(cand_df["doc_b"].astype(int))
     pairs_ds = rd.from_pandas(cand_df)
     verified = verify_pairs_jaccard(pairs_ds, document_sketches(sf_dir), cand_ids)
     return verified.filter(expr=f"jaccard >= {threshold}")

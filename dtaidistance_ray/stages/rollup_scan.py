@@ -149,11 +149,18 @@ def _stats_partial(batch) -> pd.DataFrame:
     ).reset_index()
     min_idx = df["row_idx"].iloc[out["min_pos"]].to_numpy()
     keys = list(zip(out["source"], (int(b) for b in out["bucket"])))
-    nums = np.stack(
+    # integer aggregates travel as int64 (a float64 round-trip would
+    # silently lose exactness above 2^53, breaking the bit-exact
+    # integer-sum tier invariant at extreme scale); min/max stay f64
+    nums_int = np.stack(
         [
-            out["agg_count"].to_numpy(np.float64),
-            out["agg_n_tok_sum"].to_numpy(np.float64),
-            out["agg_token_sum"].to_numpy(np.float64),
+            out["agg_count"].to_numpy(np.int64),
+            out["agg_n_tok_sum"].to_numpy(np.int64),
+            out["agg_token_sum"].to_numpy(np.int64),
+        ]
+    )
+    nums_f = np.stack(
+        [
             out["agg_token_min"].to_numpy(np.float64),
             out["agg_token_max"].to_numpy(np.float64),
         ]
@@ -168,7 +175,8 @@ def _stats_partial(batch) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "keys": [pickle.dumps((keys, min_ids))],
-            "nums": [nums.tobytes()],
+            "nums_int": [nums_int.tobytes()],
+            "nums_f": [nums_f.tobytes()],
             "tok_offs": [tok_offs.tobytes()],
             "tok_flat": [tok_flat.tobytes()],
         }
@@ -279,32 +287,39 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
     # #blocks dict ops; sub-second at thousands of keys)
     merged_stats: Dict[Tuple, dict] = {}
     if "keys" not in stats_parts.columns:  # zero-block input (full resume skip)
-        stats_parts = pd.DataFrame({c: [] for c in ("keys", "nums", "tok_offs", "tok_flat")})
-    for kblob, nblob, oblob, fblob in zip(
-        stats_parts["keys"], stats_parts["nums"], stats_parts["tok_offs"], stats_parts["tok_flat"]
+        stats_parts = pd.DataFrame(
+            {c: [] for c in ("keys", "nums_int", "nums_f", "tok_offs", "tok_flat")}
+        )
+    for kblob, niblob, nfblob, oblob, fblob in zip(
+        stats_parts["keys"],
+        stats_parts["nums_int"],
+        stats_parts["nums_f"],
+        stats_parts["tok_offs"],
+        stats_parts["tok_flat"],
     ):
         keys, min_ids = pickle.loads(kblob)
-        nums = np.frombuffer(nblob, dtype=np.float64).reshape(5, len(keys))
+        nums_int = np.frombuffer(niblob, dtype=np.int64).reshape(3, len(keys))
+        nums_f = np.frombuffer(nfblob, dtype=np.float64).reshape(2, len(keys))
         tok_offs = np.frombuffer(oblob, dtype=np.int64)
         tok_flat = np.frombuffer(fblob, dtype=np.float64)
         for p, k in enumerate(keys):
             m = merged_stats.get(k)
             if m is None:
                 merged_stats[k] = {
-                    "agg_count": int(nums[0, p]),
-                    "agg_n_tok_sum": int(nums[1, p]),
-                    "agg_token_sum": int(nums[2, p]),
-                    "agg_token_min": nums[3, p],
-                    "agg_token_max": nums[4, p],
+                    "agg_count": int(nums_int[0, p]),
+                    "agg_n_tok_sum": int(nums_int[1, p]),
+                    "agg_token_sum": int(nums_int[2, p]),
+                    "agg_token_min": nums_f[0, p],
+                    "agg_token_max": nums_f[1, p],
                     "min_doc_id": min_ids[p],
                     "min_doc_tokens": tok_flat[tok_offs[p] : tok_offs[p + 1]],
                 }
             else:
-                m["agg_count"] += int(nums[0, p])
-                m["agg_n_tok_sum"] += int(nums[1, p])
-                m["agg_token_sum"] += int(nums[2, p])
-                m["agg_token_min"] = min(m["agg_token_min"], nums[3, p])
-                m["agg_token_max"] = max(m["agg_token_max"], nums[4, p])
+                m["agg_count"] += int(nums_int[0, p])
+                m["agg_n_tok_sum"] += int(nums_int[1, p])
+                m["agg_token_sum"] += int(nums_int[2, p])
+                m["agg_token_min"] = min(m["agg_token_min"], nums_f[0, p])
+                m["agg_token_max"] = max(m["agg_token_max"], nums_f[1, p])
                 if min_ids[p] < m["min_doc_id"]:
                     m["min_doc_id"] = min_ids[p]
                     m["min_doc_tokens"] = tok_flat[tok_offs[p] : tok_offs[p + 1]]

@@ -149,12 +149,16 @@ class TestEmptyTokenRows:
         )
         out = _stats_partial(batch)
         keys, min_ids = pickle.loads(out["keys"].iloc[0])
-        nums = np.frombuffer(out["nums"].iloc[0], dtype=np.float64).reshape(5, len(keys))
-        stats = dict(zip(keys, nums.T))
+        nums_int = np.frombuffer(out["nums_int"].iloc[0], dtype=np.int64).reshape(
+            3, len(keys)
+        )
+        stats = dict(zip(keys, nums_int.T))
         # (a,0): two docs, one empty -> sum 12 (NOT 12+11 via gap bug)
-        assert stats[("a", 0)][2] == 12.0
+        assert stats[("a", 0)][2] == 12
         assert stats[("a", 0)][0] == 2  # count includes the empty doc
-        assert stats[("b", 1)][2] == 11.0
+        assert stats[("b", 1)][2] == 11
+        # integer aggregates are exact int64 end-to-end (no f64 2^53 loss)
+        assert nums_int.dtype == np.int64
 
     def test_scan_dba_skips_empty_members(self):
         from dtaidistance_ray.kernels.dba_scan import scan_dba_partials

@@ -129,6 +129,32 @@ class TestBatchedPairKernel:
             assert (finite == np.isfinite(got)).all()
             np.testing.assert_allclose(got[finite], want[finite], rtol=1e-12)
 
+    def test_use_pruning_cutoff_parity(self):
+        """use_pruning is not value-neutral: the reference returns inf
+        when the DTW cost exceeds ub_euclidean, reachable with unequal
+        lengths (ub tail truncation) or a nonzero penalty. The batched
+        kernel must post-apply the same cutoff as the scalar kernel
+        (regression for the round-2 ADVICE high finding)."""
+        from dtaidistance_ray.kernels.pairs_batch import batched_pair_distances
+
+        rng = np.random.default_rng(11)
+        fired = 0
+        for s in [
+            DTWSettings(use_pruning=True),
+            DTWSettings(use_pruning=True, penalty=0.7),
+            DTWSettings(use_pruning=True, penalty=2.0, window=4),
+        ]:
+            # short, wildly unequal lengths maximize cutoff hits
+            s1s = [rng.normal(size=int(rng.integers(1, 12))) for _ in range(120)]
+            s2s = [rng.normal(size=int(rng.integers(1, 12))) for _ in range(120)]
+            got = batched_pair_distances(s1s, s2s, s)
+            want = np.array([dtw_distance(a, b, s) for a, b in zip(s1s, s2s)])
+            finite = np.isfinite(want)
+            fired += int(np.isinf(want).sum())
+            assert (finite == np.isfinite(got)).all()
+            np.testing.assert_allclose(got[finite], want[finite], rtol=1e-12)
+        assert fired > 0  # the cutoff must actually fire somewhere
+
     def test_empty_and_single(self):
         from dtaidistance_ray.kernels.pairs_batch import batched_pair_distances
 
