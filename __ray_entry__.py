@@ -209,9 +209,48 @@ GROUP BY 1, 2
 """
 
 
-def _q_tokens_rollup_tier0_full(sf_dir: str):
-    """Full tier-0 rollup incl. DBA representative + gap-fill + Gorilla
-    payload (rows-only: DTW/DBA are not SQL-expressible)."""
+def _tier_full_view(tier: int):
+    """Flatten one gap-filled + Gorilla-encoded tier into a fully
+    hash-checkable view: one row per (source, bucket) carrying every
+    scalar aggregate (int64-exact), the gap flag, the representative
+    length, and crc32 of the Gorilla payload (bit-exact stand-in for
+    the binary column the gate cannot hash directly). Gap rows'
+    null float aggregates are encoded as 0.0 alongside gap_filled=1
+    so the view is NaN-free (NaN hashing is writer-dependent)."""
+    import zlib
+
+    import pandas as pd
+
+    def view(batch: pd.DataFrame) -> pd.DataFrame:
+        gap = batch["gap_filled"].fillna(False).astype(bool)
+        out = pd.DataFrame(
+            {
+                "tier": tier,
+                "source": batch["source"],
+                "bucket": batch["bucket"].astype("int64"),
+                "agg_count": batch["agg_count"].fillna(0).astype("int64"),
+                "agg_n_tok_sum": batch["agg_n_tok_sum"].fillna(0).astype("int64"),
+                "agg_token_sum": batch["agg_token_sum"].fillna(0).astype("int64"),
+                "agg_token_min": batch["agg_token_min"].where(~gap, 0.0).round(6).astype("float64"),
+                "agg_token_max": batch["agg_token_max"].where(~gap, 0.0).round(6).astype("float64"),
+                "agg_token_mean": batch["agg_token_mean"].where(~gap, 0.0).round(6).astype("float64"),
+                "gap_filled": gap.astype("int64"),
+                "repr_len": [len(r) for r in batch["repr_series"]],
+                "payload_crc": [zlib.crc32(bytes(p)) for p in batch["repr_gorilla"]],
+            }
+        )
+        out["tier"] = out["tier"].astype("int64")
+        out["repr_len"] = out["repr_len"].astype("int64")
+        out["payload_crc"] = out["payload_crc"].astype("int64")
+        return out
+
+    return view
+
+
+def _q_tokens_rollup_tier_full(sf_dir: str, tier: int):
+    """Full rollup of one tier incl. DBA representative + gap-fill +
+    Gorilla payload, flattened via _tier_full_view so the gate can
+    hash it against a rollup_oracle golden (DTW/DBA are non-SQL)."""
     from dtaidistance_ray.pipelines.flagship import build_tiers
     from dtaidistance_ray.sources.synth import token_table
     from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
@@ -219,18 +258,16 @@ def _q_tokens_rollup_tier0_full(sf_dir: str):
     spec = _token_spec(sf_dir)
     cfg = RollupConfig()
     tiers = build_tiers(token_table(spec), spec, cfg)
-    return encode_tier(gap_fill_tier(tiers[0]), cfg.tier_widths[0])
+    enc = encode_tier(gap_fill_tier(tiers[tier]), cfg.tier_widths[tier])
+    return enc.map_batches(_tier_full_view(tier), batch_format="pandas")
+
+
+def _q_tokens_rollup_tier0_full(sf_dir: str):
+    return _q_tokens_rollup_tier_full(sf_dir, 0)
 
 
 def _q_tokens_rollup_tier2_full(sf_dir: str):
-    from dtaidistance_ray.pipelines.flagship import build_tiers
-    from dtaidistance_ray.sources.synth import token_table
-    from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
-
-    spec = _token_spec(sf_dir)
-    cfg = RollupConfig()
-    tiers = build_tiers(token_table(spec), spec, cfg)
-    return encode_tier(gap_fill_tier(tiers[2]), cfg.tier_widths[2])
+    return _q_tokens_rollup_tier_full(sf_dir, 2)
 
 
 def _q_dtw_distance_matrix(sf_dir: str):
@@ -684,6 +721,8 @@ GOLDEN_QUERIES = (
     "multimodal_audio_features",
     "ann_ivf_topk",
     "tokens_rollup_payload_crc",
+    "tokens_rollup_tier0_full",
+    "tokens_rollup_tier2_full",
 )
 
 

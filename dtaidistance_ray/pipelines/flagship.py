@@ -273,11 +273,16 @@ def run_flagship(
             # prune finished sources at the read: shard is a pure function
             # of source, so the filter pushes to the first map stage.
             def drop_done(batch: pa.Table) -> pa.Table:
-                keep = [
-                    source_shard(s, num_shards) not in done_all
-                    for s in batch["source"].to_pylist()
-                ]
-                return batch.filter(pa.array(keep))
+                import pyarrow.compute as pc
+
+                # shard is a function of source: hash the batch's few
+                # DISTINCT sources, then one vectorized is_in filter
+                uniq = pc.unique(batch["source"]).to_pylist()
+                bad = [s for s in uniq if source_shard(s, num_shards) in done_all]
+                if not bad:
+                    return batch
+                keep = pc.invert(pc.is_in(batch["source"], value_set=pa.array(bad)))
+                return batch.filter(keep)
 
             ds = ds.map_batches(drop_done, batch_format="pyarrow")
 

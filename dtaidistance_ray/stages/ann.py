@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .pool import auto_pool
 
 
 def read_embeddings(sf_dir: str, columns=None):
@@ -64,7 +65,7 @@ def ann_topk(sf_dir: str, k: int = 10):
     qref = ray.put(q)
     scored = ds.map_batches(
         CosineScorer, fn_constructor_kwargs={"query_ref": qref},
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=auto_pool(),
     ).drop_columns(["query_id"])
 
     def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -256,7 +257,7 @@ def ivf_topk(sf_dir: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
 
     scored = ds.map_batches(
         IvfScorer, fn_constructor_kwargs={"state_ref": state_ref, "k": k},
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=auto_pool(),
     )
     return scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
@@ -290,7 +291,7 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35, nbits: int = 
 
     buckets = ds.map_batches(
         LshBucketer, fn_constructor_kwargs={"dim": dim, "nbits": nbits},
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=auto_pool(),
     )
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:

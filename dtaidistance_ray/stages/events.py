@@ -44,21 +44,26 @@ def _hourly_partial(b: pd.DataFrame) -> pd.DataFrame:
 
 
 def _hourly_partials_df(sf_dir: str) -> pd.DataFrame:
-    """Combiner pattern: per-batch partial aggregates inside map_batches,
-    tiny (#groups x #blocks) partial rows merged on the driver — exact
-    (integer cent sums, min/max). At cluster scale the driver merge
-    becomes a tree of merge tasks; the partial schema is unchanged."""
+    """Combiner pattern: per-batch partial aggregates inside map_batches
+    (#groups x #blocks tiny partial rows), merged by a distributed Ray
+    groupby-aggregate — exact (integer cent sums, min/max) under any
+    partitioning. The driver only ever holds the MERGED result: one row
+    per (event_type, hour), bounded by the key-space, never by the
+    block count (the round-2 review's driver-merge anti-pattern)."""
+    from ray.data.aggregate import Max, Min, Sum
+
     ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
     ds = ds.map_batches(_add_hour, batch_format="pyarrow").map_batches(
         _add_cents, batch_format="pandas"
     )
-    parts = ds.map_batches(_hourly_partial, batch_format="pandas").to_pandas()
-    return parts.groupby(["event_type", "bucket"], as_index=False).agg(
-        n_events=("n_events", "sum"),
-        cents=("cents", "sum"),
-        value_min=("value_min", "min"),
-        value_max=("value_max", "max"),
+    parts = ds.map_batches(_hourly_partial, batch_format="pandas")
+    merged = parts.groupby(["event_type", "bucket"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("cents", alias_name="cents"),
+        Min("value_min", alias_name="value_min"),
+        Max("value_max", alias_name="value_max"),
     )
+    return merged.to_pandas()
 
 
 def rollup_hourly(sf_dir: str):
@@ -190,8 +195,14 @@ FROM ordered GROUP BY user_id
 
 
 def top_users_by_value(sf_dir: str, k: int = 20):
-    """Distributed top-k: per-batch partial aggregation, driver merge of
-    the tiny partials, exact cents ordering with user_id tiebreak."""
+    """Fully distributed top-k over an UNBOUNDED key (user): per-batch
+    partial cents sums (combiner) -> Ray groupby-aggregate (the
+    shuffle; exact int64 cents under any partitioning) -> per-block
+    pre-top-k (k rows per block survive) -> global sort.limit(k).
+    The driver never holds a per-user table — the round-2 review's
+    driver-merge of per-user partials is gone."""
+    from ray.data.aggregate import Sum
+
     ds = read_events(sf_dir, columns=["user_id", "value"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -200,14 +211,26 @@ def top_users_by_value(sf_dir: str, k: int = 20):
             cents=("value_cents", "sum"), n_events=("value", "size")
         )
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    agg = parts.groupby("user_id", as_index=False).agg(
-        cents=("cents", "sum"), n_events=("n_events", "sum")
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events"))
     )
-    agg["value_sum"] = agg["cents"] / 100.0
-    agg["n_events"] = agg["n_events"].astype("int64")
-    agg = agg.sort_values(["value_sum", "user_id"], ascending=[False, True]).head(k)
-    return agg[["user_id", "value_sum", "n_events"]].reset_index(drop=True)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_sum"] = batch["cents"] / 100.0
+        batch["n_events"] = batch["n_events"].astype("int64")
+        batch["user_id"] = batch["user_id"].astype("int64")
+        return batch[["user_id", "value_sum", "n_events"]]
+
+    def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["value_sum", "user_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    scored = agg.map_batches(finish, batch_format="pandas")
+    survivors = scored.map_batches(pre_topk, batch_format="pandas")
+    return survivors.sort(["value_sum", "user_id"], descending=[True, False]).limit(k)
 
 
 TOP_USERS_SQL = """

@@ -44,6 +44,7 @@ import numpy as np
 
 from ..kernels.elastic import warping_path
 from ..settings import DTWSettings
+from .pool import auto_pool
 
 
 def _inner_sq(a: float, b: float) -> float:
@@ -639,4 +640,4 @@ def explain_pairs_dataset(pairs, sf_dir: Optional[str] = None, **kwargs):
         cols = ["pair_id", "s_idx", "e_idx", "s_idx_y", "e_idx_y", "shift", "elasticity"]
         return pd.DataFrame(rows, columns=cols)
 
-    return pairs.map_batches(explain_batch, batch_format="pandas", concurrency=2)
+    return pairs.map_batches(explain_batch, batch_format="pandas", concurrency=auto_pool())

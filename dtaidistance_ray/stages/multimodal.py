@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .pool import auto_pool
+
 
 # ---------------------------------------------------------------------------
 # pure-NumPy codecs (no external libraries)
@@ -221,7 +223,8 @@ class AudioFeatures:
         return pd.DataFrame(rows, columns=["media_id", "rms", "zcr", "dominant_hz"])
 
 
-def audio_features(ds, concurrency=2, batch_size: int = 32):
+def audio_features(ds, concurrency=None, batch_size: int = 32):
+    concurrency = concurrency or auto_pool()
     return ds.filter(expr="media_type == 'audio'").map_batches(
         AudioFeatures, batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency,
@@ -304,9 +307,10 @@ class SampleFrames:
         return pd.DataFrame(rows, columns=["media_id", "frame_ms", "frame_digest"])
 
 
-def decode_images(ds, thumb: int = 8, concurrency=2, batch_size: int = 32):
+def decode_images(ds, thumb: int = 8, concurrency=None, batch_size: int = 32):
     """image rows -> thumbnail feature vectors (actor pool, small
     batches because payload rows are large)."""
+    concurrency = concurrency or auto_pool()
     return ds.filter(expr="media_type == 'image'").map_batches(
         DecodeImage,
         fn_constructor_kwargs={"thumb": thumb},
@@ -317,7 +321,8 @@ def decode_images(ds, thumb: int = 8, concurrency=2, batch_size: int = 32):
     )
 
 
-def sample_video_frames(ds, every_ms: int = 5000, concurrency=2):
+def sample_video_frames(ds, every_ms: int = 5000, concurrency=None):
+    concurrency = concurrency or auto_pool()
     return ds.filter(expr="media_type == 'video'").map_batches(
         SampleFrames,
         fn_constructor_kwargs={"every_ms": every_ms},

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from .pool import auto_pool
 
 
 def lineitem_pricing_summary(sf_dir: str):
@@ -50,15 +51,20 @@ def lineitem_pricing_summary(sf_dir: str):
             count_order=("qty_c", "size"),
         )
 
-    # combiner: per-batch partials, driver merge of the handful of
-    # (returnflag, linestatus) partial rows — exact integer sums
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-        qty_c=("qty_c", "sum"),
-        ep_c=("ep_c", "sum"),
-        disc_price_c=("disc_price_c", "sum"),
-        disc_c=("disc_c", "sum"),
-        count_order=("count_order", "sum"),
+    # combiner: per-batch partials, distributed Ray groupby merge —
+    # exact integer sums; the driver receives only the merged rows
+    # (one per (returnflag, linestatus)), never the per-block partials
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("ep_c", alias_name="ep_c"),
+            Sum("disc_price_c", alias_name="disc_price_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
     )
     n = out["count_order"].astype("int64")
     out["sum_qty"] = out["qty_c"] / 100.0
@@ -137,7 +143,7 @@ def revenue_by_nation(sf_dir: str):
 
     orders_nation = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(OrderNation, batch_format="pandas", concurrency=2)
+    ).map_batches(OrderNation, batch_format="pandas", concurrency=auto_pool())
 
     def derive_rev(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -172,10 +178,15 @@ def revenue_by_nation(sf_dir: str):
             revenue_c=("revenue_c", "sum"), n_items=("revenue_c", "size")
         )
 
-    # combiner partials -> tiny driver merge (25 nation rows x #blocks)
-    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
-    out = parts.groupby("n_name", as_index=False).agg(
-        revenue_c=("revenue_c", "sum"), n_items=("n_items", "sum")
+    # combiner partials -> distributed Ray groupby merge (driver sees
+    # only the 25 merged nation rows, not per-block partials)
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"), Sum("n_items", alias_name="n_items"))
+        .to_pandas()
     )
     out["revenue"] = out["revenue_c"] / 10000.0
     out["n_items"] = out["n_items"].astype("int64")

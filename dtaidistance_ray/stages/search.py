@@ -25,6 +25,7 @@ import pandas as pd
 
 from ..kernels.elastic import distance, lb_keogh, warping_paths, best_path
 from ..settings import DTWSettings
+from .pool import auto_pool
 
 
 class KnnScorer:
@@ -91,7 +92,7 @@ def knn_search(corpus_ds, query: np.ndarray, k: int, settings: Optional[DTWSetti
         KnnScorer,
         fn_constructor_kwargs={"query_ref": qref, "k": k, "settings": settings},
         batch_format="pandas",
-        concurrency=2,
+        concurrency=auto_pool(),
     )
     return scored.sort(["d", "doc_id"]).limit(k)
 

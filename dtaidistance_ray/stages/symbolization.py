@@ -18,6 +18,7 @@ import pandas as pd
 
 from ..kernels.similarity import distance_to_similarity
 from .search import subsequence_alignment
+from .pool import auto_pool
 
 
 class SymbolAlignment:
@@ -166,5 +167,5 @@ def symbolize_tokens(spec, codebook_size: int = 4, n_docs: int = 60):
         Symbolizer,
         fn_constructor_kwargs={"codebook": codebook},
         batch_format="pandas",
-        concurrency=2,
+        concurrency=auto_pool(),
     )

@@ -14,6 +14,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
+from .pool import auto_pool
 
 
 def read_documents(sf_dir: str, columns=None):
@@ -69,7 +70,7 @@ class TokenCounter:
 
 def token_counts(sf_dir: str):
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
-    return ds.map_batches(TokenCounter, batch_format="pandas", concurrency=2)
+    return ds.map_batches(TokenCounter, batch_format="pandas", concurrency=auto_pool())
 
 
 TOKEN_COUNTS_SQL = r"""
@@ -118,7 +119,7 @@ class QualityScorer:
 
 def quality_scores(sf_dir: str):
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
-    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=auto_pool())
 
 
 QUALITY_SQL = r"""
@@ -180,7 +181,7 @@ class LangId:
 
 def lang_id(sf_dir: str):
     ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=auto_pool())
 
 
 class Fingerprinter:
@@ -207,4 +208,4 @@ class Fingerprinter:
 
 def fingerprints(sf_dir: str):
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
-    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=2)
+    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=auto_pool())

@@ -449,8 +449,34 @@ def check_payload_crc(got: pd.DataFrame):
     return "single-process rollup_oracle rows encoded with the same codec (crc equality per (tier, source, bucket))"
 
 
+def _check_tier_full(tier: int):
+    def check(got: pd.DataFrame):
+        import __ray_entry__ as E
+        from dtaidistance_ray.pipelines.flagship import rollup_oracle
+        from dtaidistance_ray.stages.rollup import RollupConfig, encode_frame
+
+        spec = E._token_spec(SF_DIR)
+        tiers = rollup_oracle(spec, RollupConfig())
+        enc = encode_frame(tiers[tier])
+        want = canon(E._tier_full_view(tier)(enc))
+        pd.testing.assert_frame_equal(canon(got.reset_index(drop=True)), want)
+        return (
+            "single-process rollup_oracle tier rows, encoded with the same "
+            "codec and flattened with the same view (full frame equality "
+            "incl. payload crc per (source, bucket))"
+        )
+
+    return check
+
+
+check_tier0_full = _check_tier_full(0)
+check_tier2_full = _check_tier_full(2)
+
+
 CHECKS = {
     "tokens_rollup_payload_crc": check_payload_crc,
+    "tokens_rollup_tier0_full": check_tier0_full,
+    "tokens_rollup_tier2_full": check_tier2_full,
     "ann_ivf_topk": check_ann_ivf_topk,
     "multimodal_decode_real": check_multimodal_decode_real,
     "multimodal_audio_features": check_multimodal_audio,
