@@ -262,56 +262,152 @@ def ivf_topk(sf_dir: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
     return scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
-class LshBucketer:
-    """Random-hyperplane LSH: nbits-bit signature per vector; vectors
-    sharing a bucket are near-duplicate candidates."""
+class LshBander:
+    """Banded random-hyperplane LSH: ``bands`` independent
+    ``bits_per_band``-bit bucket signatures per vector (a pair is a
+    candidate if ANY band's buckets match — union recall, like MinHash
+    banding), plus a ``refine_bits``-bit refinement signature used only
+    to sub-split oversized buckets (see score_group). One matmul per
+    batch computes every bit."""
 
-    def __init__(self, dim: int, nbits: int = 16, seed: int = 99):
+    def __init__(self, dim: int, bands: int = 4, bits_per_band: int = 4, seed: int = 99):
         rng = np.random.default_rng(seed)
-        self.planes = rng.normal(size=(dim, nbits))
+        # first band's planes == the legacy nbits=4 signature layout
+        self.planes = rng.normal(size=(dim, bands * bits_per_band))
+        self.bands = bands
+        self.bpb = bits_per_band
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         m = _stack(batch["embedding"])
-        bits = (m @ self.planes) > 0
-        sig = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
-        out = batch.copy()
-        out["bucket"] = sig
-        return out
+        n = len(m)
+        bits = ((m @ self.planes) > 0).reshape(n, self.bands, self.bpb)
+        sig = (bits * (1 << np.arange(self.bpb))).sum(axis=2).astype(np.int64)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "band": np.repeat(np.arange(self.bands, dtype=np.int64), n),
+                "bucket": sig.T.reshape(-1),
+                "vec_id": np.tile(ids, self.bands),
+                "embedding": list(batch["embedding"]) * self.bands,
+            }
+        )
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.35, nbits: int = 4):
-    """LSH-bucketed near-duplicate mining: bucket groupby -> in-bucket
-    exact cosine -> pairs above threshold. The bucket groupby keeps the
-    candidate set linear-ish instead of the full n^2 cross join, and the
-    embedding column travels WITH its row through the shuffle — no
-    driver materialization, no broadcast lookup table."""
+_REFINE_SEED = 101
+_REFINE_PLANES = 32
+
+
+def _score_group_fn(threshold: float, cap: int, leaf_sizes=None):
+    """In-bucket exact cosine with a HARD bucket-size cap: groups larger
+    than ``cap`` are recursively median-split on deterministic random
+    projections (median split halves the group exactly, so every
+    scored leaf is <= cap no matter how degenerate the cluster — a
+    pure hyperplane-bit refinement cannot split a tight cluster, whose
+    members all share direction). The all-pairs matmul is therefore
+    O(cap^2) per leaf regardless of key skew. Pairs straddling a split
+    are dropped — the deterministic, documented recall trade that
+    keeps a single dominant cluster from exploding into O((n/16)^2)
+    work (round-2 review, stages/ann.py:278). Deterministic: the
+    projection planes are seed-fixed and the median is computed on the
+    full group, which map_groups always sees whole."""
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
+    plane_cache: dict = {}
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        order = np.argsort(g["vec_id"].to_numpy().astype(np.int64), kind="stable")
+        ids = g["vec_id"].to_numpy().astype(np.int64)[order]
+        m = _stack(g["embedding"].to_numpy()[order])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        dim = m.shape[1]
+        planes = plane_cache.get(dim)
+        if planes is None:
+            planes = np.random.default_rng(_REFINE_SEED).normal(size=(dim, _REFINE_PLANES))
+            plane_cache[dim] = planes
+        frames = []
+
+        def emit(idx: np.ndarray):
+            if leaf_sizes is not None:
+                leaf_sizes.append(len(idx))
+            sims = np.round(m[idx] @ m[idx].T, 6)
+            ia, ib = np.triu_indices(len(idx), k=1)
+            keep = sims[ia, ib] >= threshold
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[idx[ia[keep]]],
+                            "vec_b": ids[idx[ib[keep]]],
+                            "cos_sim": sims[ia, ib][keep],
+                        }
+                    )
+                )
+
+        def rec(idx: np.ndarray, level: int):
+            if len(idx) <= cap:
+                if len(idx) >= 2:
+                    emit(idx)
+                return
+            proj = m[idx] @ planes[:, level % _REFINE_PLANES]
+            med = np.median(proj)
+            left = proj <= med
+            if left.all() or not left.any():
+                # all projections equal (exact duplicates): positional
+                # halves on the id-sorted order keep the bound hard
+                half = len(idx) // 2
+                rec(idx[:half], level + 1)
+                rec(idx[half:], level + 1)
+                return
+            rec(idx[left], level + 1)
+            rec(idx[~left], level + 1)
+
+        rec(np.arange(len(ids)), 0)
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    return score_group
+
+
+def embedding_near_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.35,
+    bands: int = 4,
+    bits_per_band: int = 4,
+    cap: int = 512,
+):
+    """Banded-LSH near-duplicate mining: per-band bucket groupby ->
+    capped in-bucket exact cosine -> distinct pairs above threshold.
+
+    Scale shape: the groupby shuffles (band, bucket) keyed rows (the
+    embedding travels with its row — no driver materialization, no
+    broadcast of the corpus); per-group work is bounded by the
+    sub-split cap even under a single dominant cluster; candidates are
+    the union over ``bands`` independent signatures (higher recall than
+    one wide signature) and de-duplicated by a vectorized aggregate."""
+    from ray.data.aggregate import Max
+
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     first = ds.limit(1).take(1)
     dim = len(np.asarray(first[0]["embedding"]))
 
-    buckets = ds.map_batches(
-        LshBucketer, fn_constructor_kwargs={"dim": dim, "nbits": nbits},
+    banded = ds.map_batches(
+        LshBander,
+        fn_constructor_kwargs={"dim": dim, "bands": bands, "bits_per_band": bits_per_band},
         batch_format="pandas", concurrency=auto_pool(),
     )
-
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series(dtype="int64"),
-                    "vec_b": pd.Series(dtype="int64"),
-                    "cos_sim": pd.Series(dtype="float64"),
-                }
-            )
-        order = np.argsort(g["vec_id"].to_numpy().astype(np.int64), kind="stable")
-        ids = g["vec_id"].to_numpy().astype(np.int64)[order]
-        m = _stack(g["embedding"].to_numpy()[order])
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = np.round(m @ m.T, 6)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos_sim": sims[ia, ib][keep]}
-        )
-
-    return buckets.groupby("bucket").map_groups(score_bucket, batch_format="pandas")
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        _score_group_fn(threshold, cap), batch_format="pandas"
+    )
+    # the same pair can surface from several bands: distinct via a
+    # vectorized aggregate (cos_sim identical on every copy)
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))

@@ -225,6 +225,33 @@ class TestIvfTopk:
         assert approx["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
 
 
+class TestNearDupBucketCap:
+    def test_skewed_cluster_leaves_bounded(self):
+        """One dominant cluster must NOT produce an O(n^2) in-bucket
+        matmul: the refinement sub-split bounds every scored leaf to
+        the cap (round-2 review finding on stages/ann.py)."""
+        import pandas as pd
+
+        from dtaidistance_ray.stages.ann import _score_group_fn
+
+        rng = np.random.default_rng(3)
+        n, dim, cap = 3000, 16, 64
+        base = rng.normal(size=dim)
+        m = base[None, :] + 0.05 * rng.normal(size=(n, dim))  # tight cluster
+        m[: n // 4] = base  # plus a block of EXACT duplicates
+        g = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m)}
+        )
+        leaves: list = []
+        fn = _score_group_fn(threshold=0.999, cap=cap, leaf_sizes=leaves)
+        out = fn(g)
+        assert leaves, "expected at least one scored leaf"
+        assert max(leaves) <= cap
+        # and the leaves cover (almost) the whole cluster, not a corner
+        assert sum(leaves) > n * 0.9
+        assert set(out.columns) == {"vec_a", "vec_b", "cos_sim"}
+
+
 class TestRealMediaCodecs:
     def test_roundtrips(self):
         from dtaidistance_ray.stages.multimodal import (

@@ -272,29 +272,54 @@ def check_minhash_signatures(got: pd.DataFrame):
 
 
 def check_embedding_near_dup(got: pd.DataFrame):
+    """Independent recompute of the banded-LSH spec (4 bands x 4 bits,
+    cap-512 median-split refinement) straight from the raw parquet."""
     emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     m = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
     ids = emb["vec_id"].astype(int).to_numpy()
+    bands, bpb, cap, thr = 4, 4, 512, 0.35
     rng = np.random.default_rng(99)
-    planes = rng.normal(size=(m.shape[1], 4))
-    sig = ((m @ planes) > 0) @ (1 << np.arange(4))
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    planes = rng.normal(size=(m.shape[1], bands * bpb))
+    refine = np.random.default_rng(101).normal(size=(m.shape[1], 32))
+    bits = ((m @ planes) > 0).reshape(len(m), bands, bpb)
+    sig = (bits * (1 << np.arange(bpb))).sum(axis=2)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
     want = set()
-    for bucket in np.unique(sig):
-        sel = np.flatnonzero(sig == bucket)
-        order = np.argsort(ids[sel])
-        sel = sel[order]
-        sims = np.round(mn[sel] @ mn[sel].T, 6)
-        for x in range(len(sel)):
-            for y in range(x + 1, len(sel)):
-                if sims[x, y] >= 0.35:
-                    want.add((int(ids[sel[x]]), int(ids[sel[y]]), float(sims[x, y])))
+
+    def rec(sel, level):
+        # sel is in id-sorted order (established at the bucket root)
+        if len(sel) <= cap:
+            if len(sel) < 2:
+                return
+            sims = np.round(mn[sel] @ mn[sel].T, 6)
+            for x in range(len(sel)):
+                for y in range(x + 1, len(sel)):
+                    if sims[x, y] >= thr:
+                        want.add((int(ids[sel[x]]), int(ids[sel[y]]), float(sims[x, y])))
+            return
+        proj = mn[sel] @ refine[:, level % 32]
+        med = np.median(proj)
+        left = proj <= med
+        if left.all() or not left.any():
+            half = len(sel) // 2
+            rec(sel[:half], level + 1)
+            rec(sel[half:], level + 1)
+            return
+        rec(sel[left], level + 1)
+        rec(sel[~left], level + 1)
+
+    for b in range(bands):
+        for bucket in np.unique(sig[:, b]):
+            sel = np.flatnonzero(sig[:, b] == bucket)
+            rec(sel[np.argsort(ids[sel])], 0)
     ours = {
         (int(a), int(b), float(s))
         for a, b, s in zip(got["vec_a"], got["vec_b"], got["cos_sim"])
     }
     assert want == ours, (len(want), len(ours))
-    return "driver-side numpy recompute of LSH buckets + in-bucket cosine from the raw parquet"
+    return "driver-side numpy recompute of the banded LSH + capped in-bucket cosine from the raw parquet"
 
 
 def check_tier0_repr(got: pd.DataFrame):
