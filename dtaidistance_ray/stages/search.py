@@ -162,16 +162,25 @@ class SubsequenceAlignment:
         return [path[0][1], self.matching_function_endpoint(idx)]
 
     def best_matches(self, k=None, overlap=0, minlength=2, maxlength=None,
-                     max_rangefactor=None):
+                     max_rangefactor=None, detectknee_alpha=None):
         """Yield (idx, value, segment, path) tuples, best first, masking
         overlapping end-points as the reference does
-        (subsequencealignment.py:440-480)."""
+        (subsequencealignment.py:440-480). Stops early on
+        ``max_rangefactor`` (value range vs the first match) or on an
+        EWMA knee when ``detectknee_alpha`` is given (the candidate
+        stream of match values feeds the detector, including candidates
+        later rejected on length/overlap — reference semantics)."""
         self.align()
         matching = np.array(self.matching)
         maxv = np.ceil(np.max(matching) + 1)
         matching[: min(len(self.query) - 1, overlap)] = maxv
         ki = 0
         max_dist = np.inf
+        dk = None
+        if detectknee_alpha is not None:
+            from ..kernels.knee import DetectKnee
+
+            dk = DetectKnee(alpha=detectknee_alpha)
         while k is None or ki < k:
             best_idx = int(np.argmin(matching))
             if np.isinf(matching[best_idx]) or matching[best_idx] == maxv:
@@ -181,6 +190,8 @@ class SubsequenceAlignment:
                     max_dist = matching[best_idx] * max_rangefactor
                 elif matching[best_idx] > max_dist:
                     break
+            if dk is not None and dk.dostop(matching[best_idx]):
+                break
             value = float(self.matching[best_idx])
             path = self.matching_function_bestpath(best_idx)
             b, e = path[0][1], self.matching_function_endpoint(best_idx)
@@ -200,6 +211,17 @@ class SubsequenceAlignment:
 
     def kbest_matches(self, k=1, overlap=0, minlength=2, maxlength=None):
         return self.best_matches(k=k, overlap=overlap, minlength=minlength, maxlength=maxlength)
+
+    def best_matches_rangefactor(self, max_rangefactor=2, overlap=0, minlength=2, maxlength=None):
+        """All matches until the value exceeds first-match * factor."""
+        return self.best_matches(k=None, max_rangefactor=max_rangefactor, overlap=overlap,
+                                 minlength=minlength, maxlength=maxlength)
+
+    def best_matches_knee(self, alpha=0.3, overlap=0, minlength=2, maxlength=None):
+        """All matches until the EWMA knee of the value curve
+        (reference subsequencealignment.py:338-351)."""
+        return self.best_matches(k=None, detectknee_alpha=alpha, overlap=overlap,
+                                 minlength=minlength, maxlength=maxlength)
 
 
 def subsequence_alignment(query, series, penalty: float = 0.1, **kwargs) -> SubsequenceAlignment:

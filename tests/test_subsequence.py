@@ -50,3 +50,39 @@ class TestSubsequenceAlignment:
         m = next(sa.kbest_matches(k=1))
         assert 95 <= m["segment"][0] <= 105
         assert 110 <= m["segment"][1] <= 120
+
+    def test_detectknee_parity(self):
+        """DetectKnee state machine matches the reference EWMA detector
+        on random curves, including only_var and invert modes."""
+        from dtaidistance.util import DetectKnee as RefKnee
+
+        from dtaidistance_ray.kernels.knee import DetectKnee
+
+        rng = np.random.default_rng(21)
+        for invert in (False, True):
+            for alpha in (0.1, 0.3, 0.7):
+                vals = np.cumsum(np.abs(rng.normal(size=60))) * (-1 if invert else 1)
+                vals = vals[::-1] if invert else vals
+                ours = DetectKnee(alpha=alpha, invert=invert, alpha_onlyvar=0.2)
+                ref = RefKnee(alpha=alpha, invert=invert, alpha_onlyvar=0.2)
+                for i, v in enumerate(vals):
+                    ov = i % 5 == 4
+                    assert ours.dostop(v, only_var=ov) == ref.dostop(v, only_var=ov)
+                    assert ours.arr == pytest.approx(ref.arr)
+                    assert ours.arrvar == pytest.approx(ref.arrvar)
+
+    def test_best_matches_knee_parity(self):
+        """best_matches_knee yields the same match sequence as the
+        reference's knee-stopped iterator."""
+        rng = np.random.default_rng(31)
+        series = rng.normal(size=300)
+        query = np.sin(np.linspace(0, 3, 12))
+        for pos in (40, 120, 250):
+            series[pos : pos + 12] = query + rng.normal(scale=0.02, size=12)
+        ours_sa = SubsequenceAlignment(query, series)
+        ref_sa = ref_mod.subsequence_alignment(query, series)
+        m_our = list(ours_sa.best_matches_knee(alpha=0.3))
+        m_ref = list(ref_sa.best_matches_knee(alpha=0.3))
+        assert len(m_our) == len(m_ref)
+        assert [m["idx"] for m in m_our] == [m.idx for m in m_ref]
+        assert [m["segment"] for m in m_our] == [m.segment for m in m_ref]
