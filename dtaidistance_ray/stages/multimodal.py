@@ -10,7 +10,9 @@ Decoders: the container ships no image/audio libraries, but the
 header-only formats need none — BMP (24-bit uncompressed), PPM (P6)
 and WAV (PCM16) are decoded/encoded here in pure NumPy byte parsing
 (round-trip property-tested), so the decode stage is REAL for those
-codecs. Compressed codecs (jpeg/png/opus/h264) remain declared stubs:
+codecs. PNG (zlib inflate + all five scanline filters, incl. Paeth) is
+also decoded for real with stdlib zlib + NumPy. The remaining
+compressed codecs (jpeg/opus/h264) are declared stubs:
 ``DecodeImage.decode_real`` raises NotImplementedError for them and
 the default path substitutes a deterministic fake decode (seeded by
 the payload hash) so the Ray-side plumbing — schema, batch sizing,
@@ -101,6 +103,150 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB -> real PNG (8-bit truecolor, zlib IDAT).
+
+    filter_type applies one of the five standard scanline filters to
+    every row (0=None default; 1..4 exercised by the round-trip tests).
+    """
+    import zlib
+
+    h, w, _ = pixels.shape
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = px[y].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, dtype=np.uint8), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.uint8), prev[:-bpp]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            filt = row - left
+        elif filter_type == 2:  # Up
+            filt = row - prev
+        elif filter_type == 3:  # Average
+            filt = row - ((left.astype(np.uint16) + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            filt = row - _paeth_predict(left, prev, upleft)
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend(filt.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth_predict(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = upleft.astype(np.int16)
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode (pure stdlib-zlib + NumPy): 8-bit greyscale /
+    truecolor / truecolor-alpha, non-interlaced, all five scanline
+    filters (Paeth included). Returns (H, W, 3) uint8 RGB (alpha
+    dropped, grey replicated). Palette / 16-bit / interlaced PNGs are
+    out of scope and raise ValueError."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = None
+    channels = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNGs supported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported color type {color}")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[y] = cur
+        elif ft == 1:  # Sub: prefix sum per byte lane modulo 256
+            lanes = cur.reshape(-1, bpp).astype(np.uint64)
+            np.cumsum(lanes, axis=0, out=lanes)
+            out[y] = (lanes & 0xFF).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            out[y] = cur + prev
+        elif ft == 3:  # Average (sequential left dependency)
+            row = out[y]
+            row[:bpp] = cur[:bpp] + (prev[:bpp] // 2)
+            for i in range(bpp, stride):
+                row[i] = np.uint8(
+                    (int(cur[i]) + (int(row[i - bpp]) + int(prev[i])) // 2) & 0xFF
+                )
+        elif ft == 4:  # Paeth (sequential left dependency)
+            row = out[y]
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                row[i] = np.uint8((int(cur[i]) + pred) & 0xFF)
+        else:
+            raise ValueError(f"bad scanline filter {ft}")
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:  # grey+alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
     """int16 mono samples -> RIFF/WAVE PCM16."""
     samples = np.asarray(samples, dtype="<i2")
@@ -171,14 +317,19 @@ def synth_media_table_real(n: int, seed: int = 0) -> pa.Table:
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in ("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")}
     for i in range(n):
-        kind = i % 3
+        kind = i % 4
         rows["media_id"].append(f"m{i:08d}")
-        if kind in (0, 1):  # image
+        if kind in (0, 1, 2):  # image
             h = int(rng.integers(8, 40))
             w = int(rng.integers(8, 40))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            codec = "bmp" if kind == 0 else "ppm"
-            payload = encode_bmp(px) if kind == 0 else encode_ppm(px)
+            codec = {0: "bmp", 1: "ppm", 2: "png"}[kind]
+            if kind == 0:
+                payload = encode_bmp(px)
+            elif kind == 1:
+                payload = encode_ppm(px)
+            else:  # real compressed PNG, varied scanline filters
+                payload = encode_png(px, filter_type=i % 5)
             rows["media_type"].append("image")
             rows["payload"].append(payload)
             rows["width"].append(w)
@@ -243,7 +394,7 @@ class DecodeImage:
     feature column. batch_size must be SMALL (payloads are large);
     callers pass e.g. batch_size=32, concurrency=(2, 8), num_cpus=1."""
 
-    REAL_CODECS = {"bmp", "ppm"}
+    REAL_CODECS = {"bmp", "ppm", "png"}
 
     def __init__(self, thumb: int = 8, use_real_codec: bool = False):
         self.thumb = thumb
@@ -257,6 +408,8 @@ class DecodeImage:
             return decode_bmp(payload)
         if codec == "ppm":
             return decode_ppm(payload)
+        if codec == "png":
+            return decode_png(payload)
         raise NotImplementedError(
             f"codec {codec!r} needs an external library (not in this "
             "container); install Pillow and wire it here (payload -> HxWx3 uint8)"

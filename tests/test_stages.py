@@ -270,23 +270,73 @@ class TestRealMediaCodecs:
             np.testing.assert_array_equal(got, s)
             assert rate == 8000
 
+    def test_png_roundtrip_all_filters(self):
+        """Real PNG codec: zlib IDAT + every standard scanline filter
+        (None/Sub/Up/Average/Paeth) round-trips bit-exactly, on noise
+        and on smooth gradients (which exercise Average/Paeth)."""
+        from dtaidistance_ray.stages.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(0)
+        ramp = np.linspace(0, 255, 48).astype(np.uint8)
+        grad = np.stack(
+            [np.add.outer(ramp, ramp) // 2] * 3, axis=2
+        ).astype(np.uint8)
+        for ft in range(5):
+            for px in (
+                rng.integers(0, 256, size=(11, 23, 3), dtype=np.uint8),
+                rng.integers(0, 256, size=(1, 1, 3), dtype=np.uint8),
+                grad,
+            ):
+                np.testing.assert_array_equal(
+                    decode_png(encode_png(px, filter_type=ft)), px
+                )
+
+    def test_png_grey_and_alpha_variants(self):
+        """Decoder handles greyscale and RGBA color types (alpha
+        dropped, grey replicated) — hand-built minimal PNGs."""
+        import struct
+        import zlib
+
+        from dtaidistance_ray.stages.multimodal import _png_chunk, decode_png
+
+        def build(color_type, channels, w, h, pix):
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+            raw = b"".join(b"\x00" + pix[y * w * channels : (y + 1) * w * channels] for y in range(h))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        grey = decode_png(build(0, 1, 3, 2, bytes(range(6))))
+        assert grey.shape == (2, 3, 3)
+        np.testing.assert_array_equal(grey[:, :, 0], np.arange(6, dtype=np.uint8).reshape(2, 3))
+        np.testing.assert_array_equal(grey[:, :, 0], grey[:, :, 2])
+        rgba = decode_png(build(6, 4, 2, 1, bytes([10, 20, 30, 255, 40, 50, 60, 0])))
+        np.testing.assert_array_equal(rgba, np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8))
+
     def test_decode_stage_real_pixels(self, ray_session):
         # decode stage over REAL BMP/PPM payloads: thumbnails must match
         # pooling of the true pixel arrays (not the fake-decode path)
         import ray.data as rd
         from dtaidistance_ray.stages.multimodal import (
-            decode_bmp, decode_images, synth_media_table_real,
+            decode_bmp, decode_images, decode_png, synth_media_table_real,
         )
 
         t = synth_media_table_real(18, seed=5)
         out = decode_images(rd.from_arrow(t), thumb=4).to_pandas()
-        assert len(out) == 12  # 2 of 3 rows per triple are images
+        assert len(out) == 14  # 3 of 4 rows per quad are images
         df = t.to_pandas().set_index("media_id")
+        checked = set()
         for mid, pixel_mean in zip(out["media_id"], out["pixel_mean"]):
             row = df.loc[mid]
-            if row["codec"] == "bmp":
-                px = decode_bmp(bytes(row["payload"]))
+            if row["codec"] in ("bmp", "png"):
+                dec = decode_bmp if row["codec"] == "bmp" else decode_png
+                px = dec(bytes(row["payload"]))
                 assert pixel_mean == pytest.approx(float(px.mean()))
+                checked.add(row["codec"])
+        assert checked == {"bmp", "png"}  # the real PNG path actually ran
 
     def test_audio_features_real_wave(self, ray_session):
         import ray.data as rd
@@ -294,7 +344,7 @@ class TestRealMediaCodecs:
 
         t = synth_media_table_real(18, seed=5)
         out = audio_features(rd.from_arrow(t)).to_pandas()
-        assert len(out) == 6
+        assert len(out) == 4  # 1 of 4 rows per quad is audio
         # pure sine waves: rms ~ 12000/32768/sqrt(2), dominant freq in band
         assert ((out["rms"] - 0.2589).abs() < 0.01).all()
         assert out["dominant_hz"].between(90, 2100).all()
