@@ -222,12 +222,39 @@ def _make_sweep_fn(centers_ref, dtw: DTWSettings):
                 "sums": [full_sums.tobytes()],
                 "counts": [full_counts.tobytes()],
                 "task_kernel_s": [t2 - t1],
+                "task_kernel_max": [t2 - t1],
                 "task_setup_s": [t1 - t0],
                 "task_members": [len(seqs)],
             }
         )
 
     return sweep
+
+
+def _merge_sweep_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Associative fan-in of layout-aligned sweep partial rows: vector
+    np.sum of the accumulator blobs, sum/max of the timing columns."""
+    sums = None
+    counts = None
+    for sb, cb in zip(batch["sums"], batch["counts"]):
+        s = np.frombuffer(sb, dtype=np.float64)
+        c = np.frombuffer(cb, dtype=np.int64)
+        if sums is None:
+            sums = s.copy()
+            counts = c.copy()
+        else:
+            sums += s
+            counts += c
+    return pd.DataFrame(
+        {
+            "sums": [sums.tobytes()],
+            "counts": [counts.tobytes()],
+            "task_kernel_s": [float(batch["task_kernel_s"].sum())],
+            "task_kernel_max": [float(batch["task_kernel_max"].max())],
+            "task_setup_s": [float(batch["task_setup_s"].sum())],
+            "task_members": [int(batch["task_members"].sum())],
+        }
+    )
 
 
 LAST_TIMINGS: Dict[str, float] = {}
@@ -240,6 +267,117 @@ _SWEEP_NUM_CPUS = float(_os.environ.get("DTAIR_SWEEP_NUM_CPUS", "1"))
 # target sweep blocks per CPU (higher = finer straggler splitting at
 # the cost of smaller per-task batches for the vectorized kernel)
 _BLOCKS_PER_CPU = float(_os.environ.get("DTAIR_BLOCKS_PER_CPU", "0"))
+# Tree-merge knobs: partial rows (one per input block) are merged by
+# distributed map_batches rounds of fan-in _MERGE_FANIN until at most
+# _MERGE_THRESHOLD_ROWS remain for the final driver fold — the driver
+# never holds more than that many partial rows, regardless of cluster
+# size (round-2 review: the all-blocks driver merge was the one
+# remaining single-node structure in the flagship path). The merges
+# are associative and exact (int64 counters, f64 sums of integer
+# member values), so the tree shape cannot change any result bit.
+_MERGE_FANIN = int(_os.environ.get("DTAIR_MERGE_FANIN", "16"))
+_MERGE_THRESHOLD_ROWS = int(_os.environ.get("DTAIR_MERGE_THRESHOLD", "64"))
+
+
+def _fold_stats_rows(stats_parts: pd.DataFrame) -> Dict[Tuple, dict]:
+    """Associative fold of packed stats-partial rows into a per-key
+    dict (shared by the driver fold and the tree-merge rounds)."""
+    import pickle
+
+    merged: Dict[Tuple, dict] = {}
+    for kblob, niblob, nfblob, oblob, fblob in zip(
+        stats_parts["keys"],
+        stats_parts["nums_int"],
+        stats_parts["nums_f"],
+        stats_parts["tok_offs"],
+        stats_parts["tok_flat"],
+    ):
+        keys, min_ids = pickle.loads(kblob)
+        nums_int = np.frombuffer(niblob, dtype=np.int64).reshape(3, len(keys))
+        nums_f = np.frombuffer(nfblob, dtype=np.float64).reshape(2, len(keys))
+        tok_offs = np.frombuffer(oblob, dtype=np.int64)
+        tok_flat = np.frombuffer(fblob, dtype=np.float64)
+        for p, k in enumerate(keys):
+            m = merged.get(k)
+            if m is None:
+                merged[k] = {
+                    "agg_count": int(nums_int[0, p]),
+                    "agg_n_tok_sum": int(nums_int[1, p]),
+                    "agg_token_sum": int(nums_int[2, p]),
+                    "agg_token_min": nums_f[0, p],
+                    "agg_token_max": nums_f[1, p],
+                    "min_doc_id": min_ids[p],
+                    "min_doc_tokens": tok_flat[tok_offs[p] : tok_offs[p + 1]],
+                }
+            else:
+                m["agg_count"] += int(nums_int[0, p])
+                m["agg_n_tok_sum"] += int(nums_int[1, p])
+                m["agg_token_sum"] += int(nums_int[2, p])
+                m["agg_token_min"] = min(m["agg_token_min"], nums_f[0, p])
+                m["agg_token_max"] = max(m["agg_token_max"], nums_f[1, p])
+                if min_ids[p] < m["min_doc_id"]:
+                    m["min_doc_id"] = min_ids[p]
+                    m["min_doc_tokens"] = tok_flat[tok_offs[p] : tok_offs[p + 1]]
+    return merged
+
+
+def _repack_stats(merged: Dict[Tuple, dict]) -> pd.DataFrame:
+    """Per-key dict -> ONE packed stats-partial row (inverse of the
+    _stats_partial packing; used by the tree-merge rounds)."""
+    import pickle
+
+    keys = sorted(merged.keys())
+    nums_int = np.array(
+        [
+            [merged[k]["agg_count"] for k in keys],
+            [merged[k]["agg_n_tok_sum"] for k in keys],
+            [merged[k]["agg_token_sum"] for k in keys],
+        ],
+        dtype=np.int64,
+    )
+    nums_f = np.array(
+        [
+            [merged[k]["agg_token_min"] for k in keys],
+            [merged[k]["agg_token_max"] for k in keys],
+        ],
+        dtype=np.float64,
+    )
+    min_ids = [merged[k]["min_doc_id"] for k in keys]
+    toks = [np.asarray(merged[k]["min_doc_tokens"], dtype=np.float64) for k in keys]
+    tok_offs = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in toks], out=tok_offs[1:])
+    tok_flat = np.concatenate(toks) if toks else np.zeros(0, dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "keys": [pickle.dumps((keys, min_ids))],
+            "nums_int": [nums_int.tobytes()],
+            "nums_f": [nums_f.tobytes()],
+            "tok_offs": [tok_offs.tobytes()],
+            "tok_flat": [tok_flat.tobytes()],
+        }
+    )
+
+
+def _merge_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    return _repack_stats(_fold_stats_rows(batch))
+
+
+def _tree_reduce(parts_ds, merge_fn, label: str):
+    """Distributed fan-in rounds until <= _MERGE_THRESHOLD_ROWS rows
+    remain; returns the final (bounded) pandas frame. Records the row
+    count handed to the driver in LAST_TIMINGS['<label>_driver_rows']."""
+    parts_ds = parts_ds.materialize()
+    nb = parts_ds.count()
+    rounds = 0
+    while nb > _MERGE_THRESHOLD_ROWS:
+        parts_ds = parts_ds.map_batches(
+            merge_fn, batch_size=_MERGE_FANIN, batch_format="pandas"
+        ).materialize()
+        nb = parts_ds.count()
+        rounds += 1
+    LAST_TIMINGS[f"{label}_merge_rounds"] = rounds
+    LAST_TIMINGS[f"{label}_driver_rows"] = int(nb)
+    return parts_ds.to_pandas()
 
 
 def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
@@ -275,54 +413,18 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
     LAST_TIMINGS["materialize"] = round(_time.perf_counter() - _t, 2)
     _t = _time.perf_counter()
 
-    # partial rows number (#keys x #blocks) — KB-to-MB scale — so the
-    # merge runs on the driver (at larger key-spaces: tree-merge tasks
-    # or key-range shards; same associative merge either way)
-    import pickle
-
-    stats_parts = ds.map_batches(_stats_partial, batch_format="pyarrow").to_pandas()
+    # one packed partial row per block; distributed fan-in rounds keep
+    # the final driver fold bounded to _MERGE_THRESHOLD_ROWS rows
+    stats_parts = _tree_reduce(
+        ds.map_batches(_stats_partial, batch_format="pyarrow"), _merge_stats_batch, "stats"
+    )
     LAST_TIMINGS["stats_scan"] = round(_time.perf_counter() - _t, 2)
     _t = _time.perf_counter()
-    # merge: one packed row per block -> per-key dict fold (#keys x
-    # #blocks dict ops; sub-second at thousands of keys)
-    merged_stats: Dict[Tuple, dict] = {}
     if "keys" not in stats_parts.columns:  # zero-block input (full resume skip)
         stats_parts = pd.DataFrame(
             {c: [] for c in ("keys", "nums_int", "nums_f", "tok_offs", "tok_flat")}
         )
-    for kblob, niblob, nfblob, oblob, fblob in zip(
-        stats_parts["keys"],
-        stats_parts["nums_int"],
-        stats_parts["nums_f"],
-        stats_parts["tok_offs"],
-        stats_parts["tok_flat"],
-    ):
-        keys, min_ids = pickle.loads(kblob)
-        nums_int = np.frombuffer(niblob, dtype=np.int64).reshape(3, len(keys))
-        nums_f = np.frombuffer(nfblob, dtype=np.float64).reshape(2, len(keys))
-        tok_offs = np.frombuffer(oblob, dtype=np.int64)
-        tok_flat = np.frombuffer(fblob, dtype=np.float64)
-        for p, k in enumerate(keys):
-            m = merged_stats.get(k)
-            if m is None:
-                merged_stats[k] = {
-                    "agg_count": int(nums_int[0, p]),
-                    "agg_n_tok_sum": int(nums_int[1, p]),
-                    "agg_token_sum": int(nums_int[2, p]),
-                    "agg_token_min": nums_f[0, p],
-                    "agg_token_max": nums_f[1, p],
-                    "min_doc_id": min_ids[p],
-                    "min_doc_tokens": tok_flat[tok_offs[p] : tok_offs[p + 1]],
-                }
-            else:
-                m["agg_count"] += int(nums_int[0, p])
-                m["agg_n_tok_sum"] += int(nums_int[1, p])
-                m["agg_token_sum"] += int(nums_int[2, p])
-                m["agg_token_min"] = min(m["agg_token_min"], nums_f[0, p])
-                m["agg_token_max"] = max(m["agg_token_max"], nums_f[1, p])
-                if min_ids[p] < m["min_doc_id"]:
-                    m["min_doc_id"] = min_ids[p]
-                    m["min_doc_tokens"] = tok_flat[tok_offs[p] : tok_offs[p + 1]]
+    merged_stats: Dict[Tuple, dict] = _fold_stats_rows(stats_parts)
     from .rollup import TIER_SCHEMA_COLS
 
     if not merged_stats:  # empty input (e.g. full resume skip)
@@ -348,14 +450,18 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
         packed = _pack_centers(active)
         pkeys, poffsets, _pflat = packed
         centers_ref = ray.put(packed)
-        parts = ds.map_batches(
-            _make_sweep_fn(centers_ref, cfg.dtw), batch_format="pyarrow",
-            num_cpus=_SWEEP_NUM_CPUS,
-        ).to_pandas()
+        parts = _tree_reduce(
+            ds.map_batches(
+                _make_sweep_fn(centers_ref, cfg.dtw), batch_format="pyarrow",
+                num_cpus=_SWEEP_NUM_CPUS,
+            ),
+            _merge_sweep_batch,
+            f"sweep{rnd}",
+        )
         LAST_TIMINGS[f"sweep_round{rnd}"] = round(_time.perf_counter() - _t, 2)
         if len(parts):
             LAST_TIMINGS[f"sweep_round{rnd}_kernel_max"] = round(
-                float(parts["task_kernel_s"].max()), 2
+                float(parts["task_kernel_max"].max()), 2
             )
             LAST_TIMINGS[f"sweep_round{rnd}_kernel_sum"] = round(
                 float(parts["task_kernel_s"].sum()), 2

@@ -104,6 +104,40 @@ class TestTierEquality:
             np.testing.assert_array_equal(gorilla_decode(enc), np.asarray(r))
 
 
+class TestTreeMerge:
+    def test_bounded_driver_rows_bit_identical(self, ray_session, monkeypatch):
+        """With the merge threshold patched to 1 and fan-in 2, the
+        distributed tree merge runs multiple fan-in rounds, the driver
+        fold receives exactly 1 partial row, and the tier output stays
+        BIT-identical to the default path (associative exact merges)."""
+        from dtaidistance_ray.pipelines.flagship import bucketize
+        from dtaidistance_ray.stages import rollup_scan
+
+        ds = token_table(SPEC, override_num_blocks=9)
+        base = _canon(
+            rollup_scan.scan_rollup_base_tier(
+                bucketize(ds, CFG.tier_widths[0], SPEC), CFG
+            ).to_pandas()
+        )
+        monkeypatch.setattr(rollup_scan, "_MERGE_THRESHOLD_ROWS", 1)
+        monkeypatch.setattr(rollup_scan, "_MERGE_FANIN", 2)
+        ds2 = token_table(SPEC, override_num_blocks=9)
+        got = _canon(
+            rollup_scan.scan_rollup_base_tier(
+                bucketize(ds2, CFG.tier_widths[0], SPEC), CFG
+            ).to_pandas()
+        )
+        t = rollup_scan.LAST_TIMINGS
+        assert t["stats_driver_rows"] == 1
+        assert t["stats_merge_rounds"] >= 2  # 9 blocks, fan-in 2
+        assert t["sweep0_driver_rows"] == 1
+        assert len(got) == len(base)
+        for col in ("source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+            assert (got[col].to_numpy() == base[col].to_numpy()).all(), col
+        for a, b in zip(got["repr_series"], base["repr_series"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestCheckpointResume:
     def test_resume_skips_completed_shards(self, ray_session, tmp_path):
         out = str(tmp_path / "rollup_out")
