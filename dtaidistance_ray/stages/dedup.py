@@ -72,6 +72,38 @@ def shingle_hash_array(text: str, k: int = 5) -> np.ndarray:
     return np.unique(_splitmix(h))
 
 
+def _batch_shingle_hashes(texts, k: int):
+    """Sorted unique shingle-hash sets for a WHOLE batch in one pass:
+    normalized byte buffers are concatenated and the k-byte Horner fold
+    runs over the single flat array (k vector ops per batch instead of
+    k per doc), windows straddling doc boundaries are sliced away by
+    offset arithmetic. Bit-identical to shingle_hash_array per doc
+    (asserted in tests/test_stages.py); docs shorter than k keep the
+    scalar path (whole-buffer hash, rare)."""
+    bufs = [_normalize(t) for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    offs = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8) if offs[-1] else np.zeros(0, np.uint8)
+    n_win = max(0, len(flat) - k + 1)
+    h = np.zeros(n_win, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * _B + flat[j : n_win + j].astype(np.uint64)
+        h = _splitmix(h)
+    out = []
+    for d in range(len(bufs)):
+        ln = int(lens[d])
+        if ln == 0:
+            out.append(np.zeros(0, dtype=np.uint64))
+        elif ln < k:
+            out.append(shingle_hash_array(texts[d], k))
+        else:
+            s = int(offs[d])
+            out.append(np.unique(h[s : s + ln - k + 1]))
+    return out
+
+
 class ShingleSketcher:
     """(doc_id, shingles) sketch rows; shingles stored as int64 views of
     the sorted uint64 hash sets (Arrow has no uint64 list comfort)."""
@@ -82,7 +114,7 @@ class ShingleSketcher:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["doc_id"]].copy()
         out["shingles"] = [
-            shingle_hash_array(t, self.k).view(np.int64) for t in batch["text"]
+            s.view(np.int64) for s in _batch_shingle_hashes(list(batch["text"]), self.k)
         ]
         return out
 
@@ -117,9 +149,32 @@ class MinHasher:
             vals = h[:, None] * self.a[None, :] + self.b[None, :]
         return vals.min(axis=0)
 
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) signatures for a whole batch: shingle sets
+        come from the batch-flat hash pass, then each permutation is ONE
+        vector multiply-add over the concatenated sets with a
+        minimum.reduceat fold per doc — no per-doc Python matrix.
+        Bit-identical to signature() per doc (wraparound uint64 math is
+        associative and order-free under min)."""
+        sets = _batch_shingle_hashes(texts, self.k)
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        out = np.zeros((len(sets), self.num_perm), dtype=np.uint64)
+        nonempty = lens > 0
+        if not nonempty.any():
+            return out
+        cat = np.concatenate([s for s in sets if len(s)])
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        with np.errstate(over="ignore"):
+            for i in range(self.num_perm):
+                v = cat * self.a[i] + self.b[i]
+                out[nonempty, i] = np.minimum.reduceat(v, starts)
+        return out
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["doc_id"]].copy()
-        out["minhash"] = [self.signature(t).view(np.int64) for t in batch["text"]]
+        sigs = self.signatures_batch(list(batch["text"]))
+        out["minhash"] = [s.view(np.int64) for s in sigs]
         return out
 
 

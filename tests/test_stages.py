@@ -225,6 +225,27 @@ class TestIvfTopk:
         assert approx["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
 
 
+class TestBatchedSignatures:
+    def test_batch_flat_parity_with_scalar(self):
+        """The batch-flat shingle/minhash pass (one Horner fold over the
+        concatenated normalized buffers) is bit-identical to the per-doc
+        scalar path, including empty docs, docs shorter than k, unicode
+        and whitespace-collapse edge cases."""
+        from dtaidistance_ray.stages.dedup import (
+            MinHasher, _batch_shingle_hashes, shingle_hash_array,
+        )
+
+        rng = np.random.default_rng(5)
+        words = ["alpha", "beta", "x", "the  quick", " pad ", "", "ab", "ünïcode", "\t\ntab"]
+        texts = ["", "ab", "abc", "abcd", "abcde"]
+        texts += [" ".join(rng.choice(words, size=int(rng.integers(0, 10)))) for _ in range(100)]
+        for got, t in zip(_batch_shingle_hashes(texts, 5), texts):
+            np.testing.assert_array_equal(got, shingle_hash_array(t, 5))
+        mh = MinHasher()
+        for got, t in zip(mh.signatures_batch(texts), texts):
+            np.testing.assert_array_equal(got, mh.signature(t))
+
+
 class TestNearDupBucketCap:
     def test_skewed_cluster_leaves_bounded(self):
         """One dominant cluster must NOT produce an O(n^2) in-bucket
