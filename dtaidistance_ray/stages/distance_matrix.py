@@ -63,13 +63,21 @@ class TileScorer:
         self.batched = pairs_supported(settings)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_i, out_j = [], []
+        # vectorized pair-index expansion per tile (meshgrid + triu mask)
+        ii, jj = [], []
         for rb, re_, cb, ce in zip(batch["rb"], batch["re"], batch["cb"], batch["ce"]):
-            for i in range(int(rb), int(re_)):
-                j0 = max(int(cb), i + 1) if self.triu else int(cb)
-                for j in range(j0, int(ce)):
-                    out_i.append(i)
-                    out_j.append(j)
+            gi, gj = np.meshgrid(
+                np.arange(int(rb), int(re_)), np.arange(int(cb), int(ce)), indexing="ij"
+            )
+            if self.triu:
+                keep = gj > gi
+                ii.append(gi[keep])
+                jj.append(gj[keep])
+            else:
+                ii.append(gi.ravel())
+                jj.append(gj.ravel())
+        out_i = np.concatenate(ii) if ii else np.zeros(0, dtype=np.int64)
+        out_j = np.concatenate(jj) if jj else np.zeros(0, dtype=np.int64)
         if self.batched:
             from ..kernels.pairs_batch import batched_pair_distances
 

@@ -116,6 +116,85 @@ def subsequence_knn_tokens(spec, k: int = 10):
     return knn.map_batches(rnd, batch_format="pandas")
 
 
+class SAMatch:
+    """One subsequence-alignment match — the reference's convenience
+    surface (subsequencealignment.py:68-140, study-only): attribute
+    access (idx / value / distance / segment / path) plus
+    ``linearly_scale``; ``__getitem__`` keeps the engine's original
+    dict-style consumers working unchanged."""
+
+    def __init__(self, alignment: "SubsequenceAlignment", idx: int, value: float,
+                 segment, path):
+        self.alignment = alignment
+        self.idx = idx
+        self.value = value
+        self.segment = segment
+        self.path = path
+
+    @property
+    def distance(self) -> float:
+        """Raw DTW distance (value is normalized by query length)."""
+        return self.value * len(self.alignment.query)
+
+    def __getitem__(self, key):
+        return {"idx": self.idx, "value": self.value,
+                "segment": self.segment, "path": self.path}[key]
+
+    def linearly_scale(self, return_coeff: bool = False):
+        """Linearly rescale the query to optimally cover the matched
+        segment: fit a weighted straight line through the warping path
+        (weights = |query derivative|, so flat stretches of the query
+        don't drag the fit), extend the segment to where the line meets
+        the query's ends, and resample the query over that span."""
+        from ..kernels.preprocessing import derivative as _derivative
+
+        series = self.alignment.series
+        query = self.alignment.query
+        segment = self.segment
+        xy = np.array(self.path)
+        xy[:, 1] -= segment[0]
+        wf = _derivative(query)
+        w = np.abs(wf[xy[:, 0]]).astype(np.float64)
+        b, m = (
+            np.polynomial.polynomial.Polynomial.fit(xy[:, 1], xy[:, 0], 1, w=w)
+            .convert()
+            .coef
+        )
+        segment = (
+            int(max(0, segment[0] - b / m)),
+            int(min(len(series), segment[0] + (len(query) - b) / m)),
+        )
+        x = list(range(len(query)))
+        x_new = np.linspace(x[0], x[-1], segment[1] - segment[0] + 1)
+        scaled = np.interp(x_new, x, query)
+        if return_coeff:
+            return scaled, segment, (m, b), len(scaled) / len(query)
+        return scaled, segment
+
+
+class SAMatches:
+    """Container over collected SAMatch objects (reference
+    SAMatches semantics: iteration, len, segments/values views)."""
+
+    def __init__(self, matches):
+        self.matches = list(matches)
+
+    def __iter__(self):
+        return iter(self.matches)
+
+    def __len__(self):
+        return len(self.matches)
+
+    def __getitem__(self, i):
+        return self.matches[i]
+
+    def segments(self):
+        return [m.segment for m in self.matches]
+
+    def values(self):
+        return [m.value for m in self.matches]
+
+
 class SubsequenceAlignment:
     """Query-in-series alignment (reference
     subsequence/subsequencealignment.py:175-459): free start/end in the
@@ -207,7 +286,7 @@ class SubsequenceAlignment:
                 continue
             matching[mb:me] = np.inf
             ki += 1
-            yield {"idx": best_idx, "value": value, "segment": [b, e], "path": path}
+            yield SAMatch(self, best_idx, value, [b, e], path)
 
     def kbest_matches(self, k=1, overlap=0, minlength=2, maxlength=None):
         return self.best_matches(k=k, overlap=overlap, minlength=minlength, maxlength=maxlength)

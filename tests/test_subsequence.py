@@ -86,3 +86,30 @@ class TestSubsequenceAlignment:
         assert len(m_our) == len(m_ref)
         assert [m["idx"] for m in m_our] == [m.idx for m in m_ref]
         assert [m["segment"] for m in m_our] == [m.segment for m in m_ref]
+
+    def test_samatch_surface_and_linearly_scale_parity(self):
+        """SAMatch attribute surface + linearly_scale match the
+        reference SAMatch on the same alignment."""
+        rng = np.random.default_rng(17)
+        series = rng.normal(size=250)
+        query = np.sin(np.linspace(0, 4, 14)) * 2
+        series[60:88] = np.interp(
+            np.linspace(0, 13, 28), np.arange(14), query
+        ) + rng.normal(scale=0.02, size=28)  # stretched occurrence
+        ours = SubsequenceAlignment(query, series)
+        theirs = ref_mod.subsequence_alignment(query, series)
+        m_our = next(ours.kbest_matches(k=1))
+        m_ref = next(theirs.kbest_matches(k=1))
+        assert m_our.idx == m_ref.idx
+        assert m_our.value == pytest.approx(m_ref.value)
+        assert m_our.distance == pytest.approx(m_ref.distance)
+        assert m_our.segment == m_ref.segment
+        assert m_our.path == m_ref.path
+        # dict-style access keeps working (engine's original surface)
+        assert m_our["idx"] == m_our.idx
+        q_our, seg_our, coeff_our, ratio_our = m_our.linearly_scale(return_coeff=True)
+        q_ref, seg_ref, coeff_ref, ratio_ref = m_ref.linearly_scale(return_coeff=True)
+        assert seg_our == tuple(seg_ref)
+        np.testing.assert_allclose(q_our, q_ref, rtol=1e-9)
+        assert coeff_our[0] == pytest.approx(coeff_ref[0])
+        assert ratio_our == pytest.approx(ratio_ref)
