@@ -421,6 +421,45 @@ def _q_subsequence_alignment(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_subsequence_knee_matches(sf_dir: str):
+    """Knee-stopped match streams (DetectKnee EWMA criterion): all
+    matches of a planted query inside each series until the value curve
+    knees — the reference best_matches_knee semantics over the token
+    table (parity with the reference iterator in
+    tests/test_subsequence.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.sources.synth import generate_batch
+    from dtaidistance_ray.stages.search import SubsequenceAlignment
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(12, dtype=np.int64), spec)
+    docs = t.to_pandas()
+    rows = []
+    for doc_id, toks in zip(docs["doc_id"], docs["tokens"]):
+        toks = np.asarray(toks, dtype=np.float64)
+        if len(toks) < 24:
+            continue
+        query = toks[5:15]
+        sa = SubsequenceAlignment(query, toks)
+        for rank, m in enumerate(sa.best_matches_knee(alpha=0.3)):
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "rank": rank,
+                    "idx": int(m.idx),
+                    "start": int(m.segment[0]),
+                    "end": int(m.segment[1]),
+                    "value": round(float(m.value), 6),
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in ("rank", "idx", "start", "end"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _q_local_concurrences(sf_dir: str):
     """Recurring-pattern mining (LoCo) within token sequences."""
     import numpy as np
@@ -704,6 +743,7 @@ GOLDEN_QUERIES = (
     "nw_align_tokens",
     "symbolize_tokens",
     "subsequence_alignment_tokens",
+    "subsequence_knee_matches_tokens",
     "local_concurrences_tokens",
     "doc_lang_id",
     "doc_fingerprints",
@@ -792,6 +832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         "symbolize_tokens": _q_symbolize_tokens,
         "subsequence_alignment_tokens": _q_subsequence_alignment,
+        "subsequence_knee_matches_tokens": _q_subsequence_knee_matches,
         "local_concurrences_tokens": _q_local_concurrences,
     }
 

@@ -466,6 +466,9 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
             LAST_TIMINGS[f"sweep_round{rnd}_kernel_sum"] = round(
                 float(parts["task_kernel_s"].sum()), 2
             )
+            LAST_TIMINGS[f"sweep_round{rnd}_setup_sum"] = round(
+                float(parts["task_setup_s"].sum()), 2
+            )
         # merge: np.sum over the layout-aligned task vectors (exact:
         # member values are integers)
         total = int(poffsets[-1])

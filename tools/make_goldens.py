@@ -502,8 +502,43 @@ check_tier0_full = _check_tier_full(0)
 check_tier2_full = _check_tier_full(2)
 
 
+def check_subsequence_knee(got: pd.DataFrame):
+    """Reference-library recompute: the reference's own
+    best_matches_knee iterator over the same (query, series) pairs."""
+    import numpy as np
+
+    from dtaidistance.subsequence.subsequencealignment import subsequence_alignment
+
+    import __ray_entry__ as E
+    from dtaidistance_ray.sources.synth import generate_batch
+
+    spec = E._token_spec(SF_DIR)
+    t = generate_batch(np.arange(12, dtype=np.int64), spec).to_pandas()
+    want = []
+    for doc_id, toks in zip(t["doc_id"], t["tokens"]):
+        toks = np.asarray(toks, dtype=np.float64)
+        if len(toks) < 24:
+            continue
+        query = toks[5:15]
+        sa = subsequence_alignment(query, toks)
+        for rank, m in enumerate(sa.best_matches_knee(alpha=0.3)):
+            want.append(
+                (doc_id, rank, int(m.idx), int(m.segment[0]), int(m.segment[1]),
+                 round(float(m.value), 6))
+            )
+    ours = [
+        (d, int(r), int(i), int(s), int(e), float(v))
+        for d, r, i, s, e, v in zip(
+            got["doc_id"], got["rank"], got["idx"], got["start"], got["end"], got["value"]
+        )
+    ]
+    assert sorted(want) == sorted(ours), (len(want), len(ours))
+    return "reference library best_matches_knee over the same pairs (exact match-stream equality)"
+
+
 CHECKS = {
     "tokens_rollup_payload_crc": check_payload_crc,
+    "subsequence_knee_matches_tokens": check_subsequence_knee,
     "tokens_rollup_tier0_full": check_tier0_full,
     "tokens_rollup_tier2_full": check_tier2_full,
     "ann_ivf_topk": check_ann_ivf_topk,
