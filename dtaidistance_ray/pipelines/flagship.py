@@ -216,11 +216,25 @@ def downstream_fused(tier0, cfg: RollupConfig):
             outs.append(fr)
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        rd.from_pandas(both)
-        .repartition(min(64, max(8, 2 * ncpu)))
-        .groupby(["source", "sid"])
-        .map_groups(per_shard, batch_format="pandas")
+    def per_chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [per_shard(g) for _, g in batch.groupby(["source", "sid"], sort=True)],
+            ignore_index=True,
+        )
+
+    # The shard of every row is already known here (sid is a pure
+    # function of bucket), so a groupby SHUFFLE would be pure overhead:
+    # build one block per task chunk directly (round-robin over the
+    # (source, sid) groups for balance) and run a shuffle-free
+    # map_batches. At key-spaces too large for the driver frame this
+    # becomes a range-partitioned exchange on sid — same per_shard.
+    groups = [g for _, g in both.groupby(["source", "sid"], sort=True)]
+    nchunks = max(1, min(len(groups), max(8, 2 * ncpu)))
+    chunks = [
+        pd.concat(groups[i::nchunks], ignore_index=True) for i in range(nchunks)
+    ]
+    return rd.from_pandas(chunks).map_batches(
+        per_chunk, batch_size=None, batch_format="pandas"
     )
 
 

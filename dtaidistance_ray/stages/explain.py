@@ -640,4 +640,6 @@ def explain_pairs_dataset(pairs, sf_dir: Optional[str] = None, **kwargs):
         cols = ["pair_id", "s_idx", "e_idx", "s_idx_y", "e_idx_y", "shift", "elasticity"]
         return pd.DataFrame(rows, columns=cols)
 
-    return pairs.map_batches(explain_batch, batch_format="pandas", concurrency=auto_pool())
+    # plain function -> task pool (Ray autoscales tasks; tuple
+    # concurrency is only valid for callable-class actor pools)
+    return pairs.map_batches(explain_batch, batch_format="pandas")
