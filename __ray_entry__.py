@@ -421,6 +421,51 @@ def _q_subsequence_alignment(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_tokens_rollup_time_index(sf_dir: str):
+    """Per-source delta-of-delta time-grid index of every tier
+    (the tier's bucket-start timestamps compressed to ~1 bit/bucket),
+    reduced to (tier, source, n_buckets, crc32(ts_dod)) so the gate can
+    hash it against a rollup_oracle golden."""
+    import zlib
+
+    import pandas as pd
+
+    from dtaidistance_ray.pipelines.flagship import build_tiers
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig, gap_fill_tier, tier_time_index
+
+    spec = _token_spec(sf_dir)
+    cfg = RollupConfig()
+    tiers = build_tiers(token_table(spec), spec, cfg)
+
+    def view(tier):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "tier": tier,
+                    "source": batch["source"],
+                    "n_buckets": batch["n_buckets"].astype("int64"),
+                    "ts_dod_crc": [zlib.crc32(bytes(p)) for p in batch["ts_dod"]],
+                }
+            )
+            out["tier"] = out["tier"].astype("int64")
+            out["ts_dod_crc"] = out["ts_dod_crc"].astype("int64")
+            return out
+
+        return fn
+
+    parts = [
+        tier_time_index(gap_fill_tier(tiers[t]), cfg.tier_widths[t]).map_batches(
+            view(t), batch_format="pandas"
+        )
+        for t in range(len(cfg.tier_widths))
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def _q_subsequence_knee_matches(sf_dir: str):
     """Knee-stopped match streams (DetectKnee EWMA criterion): all
     matches of a planted query inside each series until the value curve
@@ -763,6 +808,7 @@ GOLDEN_QUERIES = (
     "tokens_rollup_payload_crc",
     "tokens_rollup_tier0_full",
     "tokens_rollup_tier2_full",
+    "tokens_rollup_time_index",
 )
 
 
@@ -811,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_rollup_tier0_aggs": _q_tokens_rollup_tier0_aggs,
         "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
+        "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
         "tokens_rollup_tier0_repr": _q_tokens_rollup_tier0_repr,
         "tokens_rollup_payload_crc": _q_tokens_rollup_payload_crc,

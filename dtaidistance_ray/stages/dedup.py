@@ -223,7 +223,13 @@ def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
 
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(sf_dir, num_perm)
-    exploded = sigs.map_batches(_explode_bands(bands, rows_per_band), batch_format="pandas")
+    # materialized: consumed twice (bucket counts, then the hot filter);
+    # without this the signature pass would re-run. (band, hash, id)
+    # rows are ~24 B/doc/band — object-store-resident and spillable,
+    # far smaller than the corpus at any scale.
+    exploded = sigs.map_batches(
+        _explode_bands(bands, rows_per_band), batch_format="pandas"
+    ).materialize()
 
     counts = exploded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
     hot = counts.filter(expr="n >= 2").select_columns(["band", "band_hash"]).to_pandas()

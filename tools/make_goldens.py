@@ -536,9 +536,38 @@ def check_subsequence_knee(got: pd.DataFrame):
     return "reference library best_matches_knee over the same pairs (exact match-stream equality)"
 
 
+def check_time_index(got: pd.DataFrame):
+    """Independent recompute: dod_encode over the gap-filled tier grids
+    of the single-process rollup_oracle."""
+    import zlib
+
+    import numpy as np
+
+    import __ray_entry__ as E
+    from dtaidistance_ray.codec import dod_encode
+    from dtaidistance_ray.pipelines.flagship import rollup_oracle
+    from dtaidistance_ray.stages.rollup import RollupConfig
+
+    cfg = RollupConfig()
+    tiers = rollup_oracle(E._token_spec(SF_DIR), cfg)
+    want = {}
+    for t, frame in tiers.items():
+        width = cfg.tier_widths[t]
+        for src, g in frame.groupby("source"):
+            ts = np.sort(g["bucket"].unique()) * width
+            want[(int(t), src)] = (len(ts), zlib.crc32(bytes(dod_encode(ts))))
+    ours = {
+        (int(t), s): (int(n), int(c))
+        for t, s, n, c in zip(got["tier"], got["source"], got["n_buckets"], got["ts_dod_crc"])
+    }
+    assert want == ours, (len(want), len(ours))
+    return "single-process rollup_oracle grids re-encoded with the same dod codec (crc + count equality)"
+
+
 CHECKS = {
     "tokens_rollup_payload_crc": check_payload_crc,
     "subsequence_knee_matches_tokens": check_subsequence_knee,
+    "tokens_rollup_time_index": check_time_index,
     "tokens_rollup_tier0_full": check_tier0_full,
     "tokens_rollup_tier2_full": check_tier2_full,
     "ann_ivf_topk": check_ann_ivf_topk,
