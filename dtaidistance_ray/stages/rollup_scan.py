@@ -183,10 +183,20 @@ def _stats_partial(batch) -> pd.DataFrame:
     )
 
 
+# Per-worker-process cache of the current round's unpacked centers:
+# a worker runs many sweep tasks per round (blocks/cpus waves), and
+# re-fetching + re-unpacking the broadcast per task measured ~0.17 s
+# each under concurrent plasma access at sf0.5 (38 s of setup across
+# one round). Keyed by ObjectRef so a new round's broadcast evicts the
+# previous one (bounded memory: exactly one packed center set).
+_WORKER_CENTERS_CACHE: Dict = {}
+
+
 def _make_sweep_fn(centers_ref, dtw: DTWSettings):
-    """Stateless sweep task: centers fetched from the object store per
-    task (local shared-memory read — broadcast once via ray.put, never
-    shipped per batch).
+    """Stateless sweep task: centers fetched from the object store ONCE
+    PER WORKER PROCESS per round (broadcast via ray.put, cached in
+    _WORKER_CENTERS_CACHE across the worker's tasks, never shipped per
+    batch).
 
     Each task emits ONE row whose payload is the task's full partial
     accumulator vector ALIGNED TO THE BROADCAST CENTER LAYOUT (the
@@ -202,9 +212,15 @@ def _make_sweep_fn(centers_ref, dtw: DTWSettings):
         import ray
 
         t0 = _time.perf_counter()
-        packed = ray.get(centers_ref)
+        cache_key = centers_ref.hex() if hasattr(centers_ref, "hex") else id(centers_ref)
+        cached = _WORKER_CENTERS_CACHE.get(cache_key)
+        if cached is None:
+            packed = ray.get(centers_ref)
+            cached = (packed, _unpack_centers(packed))
+            _WORKER_CENTERS_CACHE.clear()
+            _WORKER_CENTERS_CACHE[cache_key] = cached
+        packed, centers = cached
         pkeys, poffsets, pflat = packed
-        centers = _unpack_centers(packed)
         keys, seqs = _batch_arrays(batch)
         t1 = _time.perf_counter()
         parts = scan_dba_partials(keys, seqs, centers, dtw)

@@ -73,3 +73,23 @@ class TestDeltaDelta:
         rng = np.random.default_rng(2)
         toks = rng.integers(0, 32000, size=500)
         np.testing.assert_array_equal(dod_decode(dod_encode(toks)), toks)
+
+
+class TestPngProperty:
+    @hsettings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        ft=st.integers(min_value=0, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_roundtrip_property(self, h, w, ft, seed):
+        """PNG encode/decode round-trips bit-exactly for every image
+        shape and scanline filter (property-based)."""
+        import numpy as np
+
+        from dtaidistance_ray.stages.multimodal import decode_png, encode_png
+
+        px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = decode_png(encode_png(px, filter_type=ft))
+        np.testing.assert_array_equal(got, px)
