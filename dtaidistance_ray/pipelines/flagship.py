@@ -229,6 +229,8 @@ def downstream_fused(tier0, cfg: RollupConfig):
     # map_batches. At key-spaces too large for the driver frame this
     # becomes a range-partitioned exchange on sid — same per_shard.
     groups = [g for _, g in both.groupby(["source", "sid"], sort=True)]
+    if not groups:  # empty tier0 (e.g. full resume skip): empty result
+        return rd.from_pandas(both)
     nchunks = max(1, min(len(groups), max(8, 2 * ncpu)))
     chunks = [
         pd.concat(groups[i::nchunks], ignore_index=True) for i in range(nchunks)

@@ -385,7 +385,7 @@ def _tree_reduce(parts_ds, merge_fn, label: str):
     parts_ds = parts_ds.materialize()
     nb = parts_ds.count()
     rounds = 0
-    while nb > _MERGE_THRESHOLD_ROWS:
+    while nb > max(1, _MERGE_THRESHOLD_ROWS):  # floor 1: a single row can't reduce
         parts_ds = parts_ds.map_batches(
             merge_fn, batch_size=_MERGE_FANIN, batch_format="pandas"
         ).materialize()
