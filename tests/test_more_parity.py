@@ -138,3 +138,23 @@ class TestNdimPaths:
         assert d1 == pytest.approx(d2, abs=1e-12)
         np.testing.assert_allclose(m1, m2, rtol=1e-9, atol=1e-12)
         assert (m1 == -1).any()  # psi-masked cells present
+
+
+class TestNdimDistanceMatrix:
+    def test_parity_vs_reference(self, ray_session):
+        """distance_matrix over multivariate (2-D) series matches the
+        reference dtw_ndim.distance_matrix (vector inner distance
+        routes through the scalar kernel's ndim path per pair)."""
+        import numpy as np
+
+        from dtaidistance import dtw_ndim
+
+        from dtaidistance_ray.stages.distance_matrix import distance_matrix
+
+        rng = np.random.default_rng(1)
+        seqs = [rng.normal(size=(int(rng.integers(5, 20)), 3)) for _ in range(10)]
+        got = distance_matrix(seqs).to_pandas()
+        ref = dtw_ndim.distance_matrix(seqs)
+        assert len(got) == 45
+        for i, j, d in zip(got["i"], got["j"], got["d"]):
+            assert abs(ref[int(i), int(j)] - d) < 1e-9
