@@ -155,27 +155,55 @@ FROM grid g LEFT JOIN hourly h
 """
 
 
-def sessionize(sf_dir: str, gap_s: int = 1800):
+def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
     """Session stats per user: a new session starts when the gap to the
-    previous event exceeds gap_s (streaming-shaped op as sorted
-    map_groups per user — the partition key is the session key)."""
+    previous event exceeds gap_s.
+
+    Scale shape: users are an UNBOUNDED key, and per-user map_groups
+    pays ~4.5 ms of Ray machinery per group — a Python-call count that
+    grows with the data. Instead, users hash into ``n_buckets`` coarse
+    partitions (bounded group count; the shuffle co-locates each user's
+    events because bucket is a function of user) and the per-bucket
+    function is fully VECTORIZED: one sort by (user, ts), one diff, a
+    boolean new-session mask (user boundary | gap), one C-level pandas
+    groupby-agg. Results are identical to the per-user formulation."""
     ds = read_events(sf_dir, columns=["ts", "user_id", "value"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        gaps = g["ts"].diff().dt.total_seconds()
-        new_sess = (gaps.isna() | (gaps > gap_s)).astype("int64")
-        cents = int(np.round(g["value"].to_numpy() * 100).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(new_sess.sum())],
-                "n_events": [len(g)],
-                "value_sum": [cents / 100.0],
-            }
-        )
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["user_bucket"] = (batch["user_id"].to_numpy(np.int64)) % n_buckets
+        return batch
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy()
+        gaps = np.empty(len(g))
+        gaps[0] = np.inf
+        if len(g) > 1:
+            gaps[1:] = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        g = g.assign(
+            _new_sess=(new_user | (gaps > gap_s)).astype(np.int64),
+            _cents=np.round(g["value"].to_numpy() * 100).astype(np.int64),
+        )
+        out = g.groupby("user_id", as_index=False, sort=True).agg(
+            n_sessions=("_new_sess", "sum"),
+            n_events=("_new_sess", "size"),
+            _cents=("_cents", "sum"),
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["value_sum"] = out["_cents"] / 100.0
+        return out[["user_id", "n_sessions", "n_events", "value_sum"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("user_bucket")
+        .map_groups(sess_bucket, batch_format="pandas")
+    )
 
 
 SESSIONIZE_SQL = """
