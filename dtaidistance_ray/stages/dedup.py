@@ -150,13 +150,17 @@ class MinHasher:
         return vals.min(axis=0)
 
     def signatures_batch(self, texts) -> np.ndarray:
-        """(n_docs, num_perm) signatures for a whole batch: shingle sets
-        come from the batch-flat hash pass, then each permutation is ONE
-        vector multiply-add over the concatenated sets with a
-        minimum.reduceat fold per doc — no per-doc Python matrix.
-        Bit-identical to signature() per doc (wraparound uint64 math is
-        associative and order-free under min)."""
-        sets = _batch_shingle_hashes(texts, self.k)
+        """(n_docs, num_perm) signatures for a whole batch (see
+        sigs_from_sets; sets come from the batch-flat hash pass)."""
+        return self.sigs_from_sets(_batch_shingle_hashes(texts, self.k))
+
+    def sigs_from_sets(self, sets) -> np.ndarray:
+        """(n_docs, num_perm) signatures from precomputed shingle-hash
+        sets: each permutation is ONE vector multiply-add over the
+        concatenated sets with a minimum.reduceat fold per doc — no
+        per-doc Python matrix. Bit-identical to signature() per doc
+        (wraparound uint64 math is associative and order-free under
+        min)."""
         lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
         out = np.zeros((len(sets), self.num_perm), dtype=np.uint64)
         nonempty = lens > 0
@@ -188,6 +192,21 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64):
     )
 
 
+class SketchSigner(MinHasher):
+    """One corpus pass emitting BOTH the shingle sketch and the minhash
+    signature per doc (the shingle sets are the expensive part; the
+    dedup pipeline needs both, and two separate stages would read and
+    normalize the corpus twice)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sets = _batch_shingle_hashes(list(batch["text"]), self.k)
+        sigs = self.sigs_from_sets(sets)
+        out = batch[["doc_id"]].copy()
+        out["shingles"] = [s.view(np.int64) for s in sets]
+        out["minhash"] = [s.view(np.int64) for s in sigs]
+        return out
+
+
 def _explode_bands(bands: int, rows_per_band: int):
     """Signature rows -> (doc_id, band, band_hash) rows, vectorized:
     fold each band's slice with the same Horner+finalize used for
@@ -210,19 +229,24 @@ def _explode_bands(bands: int, rows_per_band: int):
     return explode
 
 
-def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
+def minhash_lsh_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16, sigs=None):
     """LSH banding: explode signatures to (band, band_hash) keys, find
     buckets with >=2 docs via a vectorized count aggregate, emit
     candidate pairs only from those hot buckets (i < j), distinct.
 
     Singleton buckets (the overwhelming majority) never reach a
     per-group Python call: the count aggregate is the vectorized
-    shuffle, the hot-bucket key set is collision-sized and broadcast."""
+    shuffle, the hot-bucket key set is collision-sized and broadcast.
+
+    sigs: optional precomputed signature dataset (doc_id, minhash
+    [, extra columns]) — minhash_dedup_pairs passes the fused
+    sketch+signature pass so the corpus is read once."""
     import ray
     from ray.data.aggregate import Count
 
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(sf_dir, num_perm)
+    if sigs is None:
+        sigs = minhash_signatures(sf_dir, num_perm)
     # materialized: consumed twice (bucket counts, then the hot filter);
     # without this the signature pass would re-run. (band, hash, id)
     # rows are ~24 B/doc/band — object-store-resident and spillable,
@@ -402,16 +426,25 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.6):
     """Full MinHash-LSH dedup: candidates -> exact shingle Jaccard ->
     threshold. No stage materializes the corpus; the only driver-side
     state is the (collision-sized) candidate pair list."""
-    cand = minhash_lsh_candidates(sf_dir)
-    cand_df = cand.to_pandas()  # collision-sized, not corpus-sized
     import ray.data as rd
 
+    from .text import read_documents
+
+    # ONE corpus pass computes shingle sketches + signatures together
+    combined = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(SketchSigner, batch_format="pandas", concurrency=auto_pool())
+        .materialize()
+    )
+    cand = minhash_lsh_candidates(sf_dir, sigs=combined)
+    cand_df = cand.to_pandas()  # collision-sized, not corpus-sized
     if not len(cand_df):
         # keep the return type a Dataset on both branches
         return rd.from_pandas(cand_df.assign(jaccard=pd.Series(dtype="float64")))
     cand_ids = set(cand_df["doc_a"].astype(int)) | set(cand_df["doc_b"].astype(int))
     pairs_ds = rd.from_pandas(cand_df)
-    verified = verify_pairs_jaccard(pairs_ds, document_sketches(sf_dir), cand_ids)
+    sketches = combined.select_columns(["doc_id", "shingles"])
+    verified = verify_pairs_jaccard(pairs_ds, sketches, cand_ids)
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 
