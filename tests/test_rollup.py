@@ -278,3 +278,30 @@ class TestFusedDownstream:
                 staged[["source", "bucket", "agg_count", "gap_filled"]],
                 check_dtype=False,
             )
+
+
+class TestCliSurface:
+    def test_cli_subprocess_smoke(self, tmp_path):
+        """The `ray job submit` surface end-to-end in a fresh process:
+        checkpointed write, manifest lineage, JSON metrics on stdout."""
+        import json
+        import subprocess
+        import sys
+
+        out_dir = tmp_path / "rollup_out"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "dtaidistance_ray.cli",
+                "--rows", "400", "--out", str(out_dir),
+                "--num-shards", "2", "--num-cpus", "4",
+            ],
+            capture_output=True, text=True, timeout=600,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        metrics = json.loads(r.stdout.strip().splitlines()[-1])
+        assert metrics["num_rows"] == 400
+        parts = list(out_dir.glob("tier=*/shard=*/part-0.parquet"))
+        assert parts, "no checkpointed parquet written"
+        manifests = list(out_dir.glob("tier=*/shard=*/_manifest.json"))
+        assert manifests, "no lineage manifests written"
