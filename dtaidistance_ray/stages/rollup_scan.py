@@ -12,12 +12,14 @@ tier needs is an associative partial:
 So tier 0 runs as rounds of *scans*:
 
   round C   map_batches partial stats per (source, bucket) fragment
-            -> tiny keyed merge -> continuous aggregates + initial
-            centers (tokens of the min-doc_id row, the reference
-            dba_loop c=None seed)
-  round k   broadcast active centers (ray.put, fetched once per task)
+            -> distributed fan-in tree merge (_tree_reduce) -> bounded
+            driver fold -> continuous aggregates + initial centers
+            (tokens of the min-doc_id row, the reference dba_loop
+            c=None seed)
+  round k   broadcast active centers (ray.put, fetched once per WORKER
+            per round — _WORKER_CENTERS_CACHE)
             -> map_batches: cross-group batched DP partials
-            -> tiny keyed merge of (sums, counts) vectors
+            -> distributed fan-in tree merge of (sums, counts) vectors
             -> finalize new centers; groups with mean abs change <= thr
             freeze (reference dba_loop convergence, dtw_barycenter.py:149-160)
 
@@ -27,10 +29,12 @@ the token data streams through map_batches untouched. Skew: a hot
 swept wherever their blocks are and the partials merge, which is the
 salting story with salt = physical block (exact, not approximate).
 
-Scale note: centers are collected on the driver between rounds (K x
-len(center) floats; K = #groups is independent of row count). For
-key-spaces too large for one driver, range-partition the keys and run
-the rounds per key-shard — the round structure is unchanged.
+Scale note: the driver never folds more than _MERGE_THRESHOLD_ROWS
+partial rows (the tree merge fans the rest in distributedly), and the
+final merged state is K x len(center) floats — K = #groups is
+independent of row count. For key-spaces too large for one driver,
+range-partition the keys and run the rounds per key-shard — the round
+structure is unchanged.
 
 Output is bit-identical to rollup_base_tier / the single-process oracle
 (asserted in tests/test_rollup.py).
