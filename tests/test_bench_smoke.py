@@ -35,3 +35,6 @@ class TestBenchSmoke:
         assert d["unit"] == "sec"
         assert d["value"] > 0
         assert "flagship_rollup_3tiers" in d["queries"]
+        # best-of-2 protocol: the headline is the min of both attempts
+        assert len(d["flagship_attempts"]) == 2
+        assert d["value"] == min(d["flagship_attempts"])

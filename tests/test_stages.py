@@ -379,3 +379,22 @@ class TestRealMediaCodecs:
         got = batched_pair_distances(s1s, s2s, DTWSettings())
         want = [dtw_distance(a, b) for a, b in zip(s1s, s2s)]
         np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+class TestAutoPool:
+    def test_scales_with_cluster(self, ray_session):
+        from dtaidistance_ray.stages.pool import auto_pool, ncpus
+
+        lo, hi = auto_pool()
+        assert lo == 1
+        assert hi == ncpus()  # session fixture: 4 cpus
+        assert hi >= lo
+        lo2, hi2 = auto_pool(min_actors=2, cap=3)
+        assert (lo2, hi2) == (2, 3)
+
+    def test_fallback_without_ray(self):
+        # ncpus() must not throw when called before ray.init (build-time
+        # safety for pipelines constructed outside a session)
+        import dtaidistance_ray.stages.pool as pool
+
+        assert pool.ncpus(default=6) >= 1
