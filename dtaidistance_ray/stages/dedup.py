@@ -18,6 +18,19 @@ rolling hash of the k-byte window of the normalized text; Jaccard is
 computed on the hashed shingle *sets*, which equals string-set Jaccard
 up to 64-bit collisions (~n^2/2^64, negligible).
 
+Batch format note: these stages run ``batch_format="pandas"``
+deliberately — normalization (str.lower + unicode-whitespace split)
+needs Python strings regardless, so a pyarrow batch would pay the same
+materialization one line later. The per-doc cost is instead amortized
+BATCH-FLAT: one Horner fold over the concatenated normalized buffers
+per batch and one reduceat minhash fold per permutation
+(_batch_shingle_hashes / MinHasher.sigs_from_sets), so no hot path
+loops per document. An Arrow-kernel normalize (utf8_lower +
+replace_substring_regex) was considered and rejected: re2's ASCII
+``\\s`` and utf8_lower diverge from Python str semantics on exotic
+unicode, which would silently fork the stage path from the public
+shingle_hash_array semantics.
+
 Scale notes (100 TB):
   - signatures / sketches are map-only streams;
   - the LSH groupby shuffles only (doc_id, band, band_hash) rows;
