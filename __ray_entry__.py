@@ -846,6 +846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events_hourly": events.rollup_hourly,
         "rollup_events_daily_from_hourly": events.rollup_daily_from_hourly,
         "rollup_events_hourly_gapfill": events.rollup_hourly_gapfill,
+        "events_rolling_hourly_avg": events.rolling_hourly_avg,
+        "events_asof_hourly_baseline": events.events_asof_hourly_baseline,
         "events_sessionize": events.sessionize,
         "events_top_users_by_value": events.top_users_by_value,
         # relational ops
@@ -915,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events_hourly": events.ROLLUP_HOURLY_SQL,
         "rollup_events_daily_from_hourly": events.ROLLUP_DAILY_SQL,
         "rollup_events_hourly_gapfill": events.ROLLUP_GAPFILL_SQL,
+        "events_rolling_hourly_avg": events.ROLLING_HOURLY_SQL,
+        "events_asof_hourly_baseline": events.EVENTS_ASOF_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,
         "events_top_users_by_value": events.TOP_USERS_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,

@@ -268,3 +268,127 @@ SELECT user_id,
 FROM events GROUP BY user_id
 ORDER BY value_sum DESC, user_id LIMIT 20
 """
+
+
+def rolling_hourly_avg(sf_dir: str, window_h: int = 24):
+    """Sliding-window aggregate: per event_type, the trailing
+    ``window_h``-hour moving average of hourly event counts over the
+    gap-filled hour grid (windows shorter than window_h at the head
+    average what exists — SQL ROWS BETWEEN semantics).
+
+    Scale shape: the heavy reduction (raw events -> hourly counts) is
+    the distributed rollup; the window pass then runs per event_type
+    over the BOUNDED hourly grid (rows = #types x #hours, independent
+    of event count) as a vectorized pandas rolling() inside map_groups.
+    At key-spaces where even the grid is large, the window is a
+    range-partitioned prefix-sum with halo rows — the operator contract
+    (sorted grid in, same-length window column out) is unchanged."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        avg = g["n_events"].rolling(window=window_h, min_periods=1).mean()
+        out = g[["event_type", "bucket", "n_events"]].copy()
+        out["avg_24h"] = np.round(avg.to_numpy(), 6)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return hourly.groupby("event_type").map_groups(roll, batch_format="pandas")
+
+
+ROLLING_HOURLY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type, g.bucket,
+         CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.bucket = h.bucket
+)
+SELECT event_type, bucket, n_events,
+       ROUND(AVG(CAST(n_events AS DOUBLE)) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6) AS avg_24h
+FROM filled
+"""
+
+
+def events_asof_hourly_baseline(sf_dir: str, n_buckets: int = 64):
+    """As-of join: each event joined to the LATEST COMPLETED hourly
+    rollup row of its event_type strictly before the event's hour
+    (the 'how is this event doing vs the last known baseline' shape).
+    Emits per event the baseline hour and its count; events in their
+    type's first hour have no baseline and are dropped (ASOF inner).
+
+    Scale shape: the small side (hourly rollup — bounded by the
+    key-space) is BROADCAST via ray.put and merged per batch with
+    pandas merge_asof (vectorized binary search per batch; no shuffle
+    of the big side at all). A two-big-sides as-of would instead
+    range-co-partition on (type, time) with halo rows — same contract.
+    """
+    import ray
+
+    hourly = _hourly_partials_df(sf_dir)[["event_type", "bucket", "n_events"]]
+    hourly = hourly.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+    hourly["bucket"] = hourly["bucket"].astype("datetime64[ns]")
+    hourly["n_events"] = hourly["n_events"].astype("int64")
+    href = ray.put(hourly)
+
+    class AsofJoiner:
+        def __init__(self):
+            self.hourly = ray.get(href)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[["event_id", "ts", "event_type", "value"]].copy()
+            # strictly-before semantics: compare against the event's own
+            # hour, exclusive -> allow_exact_matches=False on the hour
+            # (unify timestamp resolution: parquet us vs pandas ns)
+            b["hour"] = b["ts"].dt.floor("h").astype("datetime64[ns]")
+            b = b.sort_values("hour", kind="mergesort")
+            m = pd.merge_asof(
+                b,
+                self.hourly.rename(
+                    columns={"bucket": "baseline_hour", "n_events": "baseline_events"}
+                ),
+                left_on="hour",
+                right_on="baseline_hour",
+                by="event_type",
+                allow_exact_matches=False,
+            )
+            m = m.dropna(subset=["baseline_events"])
+            out = pd.DataFrame(
+                {
+                    "event_id": m["event_id"].astype("int64"),
+                    "event_type": m["event_type"],
+                    "ts": m["ts"],
+                    "baseline_hour": m["baseline_hour"],
+                    "baseline_events": m["baseline_events"].astype("int64"),
+                }
+            )
+            return out
+
+    ds = read_events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    from .pool import auto_pool
+
+    return ds.map_batches(AsofJoiner, batch_format="pandas", concurrency=auto_pool())
+
+
+EVENTS_ASOF_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, e.ts,
+       h.bucket AS baseline_hour,
+       h.n_events AS baseline_events
+FROM events e ASOF JOIN hourly h
+  ON e.event_type = h.event_type AND date_trunc('hour', e.ts) > h.bucket
+"""
