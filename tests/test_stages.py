@@ -398,3 +398,70 @@ class TestAutoPool:
         import dtaidistance_ray.stages.pool as pool
 
         assert pool.ncpus(default=6) >= 1
+
+
+class TestEventsWindowedOps:
+    def test_asof_strictly_before_semantics(self, ray_session, tmp_path):
+        """Events in their type's first hour have no baseline (dropped);
+        later events pick the latest hour strictly before their own."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dtaidistance_ray.stages.events import events_asof_hourly_baseline
+
+        ts = pd.to_datetime(
+            ["2024-01-01 10:15", "2024-01-01 10:45", "2024-01-01 11:30",
+             "2024-01-01 13:05", "2024-01-01 10:20"]
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "ts": ts,
+                "user_id": [7, 7, 8, 8, 9],
+                "event_type": ["a", "a", "a", "a", "b"],
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+                "props": [""] * 5,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "events.parquet"))
+        out = events_asof_hourly_baseline(str(tmp_path)).to_pandas()
+        got = {int(e): (str(h), int(n)) for e, h, n in
+               zip(out["event_id"], out["baseline_hour"], out["baseline_events"])}
+        # events 1,2,5 are in their type's first hour -> no baseline
+        assert set(got) == {3, 4}
+        assert got[3] == ("2024-01-01 10:00:00", 2)  # hour 10 had 2 'a' events
+        # event 4 at 13:05: latest 'a' hour strictly before 13 is 11 (1 event)
+        assert got[4] == ("2024-01-01 11:00:00", 1)
+
+    def test_rolling_avg_window_head(self, ray_session, tmp_path):
+        """Head-of-series windows average only what exists
+        (ROWS BETWEEN semantics, min_periods=1)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dtaidistance_ray.stages.events import rolling_hourly_avg
+
+        ts = pd.to_datetime(
+            ["2024-01-01 00:10", "2024-01-01 00:20", "2024-01-01 01:05",
+             "2024-01-01 03:10"]
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "ts": ts,
+                "user_id": [1, 1, 1, 1],
+                "event_type": ["x"] * 4,
+                "value": [1.0] * 4,
+                "props": [""] * 4,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "events.parquet"))
+        out = rolling_hourly_avg(str(tmp_path), window_h=2).to_pandas()
+        out = out.sort_values("bucket").reset_index(drop=True)
+        # grid: 00 (2 events), 01 (1), 02 (0 gap-filled), 03 (1)
+        assert list(out["n_events"]) == [2, 1, 0, 1]
+        assert list(out["avg_24h"]) == [2.0, 1.5, 0.5, 0.5]
