@@ -848,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events_hourly_gapfill": events.rollup_hourly_gapfill,
         "events_rolling_hourly_avg": events.rolling_hourly_avg,
         "events_asof_hourly_baseline": events.events_asof_hourly_baseline,
+        "events_in_sessions": events.events_in_sessions,
         "events_sessionize": events.sessionize,
         "events_top_users_by_value": events.top_users_by_value,
         # relational ops
@@ -919,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events_hourly_gapfill": events.ROLLUP_GAPFILL_SQL,
         "events_rolling_hourly_avg": events.ROLLING_HOURLY_SQL,
         "events_asof_hourly_baseline": events.EVENTS_ASOF_SQL,
+        "events_in_sessions": events.EVENTS_IN_SESSIONS_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,
         "events_top_users_by_value": events.TOP_USERS_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,

@@ -392,3 +392,110 @@ SELECT e.event_id, e.event_type, e.ts,
 FROM events e ASOF JOIN hourly h
   ON e.event_type = h.event_type AND date_trunc('hour', e.ts) > h.bucket
 """
+
+
+def session_intervals(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
+    """Session INTERVALS per user: (user_id, session_id, session_start,
+    session_end, n_events) — same bucketed, fully vectorized session
+    detection as sessionize, but emitting one row per session with its
+    time bounds (the right side of the range join below)."""
+    ds = read_events(sf_dir, columns=["ts", "user_id"])
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
+        return batch
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy()
+        gaps = np.empty(len(g))
+        gaps[0] = np.inf
+        if len(g) > 1:
+            gaps[1:] = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user | (gaps > gap_s)
+        # session ordinal within user: cumulative new-session count per
+        # user (vectorized: global cumsum minus the user's offset)
+        global_sid = np.cumsum(new_sess)
+        first_of_user = np.zeros(len(g), dtype=np.int64)
+        user_start = np.flatnonzero(new_user)
+        for lo, hi in zip(user_start, np.append(user_start[1:], len(g))):
+            first_of_user[lo:hi] = global_sid[lo] - 1
+        sid = (global_sid - first_of_user).astype(np.int64)
+        f = pd.DataFrame({"user_id": uid, "session_id": sid, "ts": g["ts"].to_numpy()})
+        out = f.groupby(["user_id", "session_id"], as_index=False, sort=True).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("user_bucket")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
+def events_in_sessions(sf_dir: str, gap_s: int = 1800):
+    """RANGE JOIN: each event matched to the session interval of its
+    user that contains its timestamp — equi-join on the user key
+    (Ray's partitioned hash ``Dataset.join``; both sides co-partition,
+    nothing driver-side) followed by a vectorized interval filter
+    (``session_start <= ts <= session_end``). The per-user fan-out is
+    each user's session count, so the intermediate stays linear-ish;
+    with huge per-key interval counts the filter would move into an
+    in-group merge_asof on session_start — same contract."""
+    import ray
+
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id"])
+    sess = session_intervals(sf_dir, gap_s)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    joined = ds.join(
+        sess,
+        join_type="inner",
+        num_partitions=max(2, min(32, ncpu)),
+        on=("user_id",),
+    )
+
+    def in_range(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (batch["session_start"] <= batch["ts"]) & (batch["ts"] <= batch["session_end"])
+        out = batch[keep][["event_id", "user_id", "session_id", "session_start", "session_end"]].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        out["session_id"] = out["session_id"].astype("int64")
+        return out
+
+    return joined.map_batches(in_range, batch_format="pandas")
+
+
+EVENTS_IN_SESSIONS_SQL = """
+WITH ordered AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT event_id, user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), sessions AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT e.event_id, e.user_id, s.session_id, s.session_start, s.session_end
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts BETWEEN s.session_start AND s.session_end
+"""
