@@ -420,10 +420,9 @@ def session_intervals(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
         # session ordinal within user: cumulative new-session count per
         # user (vectorized: global cumsum minus the user's offset)
         global_sid = np.cumsum(new_sess)
-        first_of_user = np.zeros(len(g), dtype=np.int64)
         user_start = np.flatnonzero(new_user)
-        for lo, hi in zip(user_start, np.append(user_start[1:], len(g))):
-            first_of_user[lo:hi] = global_sid[lo] - 1
+        run_lens = np.diff(np.append(user_start, len(g)))
+        first_of_user = np.repeat(global_sid[user_start] - 1, run_lens)
         sid = (global_sid - first_of_user).astype(np.int64)
         f = pd.DataFrame({"user_id": uid, "session_id": sid, "ts": g["ts"].to_numpy()})
         out = f.groupby(["user_id", "session_id"], as_index=False, sort=True).agg(
