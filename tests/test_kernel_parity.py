@@ -194,3 +194,49 @@ class TestDBAParity:
         parts = [dba_partial(seqs[i : i + 3], c) for i in range(0, 9, 3)]
         merged = dba_finalize(*dba_merge(parts))
         np.testing.assert_array_equal(whole, merged)  # bit-exact (integer sums)
+
+
+class TestBatchedKernelFuzz:
+    """Property-based parity of the batched pair kernel against the
+    scalar kernel AND the reference library over the supported settings
+    space (window x penalty x use_pruning x unequal lengths)."""
+
+    def test_hypothesis_settings_parity(self):
+        from hypothesis import given, settings as hsettings
+        from hypothesis import strategies as st
+
+        from dtaidistance_ray.kernels.pairs_batch import (
+            batched_pair_distances, pairs_supported,
+        )
+
+        @hsettings(max_examples=60, deadline=None)
+        @given(
+            n1=st.integers(min_value=1, max_value=24),
+            n2=st.integers(min_value=1, max_value=24),
+            window=st.sampled_from([None, 1, 3, 8]),
+            penalty=st.sampled_from([None, 0.25, 1.5]),
+            use_pruning=st.booleans(),
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def check(n1, n2, window, penalty, use_pruning, seed):
+            rng = np.random.default_rng(seed)
+            s1 = rng.normal(size=n1)
+            s2 = rng.normal(size=n2)
+            s = DTWSettings(window=window, penalty=penalty, use_pruning=use_pruning)
+            assert pairs_supported(s)
+            b = float(batched_pair_distances([s1], [s2], s)[0])
+            sc = distance(s1, s2, s)
+            ref = ref_dtw.distance(
+                s1, s2, window=window, penalty=penalty, use_pruning=use_pruning
+            )
+            if np.isinf(sc):
+                assert np.isinf(b)
+            else:
+                assert b == pytest.approx(sc, rel=1e-9)
+                # vs reference: identical except the documented d == ub
+                # rounding boundary, where the reference's own strict
+                # `>` flips on last-ULP noise (elastic.py tolerance note)
+                if np.isfinite(ref):
+                    assert b == pytest.approx(ref, rel=1e-9)
+
+        check()
