@@ -849,6 +849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_hourly_avg": events.rolling_hourly_avg,
         "events_asof_hourly_baseline": events.events_asof_hourly_baseline,
         "events_in_sessions": events.events_in_sessions,
+        "events_session_intervals": events.session_intervals,
+        "events_top_users_per_type": events.top_users_per_type,
         "events_sessionize": events.sessionize,
         "events_top_users_by_value": events.top_users_by_value,
         # relational ops
@@ -921,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_hourly_avg": events.ROLLING_HOURLY_SQL,
         "events_asof_hourly_baseline": events.EVENTS_ASOF_SQL,
         "events_in_sessions": events.EVENTS_IN_SESSIONS_SQL,
+        "events_session_intervals": events.SESSION_INTERVALS_SQL,
+        "events_top_users_per_type": events.TOP_USERS_PER_TYPE_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,
         "events_top_users_by_value": events.TOP_USERS_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,

@@ -498,3 +498,83 @@ FROM events e JOIN sessions s
   ON e.user_id = s.user_id
  AND e.ts BETWEEN s.session_start AND s.session_end
 """
+
+
+SESSION_INTERVALS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def top_users_per_type(sf_dir: str, k: int = 3):
+    """Windowed rank / top-k PER GROUP: the k users with the highest
+    exact cents sum within each event_type (ties broken by user_id).
+
+    Scale shape: per-batch (type, user) partial sums (combiner) -> Ray
+    groupby-aggregate on the composite key (exact int64 cents; the
+    per-(type, user) key is unbounded but never driver-held) -> a
+    bounded per-TYPE map_groups takes each type's top k (group count =
+    #types; inside is one vectorized sort/head)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_events(sf_dir, columns=["event_type", "user_id", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _add_cents(batch)
+        return batch.groupby(["event_type", "user_id"], as_index=False).agg(
+            cents=("value_cents", "sum"), n_events=("value", "size")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "user_id"], ascending=[False, True], kind="mergesort").head(k)
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "user_id": g["user_id"].astype("int64"),
+                "value_sum": g["cents"] / 100.0,
+                "n_events": g["n_events"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+        return out
+
+    return agg.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
+TOP_USERS_PER_TYPE_SQL = """
+WITH sums AS (
+  SELECT event_type, user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, cents, n_events,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC, user_id) AS rank
+  FROM sums
+)
+SELECT event_type, user_id, cents / 100.0 AS value_sum, n_events,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
