@@ -889,6 +889,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_features": _q_multimodal_audio_features,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,
+        # vocabulary analytics (corpus-scale text ops)
+        "token_heavy_hitters": _q_token_heavy_hitters,
+        "token_percentiles": _q_token_percentiles,
+        "token_doc_frequency": _q_token_doc_frequency,
         # per-series preprocessing (§2.2)
         "tokens_derivative": _q_tokens_derivative,
         "tokens_znormal": _q_tokens_znormal,
@@ -938,11 +942,56 @@ def oracle_sql() -> dict[str, str]:
         "tokens_stats_by_source": _sql_tokens_stats_by_source(sf),
         "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),
+        "token_heavy_hitters": _sql_token_heavy_hitters(sf),
+        "token_percentiles": _sql_token_percentiles(sf),
+        "token_doc_frequency": _sql_token_doc_frequency(sf),
         "tokens_derivative": _sql_tokens_derivative(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
         **_golden_oracles(),
     }
+
+
+def _q_token_heavy_hitters(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages import vocab
+
+    _ensure_token_parquet(sf_dir)
+    return vocab.heavy_hitters(token_table(_token_spec(sf_dir)))
+
+
+def _q_token_percentiles(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages import vocab
+
+    _ensure_token_parquet(sf_dir)
+    return vocab.token_percentiles(token_table(_token_spec(sf_dir)))
+
+
+def _q_token_doc_frequency(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages import vocab
+
+    _ensure_token_parquet(sf_dir)
+    return vocab.doc_frequency(token_table(_token_spec(sf_dir)))
+
+
+def _sql_token_heavy_hitters(sf: str) -> str:
+    from dtaidistance_ray.stages import vocab
+
+    return vocab.heavy_hitters_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _sql_token_percentiles(sf: str) -> str:
+    from dtaidistance_ray.stages import vocab
+
+    return vocab.token_percentiles_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _sql_token_doc_frequency(sf: str) -> str:
+    from dtaidistance_ray.stages import vocab
+
+    return vocab.doc_frequency_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _sql_tokens_derivative(sf: str) -> str:

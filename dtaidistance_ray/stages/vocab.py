@@ -1,0 +1,310 @@
+"""Vocabulary analytics over the token table (corpus-scale text ops).
+
+Three training-data pipeline operators over the canonical
+``(doc_id, tokens:list<int32>, n_tok, source)`` table:
+
+- ``heavy_hitters``     — per-source top-k most frequent tokens
+- ``token_percentiles`` — exact per-source discrete percentiles of the
+                          token-value distribution
+- ``doc_frequency``     — per-token document frequency + term frequency
+                          (the df/tf table behind IDF weighting)
+
+100-TB shape: every operator reduces through a **vocab-bounded key
+space** (``num_sources x vocab`` for the per-source ops, ``vocab`` for
+df/tf — independent of row count). Each block collapses its token
+occurrences into ONE packed sparse row per source (int64 token ids +
+int64 counts as binary blobs) via ``np.bincount``; packed rows merge in
+distributed fan-in rounds (the flagship's tree-reduce pattern,
+``rollup_scan.py``) until a bounded number reach the driver. Ray's
+native ``groupby.aggregate`` is deliberately NOT used here: with ~1e5+
+(source, token) groups its per-group Python path costs ~30 s/block at
+sf0.01 where the packed merge costs milliseconds.
+
+Counts accumulate in int64 throughout (``np.add.at``, never float
+``bincount`` weights), so sums stay exact beyond 2^53 occurrences.
+
+Percentile semantics mirror DuckDB ``quantile_disc``: 1-based rank
+``ceil(p * n)`` over the sorted multiset (verified empirically,
+including float-edge cases where ``p*n`` is integral in exact
+arithmetic but not in binary) — computed from the histogram's
+cumulative counts, exact because the value domain is bounded ints.
+
+No reference counterpart (dtaidistance has no text layer); these are
+engine-native corpus-analytics ops required by the north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import rollup_scan as _rs
+
+PCTS = (0.25, 0.5, 0.9, 0.99)
+_PCT_COLS = ("p25", "p50", "p90", "p99")
+
+
+def _flat_tokens(batch: pa.Table):
+    """(sources, flat_token_values, row_lengths) from an Arrow batch.
+
+    ``flatten()`` (not ``.values``) so zero-copy *slices* of a list
+    column — which keep the parent buffer but offset into it — yield
+    exactly this batch's values.
+    """
+    import pyarrow.compute as pc
+
+    col = batch.column("tokens").combine_chunks()
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    src = batch.column("source").to_pandas().to_numpy()
+    return src, vals, lens
+
+
+def _empty_packed() -> pd.DataFrame:
+    return pd.DataFrame({"source": pd.Series(dtype=object), "toks": pd.Series(dtype=object), "cnts": pd.Series(dtype=object)})
+
+
+def _partial_counts_packed(batch: pa.Table) -> pd.DataFrame:
+    """Block combiner: ONE packed sparse (token ids, counts) row per source."""
+    src, vals, lens = _flat_tokens(batch)
+    if len(src) == 0:
+        return _empty_packed()
+    usrc, src_code = np.unique(src, return_inverse=True)
+    flat_src = np.repeat(src_code, lens)
+    vocab_b = int(vals.max()) + 1 if len(vals) else 1
+    cnt = np.bincount(flat_src * vocab_b + vals, minlength=len(usrc) * vocab_b)
+    rows = {"source": [], "toks": [], "cnts": []}
+    for si, s in enumerate(usrc):
+        seg = cnt[si * vocab_b : (si + 1) * vocab_b]
+        nz = np.flatnonzero(seg)
+        rows["source"].append(s)
+        rows["toks"].append(nz.astype(np.int64).tobytes())
+        rows["cnts"].append(seg[nz].astype(np.int64).tobytes())
+    return pd.DataFrame(rows)
+
+
+def _merge_packed(batch: pd.DataFrame) -> pd.DataFrame:
+    """Associative merge of packed rows: one output row per source."""
+    if not len(batch):
+        return _empty_packed()
+    rows = {"source": [], "toks": [], "cnts": []}
+    for s, g in batch.groupby("source", sort=True):
+        toks = np.concatenate([np.frombuffer(b, np.int64) for b in g["toks"]])
+        cnts = np.concatenate([np.frombuffer(b, np.int64) for b in g["cnts"]])
+        ut, inv = np.unique(toks, return_inverse=True)
+        acc = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(acc, inv, cnts)
+        rows["source"].append(s)
+        rows["toks"].append(ut.tobytes())
+        rows["cnts"].append(acc.tobytes())
+    return pd.DataFrame(rows)
+
+
+def _tree_reduce_keyed(parts_ds, merge_fn, key: str = "source") -> pd.DataFrame:
+    """Fan-in map_batches rounds (sorted by key so each fan-in batch is
+    key-homogeneous and actually contracts) until a bounded number of
+    rows remain; the driver folds only that bounded remainder. Stalls
+    (rows already one-per-key) break out — the remainder is then
+    key-bounded by construction."""
+    parts = parts_ds.materialize()
+    nb = parts.count()
+    while nb > max(1, _rs._MERGE_THRESHOLD_ROWS):
+        parts = (
+            parts.sort(key)
+            .map_batches(merge_fn, batch_size=_rs._MERGE_FANIN, batch_format="pandas")
+            .materialize()
+        )
+        nb2 = parts.count()
+        if nb2 >= nb:
+            break
+        nb = nb2
+    return merge_fn(parts.to_pandas())
+
+
+def _source_token_counts(ds) -> pd.DataFrame:
+    """Decoded (source, token, cnt) frame — vocab x sources bounded."""
+    parts = ds.map_batches(_partial_counts_packed, batch_format="pyarrow")
+    packed = _tree_reduce_keyed(parts, _merge_packed)
+    frames = [
+        pd.DataFrame(
+            {
+                "source": r["source"],
+                "token": np.frombuffer(r["toks"], np.int64),
+                "cnt": np.frombuffer(r["cnts"], np.int64),
+            }
+        )
+        for _, r in packed.iterrows()
+    ]
+    if not frames:
+        return pd.DataFrame({"source": [], "token": [], "cnt": []})
+    return pd.concat(frames, ignore_index=True)
+
+
+def heavy_hitters(ds, k: int = 20) -> pd.DataFrame:
+    """Per-source top-k tokens by occurrence count.
+
+    Rank ties break on ascending token id (matches the SQL oracle's
+    ``ORDER BY cnt DESC, token``). The final contraction runs over the
+    vocab-bounded counts frame, never over occurrences.
+    """
+    cnts = _source_token_counts(ds)
+    out = []
+    for s, g in cnts.groupby("source", sort=True):
+        g = g.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort").head(k)
+        out.append(
+            pd.DataFrame(
+                {
+                    "source": g["source"].to_numpy(),
+                    "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "token": g["token"].to_numpy(np.int64),
+                    "cnt": g["cnt"].to_numpy(np.int64),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def heavy_hitters_sql(parquet_path: str, k: int = 20) -> str:
+    return f"""
+SELECT source, rnk, token, cnt FROM (
+    SELECT source, CAST(token AS BIGINT) AS token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+    FROM (
+        SELECT source, token, count(*) AS cnt
+        FROM (
+            SELECT source, unnest(tokens) AS token
+            FROM read_parquet('{parquet_path}')
+        )
+        GROUP BY source, token
+    )
+) WHERE rnk <= {k}
+"""
+
+
+def token_percentiles(ds) -> pd.DataFrame:
+    """Exact per-source discrete percentiles (p25/p50/p90/p99) of token values.
+
+    Histogram route: cumulative-count rank lookup over the vocab-bounded
+    counts — exact (no sampling, no sketch error) because the value
+    domain is bounded integers, where a sort-based engine would shuffle
+    every occurrence to order it.
+    """
+    cnts = _source_token_counts(ds)
+    rows = {"source": [], "n_values": []}
+    for c in _PCT_COLS:
+        rows[c] = []
+    for s, g in cnts.groupby("source", sort=True):
+        g = g.sort_values("token", kind="mergesort")
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        toks = g["token"].to_numpy(np.int64)
+        n = int(cum[-1])
+        rows["source"].append(s)
+        rows["n_values"].append(n)
+        for p, c in zip(PCTS, _PCT_COLS):
+            # DuckDB quantile_disc: value at 1-based rank ceil(p*n)
+            rank = int(np.ceil(np.float64(p) * n))
+            rows[c].append(int(toks[np.searchsorted(cum, rank)]))
+    out = pd.DataFrame(rows)
+    for c in ("n_values",) + _PCT_COLS:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def token_percentiles_sql(parquet_path: str) -> str:
+    pct_cols = ",\n       ".join(
+        f"CAST(quantile_disc(token, {p}) AS BIGINT) AS {c}" for p, c in zip(PCTS, _PCT_COLS)
+    )
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_values,
+       {pct_cols}
+FROM (
+    SELECT source, unnest(tokens) AS token
+    FROM read_parquet('{parquet_path}')
+)
+GROUP BY source
+"""
+
+
+def _empty_df_tf() -> pd.DataFrame:
+    return pd.DataFrame({"toks": pd.Series(dtype=object), "df": pd.Series(dtype=object), "tf": pd.Series(dtype=object)})
+
+
+def _partial_df_tf_packed(batch: pa.Table) -> pd.DataFrame:
+    """Block combiner for df/tf: one packed sparse row per block."""
+    _, vals, lens = _flat_tokens(batch)
+    if len(lens) == 0 or len(vals) == 0:
+        return _empty_df_tf()
+    vocab_b = int(vals.max()) + 1
+    tf = np.bincount(vals, minlength=vocab_b)
+    # df: count each token once per doc — dedupe (row, token) pairs
+    row_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    uniq = np.unique(row_of * vocab_b + vals)
+    df = np.bincount(uniq % vocab_b, minlength=vocab_b)
+    nz = np.flatnonzero(tf)
+    return pd.DataFrame(
+        {
+            "toks": [nz.astype(np.int64).tobytes()],
+            "df": [df[nz].astype(np.int64).tobytes()],
+            "tf": [tf[nz].astype(np.int64).tobytes()],
+        }
+    )
+
+
+def _merge_df_tf(batch: pd.DataFrame) -> pd.DataFrame:
+    if not len(batch):
+        return _empty_df_tf()
+    toks = np.concatenate([np.frombuffer(b, np.int64) for b in batch["toks"]])
+    ut, inv = np.unique(toks, return_inverse=True)
+    accs = {}
+    for c in ("df", "tf"):
+        vals = np.concatenate([np.frombuffer(b, np.int64) for b in batch[c]])
+        acc = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(acc, inv, vals)
+        accs[c] = acc
+    return pd.DataFrame({"toks": [ut.tobytes()], "df": [accs["df"].tobytes()], "tf": [accs["tf"].tobytes()]})
+
+
+def doc_frequency(ds) -> pd.DataFrame:
+    """Per-token document frequency (docs containing) and term frequency.
+
+    The df/tf table is the input to IDF weighting and stopword mining;
+    output is vocab-bounded. Per-doc dedup happens inside the block
+    combiner, so the tree-merge carries at most ``vocab`` packed
+    entries per block regardless of corpus size.
+    """
+    parts = ds.map_batches(_partial_df_tf_packed, batch_format="pyarrow")
+    # keyless: every merge round contracts fan-in rows to one
+    parts = parts.materialize()
+    nb = parts.count()
+    while nb > max(1, _rs._MERGE_THRESHOLD_ROWS):
+        parts = parts.map_batches(
+            _merge_df_tf, batch_size=_rs._MERGE_FANIN, batch_format="pandas"
+        ).materialize()
+        nb = parts.count()
+    final = _merge_df_tf(parts.to_pandas())
+    if not len(final):
+        return pd.DataFrame({"token": [], "df": [], "tf": []})
+    r = final.iloc[0]
+    return pd.DataFrame(
+        {
+            "token": np.frombuffer(r["toks"], np.int64),
+            "df": np.frombuffer(r["df"], np.int64),
+            "tf": np.frombuffer(r["tf"], np.int64),
+        }
+    )
+
+
+def doc_frequency_sql(parquet_path: str) -> str:
+    return f"""
+SELECT CAST(token AS BIGINT) AS token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf
+FROM (
+    SELECT doc_id, unnest(tokens) AS token
+    FROM read_parquet('{parquet_path}')
+)
+GROUP BY token
+"""

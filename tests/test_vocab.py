@@ -1,0 +1,87 @@
+"""Vocabulary analytics (heavy hitters / percentiles / df-tf) vs DuckDB.
+
+Runs the exact oracle SQL the driver gate uses, in-process, against the
+same deterministic token table — plus invariance checks (block-count
+independence) and a direct probe of the quantile_disc rank semantics.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from dtaidistance_ray.sources.synth import TokenTableSpec, token_table, token_table_arrow
+from dtaidistance_ray.stages import vocab
+
+SPEC = TokenTableSpec(num_rows=700, vocab=500, max_len=64)
+PQ = "/tmp/dtair_test_vocab.parquet"
+
+
+@pytest.fixture(scope="module")
+def tok_parquet():
+    import pyarrow.parquet as pq
+
+    pq.write_table(token_table_arrow(SPEC), PQ)
+    return PQ
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    return duckdb.connect().execute(sql).df()
+
+
+class TestVocab:
+    def test_heavy_hitters_vs_duckdb(self, ray_session, tok_parquet):
+        got = _canon(vocab.heavy_hitters(token_table(SPEC), k=15))
+        want = _canon(_duck(vocab.heavy_hitters_sql(tok_parquet, k=15)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_percentiles_vs_duckdb(self, ray_session, tok_parquet):
+        got = _canon(vocab.token_percentiles(token_table(SPEC)))
+        want = _canon(_duck(vocab.token_percentiles_sql(tok_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_doc_frequency_vs_duckdb(self, ray_session, tok_parquet):
+        got = _canon(vocab.doc_frequency(token_table(SPEC)))
+        want = _canon(_duck(vocab.doc_frequency_sql(tok_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # df <= tf always; df <= num docs
+        assert (got["df"] <= got["tf"]).all()
+        assert (got["df"] <= SPEC.num_rows).all()
+
+    def test_block_count_invariance(self, ray_session):
+        """Partial-count combiner must be partitioning-independent."""
+        a = _canon(vocab.heavy_hitters(token_table(SPEC, override_num_blocks=3)))
+        b = _canon(vocab.heavy_hitters(token_table(SPEC, override_num_blocks=17)))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_tree_reduce_stall_guard(self, ray_session, tok_parquet, monkeypatch):
+        """Threshold below the per-source floor: rounds stall at one row
+        per source; the guard must break out with a correct result."""
+        from dtaidistance_ray.stages import rollup_scan as _rs
+
+        monkeypatch.setattr(_rs, "_MERGE_THRESHOLD_ROWS", 1)
+        got = _canon(vocab.token_percentiles(token_table(SPEC)))
+        want = _canon(_duck(vocab.token_percentiles_sql(PQ)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_quantile_disc_rank_semantics(self):
+        """Our histogram rank must equal DuckDB quantile_disc at awkward n."""
+        for n in (3, 7, 40, 70, 997):
+            vals = list(range(1, n + 1))
+            for p in vocab.PCTS:
+                duck = (
+                    duckdb.connect()
+                    .execute(
+                        f"SELECT quantile_disc(x, {p}) FROM (SELECT unnest({vals}) AS x)"
+                    )
+                    .fetchone()[0]
+                )
+                ours = int(np.ceil(np.float64(p) * n))  # value == 1-based rank here
+                assert duck == ours, (n, p, duck, ours)
