@@ -11,8 +11,10 @@ header-only formats need none — BMP (24-bit uncompressed), PPM (P6)
 and WAV (PCM16) are decoded/encoded here in pure NumPy byte parsing
 (round-trip property-tested), so the decode stage is REAL for those
 codecs. PNG (zlib inflate + all five scanline filters, incl. Paeth) is
-also decoded for real with stdlib zlib + NumPy. The remaining
-compressed codecs (jpeg/opus/h264) are declared stubs:
+also decoded for real with stdlib zlib + NumPy, as is baseline JPEG
+(sequential DCT, Huffman entropy coding, 4:4:4 / 4:2:0 — see
+codec/jpeg.py). The remaining compressed codecs (opus/h264) are
+declared stubs:
 ``DecodeImage.decode_real`` raises NotImplementedError for them and
 the default path substitutes a deterministic fake decode (seeded by
 the payload hash) so the Ray-side plumbing — schema, batch sizing,
@@ -305,29 +307,36 @@ def synth_media_table(n: int, seed: int = 0) -> pa.Table:
         rows["width"].append(int(rng.integers(64, 1024)) if mt != "audio" else 0)
         rows["height"].append(int(rng.integers(64, 1024)) if mt != "audio" else 0)
         rows["duration_ms"].append(int(rng.integers(1000, 60000)) if mt != "image" else 0)
-        rows["codec"].append({"image": "jpeg", "audio": "opus", "video": "h264"}[mt])
+        # codec labels the stage does NOT implement (jpeg is real now):
+        # this corpus exists to exercise the stub-decode plumbing path
+        rows["codec"].append({"image": "heic", "audio": "opus", "video": "h264"}[mt])
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
 def synth_media_table_real(n: int, seed: int = 0) -> pa.Table:
     """Media corpus with REAL decodable payloads: images are actual
-    BMP/PPM bytes of seeded pixel arrays, audio rows are actual WAV
-    PCM16 bytes of seeded waveforms — the decode stages parse them for
-    real (no codec library involved; these formats are plain bytes)."""
+    BMP/PPM/PNG/JPEG bytes of seeded pixel arrays, audio rows are
+    actual WAV PCM16 bytes of seeded waveforms — the decode stages
+    parse them for real (no codec library involved; BMP/PPM/WAV are
+    plain bytes, PNG/JPEG come from our own codecs)."""
+    from ..codec.jpeg import encode_jpeg
+
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in ("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")}
     for i in range(n):
-        kind = i % 4
+        kind = i % 5
         rows["media_id"].append(f"m{i:08d}")
-        if kind in (0, 1, 2):  # image
+        if kind in (0, 1, 2, 3):  # image
             h = int(rng.integers(8, 40))
             w = int(rng.integers(8, 40))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            codec = {0: "bmp", 1: "ppm", 2: "png"}[kind]
+            codec = {0: "bmp", 1: "ppm", 2: "png", 3: "jpeg"}[kind]
             if kind == 0:
                 payload = encode_bmp(px)
             elif kind == 1:
                 payload = encode_ppm(px)
+            elif kind == 3:  # real baseline JPEG, both subsampling modes
+                payload = encode_jpeg(px, quality=90, subsampling="420" if i % 2 else "444")
             else:  # real compressed PNG, varied scanline filters
                 payload = encode_png(px, filter_type=i % 5)
             rows["media_type"].append("image")
@@ -394,7 +403,7 @@ class DecodeImage:
     feature column. batch_size must be SMALL (payloads are large);
     callers pass e.g. batch_size=32, concurrency=(2, 8), num_cpus=1."""
 
-    REAL_CODECS = {"bmp", "ppm", "png"}
+    REAL_CODECS = {"bmp", "ppm", "png", "jpeg"}
 
     def __init__(self, thumb: int = 8, use_real_codec: bool = False):
         self.thumb = thumb
@@ -402,17 +411,22 @@ class DecodeImage:
         # compressed-codec path would load PIL/libjpeg here, once per actor
 
     def decode_real(self, payload: bytes, codec: str) -> np.ndarray:
-        """Real decode for the header-only formats (pure NumPy);
-        compressed codecs need an external library and stay stubbed."""
+        """Real decode: BMP/PPM header parsing, PNG (stdlib zlib) and
+        baseline JPEG (codec/jpeg.py) — all pure NumPy. The remaining
+        audio/video compressed codecs stay stubbed."""
         if codec == "bmp":
             return decode_bmp(payload)
         if codec == "ppm":
             return decode_ppm(payload)
         if codec == "png":
             return decode_png(payload)
+        if codec == "jpeg":
+            from ..codec.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         raise NotImplementedError(
             f"codec {codec!r} needs an external library (not in this "
-            "container); install Pillow and wire it here (payload -> HxWx3 uint8)"
+            "container); install the codec lib and wire it here (payload -> HxWx3 uint8)"
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

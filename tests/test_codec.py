@@ -93,3 +93,119 @@ class TestPngProperty:
         px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         got = decode_png(encode_png(px, filter_type=ft))
         np.testing.assert_array_equal(got, px)
+
+
+class TestJpeg:
+    """Baseline JPEG codec (codec/jpeg.py): lossy, so round-trip is
+    judged by PSNR and structure, not bit equality. No JPEG library
+    exists in this container to cross-check against; the structural
+    probes (markers, stuffing, dimensions) plus PSNR bounds are the
+    self-contained evidence."""
+
+    @staticmethod
+    def _psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    def _smooth(self, h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(yy * 3 + xx * 2) % 256, (xx * 4) % 256, (yy * 5) % 256], axis=2
+        ).astype(np.uint8)
+
+    def test_roundtrip_psnr_444(self):
+        from dtaidistance_ray.codec.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._smooth(37, 53)
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling="444"))
+        assert dec.shape == img.shape
+        assert self._psnr(img, dec) > 40
+
+    def test_roundtrip_psnr_420(self):
+        from dtaidistance_ray.codec.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._smooth(37, 53)  # odd dims exercise chroma padding
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+        assert dec.shape == img.shape
+        assert self._psnr(img, dec) > 35
+
+    def test_grayscale(self):
+        from dtaidistance_ray.codec.jpeg import decode_jpeg, encode_jpeg
+
+        g = self._smooth(25, 19)[:, :, 0]
+        dec = decode_jpeg(encode_jpeg(g, quality=90))
+        assert dec.shape == (25, 19, 3)
+        assert (dec[:, :, 0] == dec[:, :, 1]).all()
+        assert self._psnr(np.repeat(g[:, :, None], 3, axis=2), dec) > 35
+
+    def test_flat_image_exact(self):
+        from dtaidistance_ray.codec.jpeg import decode_jpeg, encode_jpeg
+
+        flat = np.full((16, 24, 3), 77, np.uint8)
+        assert (decode_jpeg(encode_jpeg(flat, quality=85)) == 77).all()
+
+    def test_marker_structure(self):
+        from dtaidistance_ray.codec.jpeg import encode_jpeg
+
+        enc = encode_jpeg(self._smooth(16, 16), quality=85)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        assert b"\xff\xc0" in enc and b"\xff\xc4" in enc and b"\xff\xdb" in enc
+        # entropy segment must stuff 0xFF bytes: no bare 0xFF+marker
+        # other than EOI after SOS
+        sos = enc.index(b"\xff\xda")
+        body = enc[sos + 2 :-2]
+        i = 0
+        seglen = int.from_bytes(body[:2], "big")
+        i = seglen
+        while i < len(body) - 1:
+            if body[i] == 0xFF:
+                assert body[i + 1] == 0x00, f"unstuffed FF at {i}"
+                i += 2
+            else:
+                i += 1
+
+    def test_quality_monotonic_size(self):
+        from dtaidistance_ray.codec.jpeg import encode_jpeg
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        sizes = [len(encode_jpeg(img, quality=q)) for q in (30, 60, 90)]
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    @hsettings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        sub=st.sampled_from(["444", "420"]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_roundtrip_property(self, h, w, sub, seed):
+        """Any shape (incl. 1xN edges) decodes back to the same
+        dimensions with bounded error (property-based)."""
+        from dtaidistance_ray.codec.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        phase = rng.uniform(0, 2 * np.pi, 3)
+        freq = rng.uniform(0.05, 0.4, 3)
+        px = np.stack(
+            [
+                (127.5 + 120 * np.sin(freq[c] * (yy + 2 * xx) + phase[c]))
+                for c in range(3)
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(px, quality=95, subsampling=sub))
+        assert dec.shape == px.shape
+        # 4:2:0 legitimately destroys saturated per-pixel chroma swings
+        # (2x2 decimation); the loss is subsampling, not coding
+        assert self._psnr(px, dec) > (26 if sub == "444" else 12)
+        # decode is deterministic
+        dec2 = decode_jpeg(encode_jpeg(px, quality=95, subsampling=sub))
+        np.testing.assert_array_equal(dec, dec2)
+
+    def test_decode_rejects_garbage(self):
+        from dtaidistance_ray.codec.jpeg import decode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg")

@@ -98,7 +98,7 @@ class TestMultimodal:
         from dtaidistance_ray.stages.multimodal import DecodeImage
 
         with pytest.raises(NotImplementedError):
-            DecodeImage(use_real_codec=True).decode_real(b"xx", "jpeg")
+            DecodeImage(use_real_codec=True).decode_real(b"xx", "h264")
 
     def test_frame_sampling(self, ray_session):
         import ray.data as rd
@@ -338,34 +338,35 @@ class TestRealMediaCodecs:
         np.testing.assert_array_equal(rgba, np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8))
 
     def test_decode_stage_real_pixels(self, ray_session):
-        # decode stage over REAL BMP/PPM payloads: thumbnails must match
-        # pooling of the true pixel arrays (not the fake-decode path)
+        # decode stage over REAL BMP/PNG/JPEG payloads: thumbnails must
+        # match pooling of the true pixel arrays (not the fake-decode path)
         import ray.data as rd
+        from dtaidistance_ray.codec.jpeg import decode_jpeg
         from dtaidistance_ray.stages.multimodal import (
             decode_bmp, decode_images, decode_png, synth_media_table_real,
         )
 
-        t = synth_media_table_real(18, seed=5)
+        t = synth_media_table_real(20, seed=5)
         out = decode_images(rd.from_arrow(t), thumb=4).to_pandas()
-        assert len(out) == 14  # 3 of 4 rows per quad are images
+        assert len(out) == 16  # 4 of 5 rows per quint are images
         df = t.to_pandas().set_index("media_id")
+        decoders = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_jpeg}
         checked = set()
         for mid, pixel_mean in zip(out["media_id"], out["pixel_mean"]):
             row = df.loc[mid]
-            if row["codec"] in ("bmp", "png"):
-                dec = decode_bmp if row["codec"] == "bmp" else decode_png
-                px = dec(bytes(row["payload"]))
+            if row["codec"] in decoders:
+                px = decoders[row["codec"]](bytes(row["payload"]))
                 assert pixel_mean == pytest.approx(float(px.mean()))
                 checked.add(row["codec"])
-        assert checked == {"bmp", "png"}  # the real PNG path actually ran
+        assert checked == {"bmp", "png", "jpeg"}  # real compressed paths ran
 
     def test_audio_features_real_wave(self, ray_session):
         import ray.data as rd
         from dtaidistance_ray.stages.multimodal import audio_features, synth_media_table_real
 
-        t = synth_media_table_real(18, seed=5)
+        t = synth_media_table_real(20, seed=5)
         out = audio_features(rd.from_arrow(t)).to_pandas()
-        assert len(out) == 4  # 1 of 4 rows per quad is audio
+        assert len(out) == 4  # 1 of 5 rows per quint is audio
         # pure sine waves: rms ~ 12000/32768/sqrt(2), dominant freq in band
         assert ((out["rms"] - 0.2589).abs() < 0.01).all()
         assert out["dominant_hz"].between(90, 2100).all()

@@ -399,20 +399,21 @@ def check_explain_pairs(got: pd.DataFrame):
 
 def check_multimodal_decode_real(got: pd.DataFrame):
     # independent recompute: decode payloads directly and pool
+    from dtaidistance_ray.codec.jpeg import decode_jpeg
     from dtaidistance_ray.stages.multimodal import (
         decode_bmp, decode_png, decode_ppm, synth_media_table_real,
     )
 
     t = synth_media_table_real(90, seed=11).to_pandas().set_index("media_id")
-    decoders = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
+    decoders = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg}
     seen_codecs = set()
     for mid, crc, pm in zip(got["media_id"], got["thumb_crc"], got["pixel_mean"]):
         row = t.loc[mid]
         seen_codecs.add(row["codec"])
         px = decoders[row["codec"]](bytes(row["payload"]))
         assert abs(float(px.mean()) - pm) < 1e-5, mid
-    assert seen_codecs == {"bmp", "ppm", "png"}, seen_codecs
-    return "direct pure-NumPy BMP/PPM/PNG decode of the same payloads (pixel_mean equality)"
+    assert seen_codecs == {"bmp", "ppm", "png", "jpeg"}, seen_codecs
+    return "direct pure-NumPy BMP/PPM/PNG/JPEG decode of the same payloads (pixel_mean equality)"
 
 
 def check_multimodal_audio(got: pd.DataFrame):
