@@ -862,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": text.quality_scores,
         "doc_lang_id": text.lang_id,
         "doc_fingerprints": text.fingerprints,
+        "documents_stratified_sample": text.stratified_sample,
         # near-dup suite
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -936,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": text.DEDUP_EXACT_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,
         "doc_quality_scores": text.QUALITY_SQL,
+        "documents_stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "ann_cosine_topk": ann.ANN_TOPK_SQL,
         "embedding_label_centroids": ann.LABEL_CENTROIDS_SQL,
         "znormal_embeddings": ann.ZNORMAL_SQL,

@@ -209,3 +209,50 @@ class Fingerprinter:
 def fingerprints(sf_dir: str):
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=auto_pool())
+
+
+# per-stratum keep thresholds on the first 16 hash bits, as 4 hex chars:
+# majority language downsampled hard, the rest kept at high rate — the
+# classic training-mix rebalancing. threshold hex = floor(rate * 65536).
+STRATA_THRESHOLDS = {"en": "3333"}  # 0.2
+DEFAULT_THRESHOLD = "cccc"  # 0.8
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic stratified corpus sample: keep a doc iff the first
+    16 bits of md5(doc_id) fall under its language stratum's threshold.
+
+    Hash-gated sampling is the 100-TB-correct shape: membership is a
+    pure row-local predicate (map-only, no shuffle, no RNG state, no
+    coordination), re-runs and resumes pick the identical sample, and
+    the mix is rebalanced per stratum (majority lang 20%, rest 80%).
+    The text column is never read — predicate needs only doc_id/lang.
+    """
+
+    ds = read_documents(sf_dir, columns=["doc_id", "lang", "source", "n_chars"])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        pref = np.array(
+            [hashlib.md5(str(int(d)).encode()).hexdigest()[:4] for d in batch["doc_id"]]
+        )
+        thr = (
+            batch["lang"]
+            .map(lambda l: STRATA_THRESHOLDS.get(l, DEFAULT_THRESHOLD))
+            .to_numpy()
+        )
+        out = batch.loc[pref < thr, ["doc_id", "lang", "source", "n_chars"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_chars"] = out["n_chars"].astype("int64")
+        return out
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE WHEN lang = 'en' THEN '{STRATA_THRESHOLDS["en"]}'
+             ELSE '{DEFAULT_THRESHOLD}' END
+"""
