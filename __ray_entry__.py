@@ -894,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_heavy_hitters": _q_token_heavy_hitters,
         "token_percentiles": _q_token_percentiles,
         "token_doc_frequency": _q_token_doc_frequency,
+        "bigram_collocations": _q_bigram_collocations,
         # per-series preprocessing (§2.2)
         "tokens_derivative": _q_tokens_derivative,
         "tokens_znormal": _q_tokens_znormal,
@@ -947,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),
+        "bigram_collocations": _sql_bigram_collocations(sf),
         "tokens_derivative": _sql_tokens_derivative(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
@@ -976,6 +978,20 @@ def _q_token_doc_frequency(sf_dir: str):
 
     _ensure_token_parquet(sf_dir)
     return vocab.doc_frequency(token_table(_token_spec(sf_dir)))
+
+
+def _q_bigram_collocations(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages import vocab
+
+    _ensure_token_parquet(sf_dir)
+    return vocab.bigram_collocations(token_table(_token_spec(sf_dir)))
+
+
+def _sql_bigram_collocations(sf: str) -> str:
+    from dtaidistance_ray.stages import vocab
+
+    return vocab.bigram_collocations_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _sql_token_heavy_hitters(sf: str) -> str:

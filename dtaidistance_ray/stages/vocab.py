@@ -297,6 +297,119 @@ def doc_frequency(ds) -> pd.DataFrame:
     )
 
 
+_BIGRAM_SHIFT = np.int64(1) << np.int64(32)  # pair key = a*2^32 + b (vocab << 2^31)
+
+
+def _empty_bigram() -> pd.DataFrame:
+    return pd.DataFrame({"keys": pd.Series(dtype=object), "cnts": pd.Series(dtype=object)})
+
+
+def _partial_bigrams_packed(batch: pa.Table) -> pd.DataFrame:
+    """Block combiner: one packed sparse (pair key, count) row per block.
+
+    Adjacent-pair extraction is two vectorized gathers over the flat
+    token buffer: drop each row's last position for the left operand,
+    its right neighbour (same row by construction) is the right one.
+    """
+    _, vals, lens = _flat_tokens(batch)
+    if len(vals) == 0:
+        return _empty_bigram()
+    mask = np.ones(len(vals), dtype=bool)
+    ends = lens.cumsum()
+    mask[ends[lens > 0] - 1] = False
+    left_idx = np.flatnonzero(mask)
+    if len(left_idx) == 0:
+        return _empty_bigram()
+    keys = vals[left_idx] * _BIGRAM_SHIFT + vals[left_idx + 1]
+    uk, cnt = np.unique(keys, return_counts=True)
+    return pd.DataFrame({"keys": [uk.tobytes()], "cnts": [cnt.astype(np.int64).tobytes()]})
+
+
+def _merge_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+    if not len(batch):
+        return _empty_bigram()
+    keys = np.concatenate([np.frombuffer(b, np.int64) for b in batch["keys"]])
+    cnts = np.concatenate([np.frombuffer(b, np.int64) for b in batch["cnts"]])
+    uk, inv = np.unique(keys, return_inverse=True)
+    acc = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(acc, inv, cnts)
+    return pd.DataFrame({"keys": [uk.tobytes()], "cnts": [acc.tobytes()]})
+
+
+def bigram_collocations(ds, k: int = 100) -> pd.DataFrame:
+    """Top-k adjacent token bigrams with exact marginal counts.
+
+    Collocation mining for training-data analysis: the PMI of a pair is
+    ``log(n_bigrams * cnt / (left_cnt * right_cnt))`` — every factor is
+    emitted as an exact int64 so the score is reproducible bit-for-bit
+    (no cross-engine libm-log drift in the gate). ``left_cnt`` /
+    ``right_cnt`` are the bigram-position marginals (occurrences of the
+    token as a left / right element), computed from the pair table, so
+    the whole op reduces through the vocab²-bounded (observed-pairs)
+    key space: block combiners pack unique pairs, fan-in rounds merge,
+    and only the bounded remainder reaches the driver.
+
+    No reference counterpart (engine-native corpus analytics).
+    """
+    parts = ds.map_batches(_partial_bigrams_packed, batch_format="pyarrow")
+    parts = parts.materialize()
+    nb = parts.count()
+    while nb > max(1, _rs._MERGE_THRESHOLD_ROWS):
+        parts = parts.map_batches(
+            _merge_bigrams, batch_size=_rs._MERGE_FANIN, batch_format="pandas"
+        ).materialize()
+        nb = parts.count()
+    final = _merge_bigrams(parts.to_pandas())
+    if not len(final):
+        cols = ["rnk", "token_a", "token_b", "cnt", "left_cnt", "right_cnt", "n_bigrams"]
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    r = final.iloc[0]
+    keys = np.frombuffer(r["keys"], np.int64)
+    cnt = np.frombuffer(r["cnts"], np.int64)
+    tok_a = keys // _BIGRAM_SHIFT
+    tok_b = keys % _BIGRAM_SHIFT
+    ua, ia = np.unique(tok_a, return_inverse=True)
+    left_acc = np.zeros(len(ua), dtype=np.int64)
+    np.add.at(left_acc, ia, cnt)
+    ub, ib = np.unique(tok_b, return_inverse=True)
+    right_acc = np.zeros(len(ub), dtype=np.int64)
+    np.add.at(right_acc, ib, cnt)
+    n = int(cnt.sum())
+    order = np.lexsort((tok_b, tok_a, -cnt))[:k]
+    return pd.DataFrame(
+        {
+            "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
+            "token_a": tok_a[order],
+            "token_b": tok_b[order],
+            "cnt": cnt[order],
+            "left_cnt": left_acc[ia[order]],
+            "right_cnt": right_acc[ib[order]],
+            "n_bigrams": np.full(len(order), n, dtype=np.int64),
+        }
+    )
+
+
+def bigram_collocations_sql(parquet_path: str, k: int = 100) -> str:
+    return f"""
+WITH cnts AS (
+    SELECT token_a, token_b, count(*) AS cnt FROM (
+        SELECT unnest(tokens[:-2]) AS token_a, unnest(tokens[2:]) AS token_b
+        FROM read_parquet('{parquet_path}')
+    ) GROUP BY token_a, token_b
+)
+SELECT * FROM (
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token_a, token_b) AS BIGINT) AS rnk,
+           CAST(token_a AS BIGINT) AS token_a,
+           CAST(token_b AS BIGINT) AS token_b,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(sum(cnt) OVER (PARTITION BY token_a) AS BIGINT) AS left_cnt,
+           CAST(sum(cnt) OVER (PARTITION BY token_b) AS BIGINT) AS right_cnt,
+           CAST(sum(cnt) OVER () AS BIGINT) AS n_bigrams
+    FROM cnts
+) WHERE rnk <= {k}
+"""
+
+
 def doc_frequency_sql(parquet_path: str) -> str:
     return f"""
 SELECT CAST(token AS BIGINT) AS token,

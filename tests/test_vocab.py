@@ -71,6 +71,34 @@ class TestVocab:
         want = _canon(_duck(vocab.token_percentiles_sql(PQ)))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+    def test_bigram_collocations_vs_duckdb(self, ray_session, tok_parquet):
+        got = _canon(vocab.bigram_collocations(token_table(SPEC), k=50))
+        want = _canon(_duck(vocab.bigram_collocations_sql(tok_parquet, k=50)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_bigram_edge_rows(self, ray_session):
+        """Rows with 0 or 1 token contribute no bigrams; merge rounds
+        (threshold=1) and block partitioning must not change the result."""
+        import ray.data as rd
+        from dtaidistance_ray.stages import rollup_scan as _rs
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6),
+                "tokens": [[1, 2, 1, 2], [], [7], [2, 1], [1, 2], [9, 9, 9]],
+                "n_tok": [4, 0, 1, 2, 2, 3],
+                "source": ["s"] * 6,
+            }
+        )
+        ds = rd.from_pandas(df).repartition(4)
+        got = vocab.bigram_collocations(ds, k=10)
+        # bigrams: (1,2)x3, (2,1)x2, (9,9)x2 — n=7
+        top = got.set_index(["token_a", "token_b"])["cnt"].to_dict()
+        assert top == {(1, 2): 3, (2, 1): 2, (9, 9): 2}
+        assert (got["n_bigrams"] == 7).all()
+        row12 = got[(got.token_a == 1) & (got.token_b == 2)].iloc[0]
+        assert row12["left_cnt"] == 3 and row12["right_cnt"] == 3
+
     def test_quantile_disc_rank_semantics(self):
         """Our histogram rank must equal DuckDB quantile_disc at awkward n."""
         for n in (3, 7, 40, 70, 997):
