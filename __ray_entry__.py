@@ -856,6 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
+        "customers_dormant": _q_customers_dormant,
+        "suppliers_of_large_parts": _q_suppliers_of_large_parts,
         # text / training-data ops
         "dedup_exact_documents": text.dedup_exact,
         "doc_token_counts": text.token_counts,
@@ -913,7 +915,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from dtaidistance_ray.stages import ann, events, text
-    from dtaidistance_ray.stages.relational import LINEITEM_PRICING_SQL, REVENUE_BY_NATION_SQL
+    from dtaidistance_ray.stages.relational import (
+        CUSTOMERS_DORMANT_SQL,
+        LINEITEM_PRICING_SQL,
+        REVENUE_BY_NATION_SQL,
+        SUPPLIERS_OF_LARGE_PARTS_SQL,
+    )
 
     # correctness gate runs at sf0.01; materialize the oracle's token
     # parquet for that sf regardless of call order
@@ -935,6 +942,8 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users_by_value": events.TOP_USERS_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
+        "customers_dormant": CUSTOMERS_DORMANT_SQL,
+        "suppliers_of_large_parts": SUPPLIERS_OF_LARGE_PARTS_SQL,
         "dedup_exact_documents": text.DEDUP_EXACT_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,
         "doc_quality_scores": text.QUALITY_SQL,
@@ -992,6 +1001,18 @@ def _sql_bigram_collocations(sf: str) -> str:
     from dtaidistance_ray.stages import vocab
 
     return vocab.bigram_collocations_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_customers_dormant(sf_dir: str):
+    from dtaidistance_ray.stages.relational import customers_dormant
+
+    return customers_dormant(sf_dir)
+
+
+def _q_suppliers_of_large_parts(sf_dir: str):
+    from dtaidistance_ray.stages.relational import suppliers_of_large_parts
+
+    return suppliers_of_large_parts(sf_dir)
 
 
 def _sql_token_heavy_hitters(sf: str) -> str:

@@ -204,3 +204,104 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
+
+
+def _join_partitions() -> int:
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(2, min(32, ncpu))
+
+
+DORMANT_CUTOFF = "1998-01-01"
+
+
+def customers_dormant(sf_dir: str, cutoff_date: str = DORMANT_CUTOFF):
+    """Anti-join churn query: customers with no order on/after the
+    cutoff, via Ray's native hash-partitioned ``left_anti`` join (both
+    sides shuffle by key — the 100-TB shape; neither side is
+    driver-materialized). The recency predicate is applied at the
+    orders read so only surviving join keys enter the shuffle."""
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    import numpy as np
+
+    cutoff = np.datetime64(cutoff_date, "us")
+
+    def keep_recent(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch.column("o_orderdate"), pa.scalar(cutoff))
+        return batch.filter(mask).select(["o_custkey"])
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(keep_recent, batch_format="pyarrow")
+    return cust.join(
+        recent,
+        join_type="left_anti",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+
+def customers_dormant_sql(cutoff_date: str = DORMANT_CUTOFF) -> str:
+    return f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '{cutoff_date}'
+)
+"""
+
+
+CUSTOMERS_DORMANT_SQL = customers_dormant_sql()
+
+
+def suppliers_of_large_parts(sf_dir: str):
+    """Semi-join chain: suppliers that ship at least one part with
+    ``p_size >= 40``. The part side is filtered AT THE READ (predicate
+    pushed into the parquet scan), reduced to its key column, then two
+    native ``left_semi`` hash joins dedupe-and-match without ever
+    building a distinct set on the driver."""
+    import ray.data as rd
+
+    big_parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]).filter(
+        expr="p_size >= 40"
+    )
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    nparts = _join_partitions()
+    ship_big = li.join(
+        big_parts,
+        join_type="left_semi",
+        num_partitions=nparts,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_acctbal"]
+    )
+    return supp.join(
+        ship_big,
+        join_type="left_semi",
+        num_partitions=nparts,
+        on=("s_suppkey",),
+        right_on=("l_suppkey",),
+    )
+
+
+SUPPLIERS_OF_LARGE_PARTS_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 40 AND l.l_suppkey = s.s_suppkey
+)
+"""
