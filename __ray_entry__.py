@@ -825,6 +825,7 @@ GOLDEN_QUERIES = (
     "tokens_rollup_tier0_full",
     "tokens_rollup_tier2_full",
     "tokens_rollup_time_index",
+    "embedding_pca_top",
 )
 
 
@@ -875,6 +876,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann.ivf_topk,
         "embedding_label_centroids": ann.label_centroids,
         "znormal_embeddings": ann.znormal_embeddings,
+        "embedding_covariance": ann.embedding_covariance,
+        "embedding_pca_top": ann.pca_top_components,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         # token-table engine (synthetic input)
         "tokens_stats_by_source": _q_tokens_stats_by_source,
@@ -951,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ann.ANN_TOPK_SQL,
         "embedding_label_centroids": ann.LABEL_CENTROIDS_SQL,
         "znormal_embeddings": ann.ZNORMAL_SQL,
+        "embedding_covariance": ann.EMB_COVARIANCE_SQL,
         "tokens_stats_by_source": _sql_tokens_stats_by_source(sf),
         "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),

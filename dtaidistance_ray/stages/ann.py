@@ -411,3 +411,115 @@ def embedding_near_dup_pairs(
     # the same pair can surface from several bands: distinct via a
     # vectorized aggregate (cos_sim identical on every copy)
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))
+
+
+def _cov_partial(batch: pa.Table) -> pd.DataFrame:
+    """Block combiner for covariance: one packed (n, sum, X^T X) row.
+
+    The Gram matrix accumulates per block in one BLAS matmul; only
+    dim + dim^2 floats leave each block regardless of row count."""
+    col = batch.column("embedding").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    if n == 0:
+        return pd.DataFrame({"n": pd.Series(dtype="int64"), "s": pd.Series(dtype=object), "g": pd.Series(dtype=object)})
+    m = flat.reshape(n, -1)
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "s": [m.sum(axis=0).tobytes()],
+            "g": [(m.T @ m).tobytes()],
+        }
+    )
+
+
+def _cov_merge(batch: pd.DataFrame) -> pd.DataFrame:
+    if not len(batch):
+        return pd.DataFrame({"n": pd.Series(dtype="int64"), "s": pd.Series(dtype=object), "g": pd.Series(dtype=object)})
+    s = np.sum([np.frombuffer(b, np.float64) for b in batch["s"]], axis=0)
+    g = np.sum([np.frombuffer(b, np.float64) for b in batch["g"]], axis=0)
+    return pd.DataFrame({"n": [int(batch["n"].sum())], "s": [s.tobytes()], "g": [g.tobytes()]})
+
+
+def _cov_reduce(sf_dir: str):
+    """(n, mean, population covariance) of the embedding corpus via
+    packed partials + keyless fan-in tree rounds (bounded driver rows)."""
+    from . import rollup_scan as _rs
+
+    ds = read_embeddings(sf_dir, columns=["embedding"])
+    parts = ds.map_batches(_cov_partial, batch_format="pyarrow").materialize()
+    nb = parts.count()
+    while nb > max(1, _rs._MERGE_THRESHOLD_ROWS):
+        parts = parts.map_batches(
+            _cov_merge, batch_size=_rs._MERGE_FANIN, batch_format="pandas"
+        ).materialize()
+        nb = parts.count()
+    final = _cov_merge(parts.to_pandas())
+    r = final.iloc[0]
+    n = int(r["n"])
+    s = np.frombuffer(r["s"], np.float64)
+    dim = len(s)
+    g = np.frombuffer(r["g"], np.float64).reshape(dim, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Population covariance matrix of the embedding columns, long
+    format (i, j, cov) — the input to PCA whitening / drift monitoring.
+
+    100-TB shape: the reduction state is dim + dim^2 floats per block
+    (Gram-matrix partials, merged associatively in fan-in rounds); the
+    corpus itself never aggregates beyond one matmul per block. Values
+    round to 6 dp on both sides of the gate (same contract as
+    label_centroids — float sum order across engines differs in the
+    last ulps)."""
+    _, _, cov = _cov_reduce(sf_dir)
+    dim = cov.shape[0]
+    ii, jj = np.meshgrid(np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij")
+    return pd.DataFrame(
+        {
+            "i": ii.ravel().astype(np.int64),
+            "j": jj.ravel().astype(np.int64),
+            "cov": np.round(cov.ravel(), 6),
+        }
+    )
+
+
+EMB_COVARIANCE_SQL = """
+WITH flat AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+)
+SELECT CAST(a.pos AS BIGINT) AS i,
+       CAST(b.pos AS BIGINT) AS j,
+       ROUND(covar_pop(a.val, b.val), 6) AS cov
+FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+GROUP BY a.pos, b.pos
+"""
+
+
+def pca_top_components(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Top-k principal components (long format: component, pos, loading,
+    explained variance) from the distributed covariance reduction.
+
+    The eigendecomposition runs on the driver over the dim x dim
+    covariance — dim is model-bounded (64..4096), never data-bounded,
+    so this is the textbook split: O(N·dim²) distributed, O(dim³)
+    local. Sign convention: largest-|loading| entry positive, ties to
+    the earlier position (deterministic across BLAS builds)."""
+    _, _, cov = _cov_reduce(sf_dir)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    rows = []
+    for rank, idx in enumerate(order, start=1):
+        vec = v[:, idx]
+        j = np.argmax(np.abs(np.round(vec, 12)))  # round: tie-stability
+        if vec[j] < 0:
+            vec = -vec
+        for pos in range(len(vec)):
+            rows.append((rank, pos + 1, round(float(vec[pos]), 6), round(float(w[idx]), 6)))
+    return pd.DataFrame(rows, columns=["component", "pos", "loading", "variance"])

@@ -565,8 +565,32 @@ def check_time_index(got: pd.DataFrame):
     return "single-process rollup_oracle grids re-encoded with the same dod codec (crc + count equality)"
 
 
+def check_embedding_pca(got: pd.DataFrame):
+    """Independent recompute: direct SVD of the centered in-memory
+    corpus (no distributed covariance, different LAPACK route) must
+    reproduce every loading and explained variance within 2e-6."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    m = np.stack([np.asarray(v, np.float64) for v in t.column("embedding").to_pylist()])
+    x = m - m.mean(axis=0)
+    _, sv, vt = np.linalg.svd(x, full_matrices=False)
+    var = sv**2 / len(m)
+    for comp, g in got.groupby("component"):
+        g = g.sort_values("pos")
+        vec = vt[comp - 1]
+        j = np.argmax(np.abs(np.round(vec, 12)))
+        if vec[j] < 0:
+            vec = -vec
+        assert np.allclose(g["loading"].to_numpy(), vec, atol=2e-6), comp
+        assert abs(g["variance"].iloc[0] - var[comp - 1]) < 2e-6, comp
+    return "direct SVD of the centered corpus (independent of the distributed Gram-matrix path) within 2e-6"
+
+
 CHECKS = {
     "tokens_rollup_payload_crc": check_payload_crc,
+    "embedding_pca_top": check_embedding_pca,
     "subsequence_knee_matches_tokens": check_subsequence_knee,
     "tokens_rollup_time_index": check_time_index,
     "tokens_rollup_tier0_full": check_tier0_full,
