@@ -869,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # near-dup suite
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # similarity search
@@ -965,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_derivative": _sql_tokens_derivative(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
+        "dedup_clusters": _sql_dedup_clusters(),
         **_golden_oracles(),
     }
 
@@ -1017,6 +1019,12 @@ def _q_suppliers_of_large_parts(sf_dir: str):
     from dtaidistance_ray.stages.relational import suppliers_of_large_parts
 
     return suppliers_of_large_parts(sf_dir)
+
+
+def _sql_dedup_clusters() -> str:
+    from dtaidistance_ray.stages.dedup import dedup_clusters_sql
+
+    return dedup_clusters_sql(os.path.join(_GOLDEN_DIR, "minhash_dedup_pairs.parquet"))
 
 
 def _sql_token_heavy_hitters(sf: str) -> str:

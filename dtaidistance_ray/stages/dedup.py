@@ -542,3 +542,110 @@ def ngram_jaccard_pairs(sf_dir: str, sample_ids: List[int] | None = None, k: int
     arr = np.asarray(ids, dtype=np.int64)
     pairs = rd.from_pandas(pd.DataFrame({"doc_a": arr[ia], "doc_b": arr[ib]}))
     return verify_pairs_jaccard(pairs, document_sketches(sf_dir, k), set(ids))
+
+
+def _uf_find(parent: dict, x: int) -> int:
+    root = x
+    while parent[root] != root:
+        root = parent[root]
+    while parent[x] != root:  # path compression
+        parent[x], x = root, parent[x]
+    return root
+
+
+def _uf_edges_to_forest(a_vals, b_vals) -> pd.DataFrame:
+    """Union-find over an edge list -> ONE packed spanning-forest row
+    (node ids + component roots, roots canonicalized to the min node)."""
+    parent: dict = {}
+    for a, b in zip(a_vals, b_vals):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = _uf_find(parent, a), _uf_find(parent, b)
+        if ra != rb:
+            # union by min keeps the root the component minimum
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = np.array(sorted(parent), dtype=np.int64)
+    roots = np.array([_uf_find(parent, int(n)) for n in nodes], dtype=np.int64)
+    return pd.DataFrame({"nodes": [nodes.tobytes()], "roots": [roots.tobytes()]})
+
+
+def _empty_forest() -> pd.DataFrame:
+    return pd.DataFrame({"nodes": pd.Series(dtype=object), "roots": pd.Series(dtype=object)})
+
+
+def _forest_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    if not len(batch):
+        return _empty_forest()
+    return _uf_edges_to_forest(batch["doc_a"].to_numpy(), batch["doc_b"].to_numpy())
+
+
+def _forest_merge(batch: pd.DataFrame) -> pd.DataFrame:
+    """Associative merge: a forest's (node, root) pairs ARE edges, so
+    merging = union-find over the concatenated forests. Forest size is
+    bounded by distinct nodes, never by input edge count."""
+    if not len(batch):
+        return _empty_forest()
+    a = np.concatenate([np.frombuffer(b, np.int64) for b in batch["nodes"]])
+    b = np.concatenate([np.frombuffer(r, np.int64) for r in batch["roots"]])
+    return _uf_edges_to_forest(a, b)
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """Connected components over the verified near-dup pairs: each doc
+    in >=1 pair gets cluster_id = min doc_id of its component (the
+    canonical survivor for near-dup collapse).
+
+    100-TB shape: single pass, no iteration — each block's edges
+    collapse to a spanning forest (<= distinct-nodes rows of state),
+    forests merge associatively in fan-in tree rounds, and the driver
+    folds only the bounded remainder. The pair list itself is
+    collision-sized (LSH output), not corpus-sized.
+    """
+    from . import rollup_scan as _rs
+
+    pairs = minhash_dedup_pairs(sf_dir, threshold).select_columns(["doc_a", "doc_b"])
+    parts = pairs.map_batches(_forest_partial, batch_format="pandas").materialize()
+    nb = parts.count()
+    while nb > max(1, _rs._MERGE_THRESHOLD_ROWS):
+        parts = parts.map_batches(
+            _forest_merge, batch_size=_rs._MERGE_FANIN, batch_format="pandas"
+        ).materialize()
+        nb = parts.count()
+    final = _forest_merge(parts.to_pandas())
+    if not len(final):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")}
+        )
+    r = final.iloc[0]
+    return pd.DataFrame(
+        {
+            "doc_id": np.frombuffer(r["nodes"], np.int64),
+            "cluster_id": np.frombuffer(r["roots"], np.int64),
+        }
+    )
+
+
+def dedup_clusters_sql(pairs_parquet: str) -> str:
+    """Recursive-CTE oracle over a verified pairs table (the gate feeds
+    it the independently-verified minhash_dedup_pairs golden)."""
+    return f"""
+WITH RECURSIVE
+edges AS (
+  SELECT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
+  FROM read_parquet('{pairs_parquet}')
+  UNION
+  SELECT CAST(doc_b AS BIGINT), CAST(doc_a AS BIGINT)
+  FROM read_parquet('{pairs_parquet}')
+),
+cc(doc, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.doc
+)
+SELECT doc AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM cc GROUP BY doc
+"""

@@ -53,3 +53,71 @@ class TestRelational:
         want = _canon(_duck(relational.SUPPLIERS_OF_LARGE_PARTS_SQL))
         assert len(want) > 0  # predicate must actually select
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestDedupClusters:
+    def test_forest_reduce_matches_recursive_sql(self, ray_session):
+        """Spanning-forest tree reduce vs DuckDB recursive CTE on a
+        synthetic edge list with chains, a star, and singleton pairs —
+        across different block partitionings."""
+        import os
+        import tempfile
+
+        import duckdb
+        import numpy as np
+        import ray.data as rd
+
+        from dtaidistance_ray.stages import dedup
+        from dtaidistance_ray.stages import rollup_scan as _rs
+
+        rng = np.random.default_rng(7)
+        # chain 0-1-2-...-30, star around 100, random small pairs
+        edges = [(i, i + 1) for i in range(30)]
+        edges += [(100, 100 + i) for i in range(1, 12)]
+        edges += [(int(a), int(b)) for a, b in rng.integers(200, 260, size=(40, 2)) if a != b]
+        df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+        with tempfile.TemporaryDirectory() as td:
+            pq_path = os.path.join(td, "pairs.parquet")
+            df.to_parquet(pq_path, index=False)
+            want = (
+                duckdb.connect()
+                .execute(dedup.dedup_clusters_sql(pq_path))
+                .df()
+                .sort_values(["doc_id"])
+                .reset_index(drop=True)
+            )
+        for nblocks in (1, 5, 23):
+            pairs = rd.from_pandas(df).repartition(nblocks)
+            parts = pairs.map_batches(dedup._forest_partial, batch_format="pandas").materialize()
+            nb = parts.count()
+            while nb > 1:
+                parts = parts.map_batches(
+                    dedup._forest_merge, batch_size=_rs._MERGE_FANIN, batch_format="pandas"
+                ).materialize()
+                nb2 = parts.count()
+                if nb2 >= nb:
+                    break
+                nb = nb2
+            final = dedup._forest_merge(parts.to_pandas())
+            r = final.iloc[0]
+            got = (
+                pd.DataFrame(
+                    {
+                        "doc_id": np.frombuffer(r["nodes"], np.int64),
+                        "cluster_id": np.frombuffer(r["roots"], np.int64),
+                    }
+                )
+                .sort_values(["doc_id"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want[["doc_id", "cluster_id"]], check_dtype=False)
+
+    def test_cluster_root_is_component_min(self):
+        from dtaidistance_ray.stages import dedup
+
+        f = dedup._uf_edges_to_forest([5, 3, 9], [3, 1, 5])
+        import numpy as np
+
+        nodes = np.frombuffer(f.iloc[0]["nodes"], np.int64)
+        roots = np.frombuffer(f.iloc[0]["roots"], np.int64)
+        assert dict(zip(nodes, roots)) == {1: 1, 3: 1, 5: 1, 9: 1}
