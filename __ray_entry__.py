@@ -854,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_per_type": events.top_users_per_type,
         "events_sessionize": events.sessionize,
         "events_top_users_by_value": events.top_users_by_value,
+        "events_distinct_users": _q_events_distinct_users,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -944,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users_per_type": events.TOP_USERS_PER_TYPE_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,
         "events_top_users_by_value": events.TOP_USERS_SQL,
+        "events_distinct_users": _sql_events_distinct_users(),
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,
@@ -1025,6 +1027,18 @@ def _sql_dedup_clusters() -> str:
     from dtaidistance_ray.stages.dedup import dedup_clusters_sql
 
     return dedup_clusters_sql(os.path.join(_GOLDEN_DIR, "minhash_dedup_pairs.parquet"))
+
+
+def _q_events_distinct_users(sf_dir: str):
+    from dtaidistance_ray.stages.sketch import distinct_users_per_type
+
+    return distinct_users_per_type(sf_dir)
+
+
+def _sql_events_distinct_users() -> str:
+    from dtaidistance_ray.stages.sketch import DISTINCT_USERS_SQL
+
+    return DISTINCT_USERS_SQL
 
 
 def _sql_token_heavy_hitters(sf: str) -> str:

@@ -1,0 +1,210 @@
+"""Distinct-count operators: exact (gate-checked) and HyperLogLog.
+
+``distinct_users_per_type`` is the correctness surface: per-block
+dedup packs each block's unique (key, member) sets into one row per
+key, keyed fan-in tree rounds union them (np.unique of concatenations
+— associative, order-free), and only the bounded remainder reaches the
+driver. Exactness is absolute, but the state grows with true
+cardinality — the right tool when distincts fit a worker (usual for
+per-key user sets), the wrong one at extreme cardinality.
+
+``HllSketch`` is the 100-TB path for that extreme: fixed 2^p registers
+per key regardless of cardinality, associative merge = elementwise
+max. Standard HyperLogLog (Flajolet et al. 2007) with the linear-
+counting small-range correction; ~1.04/sqrt(m) relative error. The
+sketch is property-tested (error bound + merge associativity +
+partition invariance); it has no SQL oracle because no two HLL
+implementations agree bit-for-bit (DuckDB's approx_count_distinct is
+its own variant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import rollup_scan as _rs
+
+# splitmix64 finalizer — the same public-domain mix used elsewhere in
+# the engine; avalanches sequential ids
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(30)
+    x = (x * _M1) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(27)
+    x = (x * _M2) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+class HllSketch:
+    """Registers-only HyperLogLog: p index bits, 64-p rank bits."""
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashed(self, h: np.ndarray) -> "HllSketch":
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        # rank = leading zeros of the remaining 64-p bits + 1 (capped)
+        nbits = 64 - self.p
+        lz = np.full(len(h), nbits, dtype=np.uint8)
+        nz = rest != 0
+        # count leading zeros via float64 exponent trick is lossy past
+        # 2^53; use a vectorized bit-scan instead (log2 on uint64 is
+        # exact for the leading-bit position)
+        top = np.zeros(len(h), dtype=np.int64)
+        r = rest[nz]
+        for shift in (32, 16, 8, 4, 2, 1):
+            s = np.uint64(shift)
+            r = r | (r >> s)
+        # r now has all bits below the leading bit set; popcount gives
+        # the leading-bit position
+        pc = np.zeros(r.shape, dtype=np.int64)
+        v = r
+        while True:
+            pc += (v & np.uint64(1)).astype(np.int64)
+            v = v >> np.uint64(1)
+            if not v.any():
+                break
+        top[nz] = pc  # leading-bit position + 1 (1-based from LSB)
+        lz_nz = (64 - top[nz]).astype(np.uint8)
+        lz[nz] = lz_nz
+        rank = np.minimum(lz + 1, nbits + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add_ints(self, values: np.ndarray) -> "HllSketch":
+        return self.add_hashed(_mix64(np.asarray(values)))
+
+    def merge(self, other: "HllSketch") -> "HllSketch":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        if e <= 2.5 * m:
+            zeros = int(np.sum(self.registers == 0))
+            if zeros:
+                e = m * np.log(m / zeros)  # linear counting
+        return float(e)
+
+    def pack(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def unpack(cls, blob: bytes, p: int = 14) -> "HllSketch":
+        s = cls(p)
+        s.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+        return s
+
+
+def _empty_sets() -> pd.DataFrame:
+    return pd.DataFrame({"key": pd.Series(dtype=object), "members": pd.Series(dtype=object)})
+
+
+def _distinct_partial(batch: pd.DataFrame, key_col: str, val_col: str) -> pd.DataFrame:
+    if not len(batch):
+        return _empty_sets()
+    rows = {"key": [], "members": []}
+    for k, g in batch.groupby(key_col, sort=True):
+        rows["key"].append(k)
+        rows["members"].append(np.unique(g[val_col].to_numpy(np.int64)).tobytes())
+    return pd.DataFrame(rows)
+
+
+def _distinct_merge(batch: pd.DataFrame) -> pd.DataFrame:
+    if not len(batch):
+        return _empty_sets()
+    rows = {"key": [], "members": []}
+    for k, g in batch.groupby("key", sort=True):
+        u = np.unique(np.concatenate([np.frombuffer(b, np.int64) for b in g["members"]]))
+        rows["key"].append(k)
+        rows["members"].append(u.tobytes())
+    return pd.DataFrame(rows)
+
+
+def distinct_exact(ds, key_col: str, val_col: str) -> pd.DataFrame:
+    """Exact per-key distinct counts via packed unique-set tree merge."""
+    from functools import partial as _p
+
+    parts = ds.map_batches(
+        _p(_distinct_partial, key_col=key_col, val_col=val_col), batch_format="pandas"
+    )
+    from .vocab import _tree_reduce_keyed
+
+    packed = _tree_reduce_keyed(parts, _distinct_merge, key="key")
+    return pd.DataFrame(
+        {
+            "key": packed["key"],
+            "n_distinct": [len(np.frombuffer(b, np.int64)) for b in packed["members"]],
+        }
+    )
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    from .events import read_events
+
+    ds = read_events(sf_dir, columns=["event_type", "user_id"])
+    out = distinct_exact(ds, "event_type", "user_id")
+    out = out.rename(columns={"key": "event_type"})
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+def hll_distinct_users_per_type(sf_dir: str, p: int = 14) -> pd.DataFrame:
+    """HLL estimate per event_type — the fixed-state path; returns the
+    estimate and the sketch's nominal relative standard error."""
+    from .events import read_events
+
+    ds = read_events(sf_dir, columns=["event_type", "user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"key": pd.Series(dtype=object), "reg": pd.Series(dtype=object)})
+        rows = {"key": [], "reg": []}
+        for k, g in batch.groupby("event_type", sort=True):
+            rows["key"].append(k)
+            rows["reg"].append(HllSketch(p).add_ints(g["user_id"].to_numpy()).pack())
+        return pd.DataFrame(rows)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"key": pd.Series(dtype=object), "reg": pd.Series(dtype=object)})
+        rows = {"key": [], "reg": []}
+        for k, g in batch.groupby("key", sort=True):
+            s = HllSketch.unpack(g["reg"].iloc[0], p)
+            for b in g["reg"].iloc[1:]:
+                s.merge(HllSketch.unpack(b, p))
+            rows["key"].append(k)
+            rows["reg"].append(s.pack())
+        return pd.DataFrame(rows)
+
+    from .vocab import _tree_reduce_keyed
+
+    packed = _tree_reduce_keyed(ds.map_batches(partial, batch_format="pandas"), merge, key="key")
+    rse = 1.04 / np.sqrt(1 << p)
+    return pd.DataFrame(
+        {
+            "event_type": packed["key"],
+            "approx_distinct": [HllSketch.unpack(b, p).estimate() for b in packed["reg"]],
+            "rel_std_err": rse,
+        }
+    )
