@@ -144,21 +144,47 @@ def ub_euclidean(s1, s2, inner_dist: str = SQEUCLIDEAN) -> float:
         elif len(s2) > n:
             ub += sum(inner_dist.inner_dist(s1[n - 1], b) for b in s2[n:])
         return inner_dist.result(ub)
+    # Accumulate SEQUENTIALLY (left-to-right), like the reference's
+    # Python loop (ed.py:66-78) — NOT numpy pairwise summation. The
+    # use_pruning cutoff compares the DP's path sum (sequential adds in
+    # path order) strictly against inner_val(ub); when the optimal path
+    # IS the Euclidean-bound path the two sums must be bit-equal or the
+    # inf/finite decision diverges from the reference.
     if inner_dist == SQEUCLIDEAN:
         d = s1[:n] - s2[:n]
-        ub = float((d * d).sum())
+        e = d * d
+        if s1.ndim > 1:
+            e = e.sum(axis=1)  # per-timestep ndim inner dist (ref SquaredEuclideanNdim)
         if len(s1) > n:
             t = s1[n:] - s2[n - 1]
-            ub += float((t * t).sum())
+            tail = t * t
         elif len(s2) > n:
             t = s2[n:] - s1[n - 1]
-            ub += float((t * t).sum())
+            tail = t * t
+        else:
+            tail = None
+        if tail is not None and np.ndim(tail) > 1:
+            tail = tail.sum(axis=1)
+        ub = 0.0
+        for v in e.tolist():
+            ub += v
+        if tail is not None:
+            for v in tail.tolist():
+                ub += v
         return math.sqrt(ub)
-    ub = float(np.abs(s1[:n] - s2[:n]).sum())
+    e = np.abs(s1[:n] - s2[:n])
     if len(s1) > n:
-        ub += float(np.abs(s1[n:] - s2[n - 1]).sum())
+        tail = np.abs(s1[n:] - s2[n - 1])
     elif len(s2) > n:
-        ub += float(np.abs(s2[n:] - s1[n - 1]).sum())
+        tail = np.abs(s2[n:] - s1[n - 1])
+    else:
+        tail = None
+    ub = 0.0
+    for v in e.tolist():
+        ub += v
+    if tail is not None:
+        for v in tail.tolist():
+            ub += v
     return ub
 
 
@@ -194,6 +220,53 @@ def lb_keogh(s1, s2, settings: Optional[DTWSettings] = None) -> float:
 def lb_keogh_batch(query: np.ndarray, corpus: List[np.ndarray], settings: Optional[DTWSettings] = None) -> np.ndarray:
     """Vectorized LB_Keogh of one query against many candidate series."""
     return np.array([lb_keogh(query, c, settings) for c in corpus])
+
+
+def _sequential_band_dp(s1, s2, s: DTWSettings, window: int) -> float:
+    """Final accumulated (inner-domain) cost via a plain sequential
+    band DP whose float-add order matches the reference's per-cell
+    loop bit-for-bit (dtw.py:336-398 semantics; own implementation).
+
+    Used only in the cutoff-ambiguity zone of ``distance``: the
+    vectorized min-plus scan is algebraically exact but its
+    ``S + cummin(h - S)`` rounding can differ from sequential adds by
+    an ulp, which is exactly the margin that decides the strict
+    ``d > max_dist`` pruning check. No in-DP pruning here — PrunedDTW
+    with the final strict check is value-identical to the unpruned DP
+    for any d <= max_dist, and both report inf otherwise.
+    """
+    r, c = len(s1), len(s2)
+    psi_1b, psi_1e, psi_2b, psi_2e = s.split_psi()
+    penalty = s.adj_penalty
+    max_step = s.adj_max_step
+    prev = [INF] * (c + 1)
+    for j in range(min(psi_2b, c) + 1):
+        prev[j] = 0.0
+    psi_shortest = INF
+    cur = [INF] * (c + 1)
+    for i in range(r):
+        for j in range(c + 1):
+            cur[j] = INF
+        js, je = _band(i, r, c, window)
+        if psi_1b != 0 and js == 0 and i < psi_1b:
+            cur[0] = 0.0
+        row_costs = _cost_row(s1[i], s2[js:je], s.inner_dist)
+        for j in range(js, je):
+            d0 = float(row_costs[j - js])
+            if d0 > max_step:
+                continue
+            best = min(prev[j], prev[j + 1] + penalty, cur[j] + penalty)
+            if best != INF:
+                cur[j + 1] = d0 + best
+        if psi_1e != 0 and je == c and r - 1 - i <= psi_1e:
+            psi_shortest = min(psi_shortest, cur[je])
+        prev, cur = cur, prev
+    ic = min(c, c + window - 1)
+    if psi_1e == 0 and psi_2e == 0:
+        return prev[ic]
+    if psi_2e != 0:
+        return min(min(prev[max(0, ic - psi_2e) : ic + 1]), psi_shortest)
+    return min(prev[ic], psi_shortest)
 
 
 def distance(s1, s2, settings: Optional[DTWSettings] = None) -> float:
@@ -268,11 +341,17 @@ def distance(s1, s2, settings: Optional[DTWSettings] = None) -> float:
             d = min(float(vc.min()), psi_shortest)
         else:
             d = min(last[ic], psi_shortest)
-    # Relative tolerance on the cutoff: at the exact d == max_dist
-    # boundary (e.g. use_pruning where the diagonal path IS the
-    # Euclidean upper bound) last-ULP rounding of sum-of-squares vs
-    # (sqrt(sum))**2 would otherwise flip the strict `>` arbitrarily.
-    if max_dist and d > max_dist * (1.0 + 1e-12):
+    # STRICT cutoff, like the reference (dtw.py:397-398). With
+    # use_pruning, max_dist = inner_val(ub_euclidean(..)) is the
+    # sqrt->square round-trip of the sequential path sum; when the
+    # round-trip rounds DOWN an ulp the reference really does return
+    # inf even though DTW == the Euclidean bound — we reproduce that.
+    # Within an ulp-scale window of the cutoff, the vectorized scan's
+    # rounding is not authoritative: recompute d with the sequential
+    # band DP whose add order matches the reference bit-for-bit.
+    if max_dist and max_dist != INF and max_dist * (1.0 - 1e-9) < d < max_dist * (1.0 + 1e-9):
+        d = _sequential_band_dp(s1, s2, s, window)
+    if max_dist and d > max_dist:
         d = INF
     return float(s.result(d))
 

@@ -149,10 +149,16 @@ def batched_pair_distances(
         )
         d = _class_distances(C, c_lens, S, s_lens, windows, s.adj_penalty)
         out[np.asarray(ks)] = d
+    scalar_redo: List[int] = []
     if s.use_pruning and (s.max_dist is None or s.max_dist == 0):
         # Reference PrunedDTW semantics: the accumulated (inner-domain)
-        # cost is compared against ub_euclidean and the result is inf
-        # when it exceeds it (mirrors elastic.distance's final check).
+        # cost is compared STRICTLY against inner_val(ub_euclidean) and
+        # the result is inf when it exceeds it (elastic.distance's final
+        # check; ref dtw.py:397-398). The class DP's prefix-scan trick
+        # (f - acc, min-accumulate, + acc) is not bit-exact with the
+        # scalar DP, so within a small relative zone of the cutoff we
+        # defer the whole pair to the scalar kernel, whose sums are
+        # bit-equal to the reference's.
         from .elastic import ub_euclidean
 
         for ks in classes.values():
@@ -160,16 +166,18 @@ def batched_pair_distances(
                 if out[k] == INF:
                     continue
                 md = s.inner_val(ub_euclidean(s1s[k], s2s[k], s.inner_dist))
-                # same relative tolerance as elastic.distance's final
-                # check (d == ub boundary is rounding-order dependent)
-                if md and out[k] > md * (1.0 + 1e-12):
+                if not md:
+                    continue
+                if out[k] > md * (1.0 + 1e-9):
                     out[k] = INF
+                elif out[k] > md * (1.0 - 1e-9):
+                    scalar_redo.append(k)
     result = np.array([s.result(v) for v in out])
-    if ndim_pairs:
-        # the class DP packs scalar rows; ndim pairs (vector inner
-        # cost) use the scalar kernel, which applies s.result itself
+    if ndim_pairs or scalar_redo:
+        # ndim pairs (vector inner cost) and cutoff-boundary pairs use
+        # the scalar kernel, which applies s.result itself
         from .elastic import distance as _scalar_distance
 
-        for k in ndim_pairs:
+        for k in ndim_pairs + scalar_redo:
             result[k] = _scalar_distance(s1s[k], s2s[k], s)
     return result

@@ -118,6 +118,47 @@ class TestRandomParity:
                     f"trial={trial} kw={kw} ours={ours} theirs={theirs}"
                 )
 
+    def test_use_pruning_inf_parity_vs_reference(self):
+        """Strict-cutoff inf parity (round-2 ADVICE high finding).
+
+        With use_pruning, the reference compares the DP path sum
+        strictly against inner_val(ub_euclidean); the sqrt->square
+        round-trip makes inf reachable even when DTW equals the
+        Euclidean bound exactly. Short, unequal-length pairs maximize
+        boundary hits. We must agree with the reference on EXACTLY
+        which pairs are inf, not just on the finite values."""
+        from dtaidistance_ray.kernels.pairs_batch import (
+            batched_pair_distances,
+            pairs_supported,
+        )
+
+        rng = np.random.default_rng(0)
+        inf_hits = 0
+        for trial in range(120):
+            n1 = int(rng.integers(1, 10))
+            n2 = int(rng.integers(1, 10))
+            a = rng.normal(size=n1)
+            b = rng.normal(size=n2)
+            for kw in [
+                dict(use_pruning=True),
+                dict(use_pruning=True, penalty=0.5),
+                dict(use_pruning=True, penalty=2.0),
+            ]:
+                s = DTWSettings(**kw)
+                ours = distance(a, b, s)
+                theirs = ref_dtw.distance(a, b, **kw)
+                if np.isinf(theirs):
+                    inf_hits += 1
+                    assert np.isinf(ours), (trial, kw, ours, theirs)
+                else:
+                    assert ours == pytest.approx(theirs, rel=1e-9), (trial, kw)
+                if pairs_supported(s):
+                    bv = batched_pair_distances([a], [b], s)[0]
+                    assert np.isinf(bv) == np.isinf(ours), (trial, kw, bv, ours)
+                    if np.isfinite(bv):
+                        assert bv == pytest.approx(ours, rel=1e-9)
+        assert inf_hits > 5  # the boundary must actually be exercised
+
     def test_distance_parity_integer_tokens(self):
         # token tables: integer-valued series (input_hint payload)
         rng = np.random.default_rng(7)
