@@ -17,14 +17,20 @@ the reference implementation (study-only, no code copied):
 - use_pruning sets max_dist = ub_euclidean (dtw.py:199-203).
 
 Implementation note (ours, not the reference's): each DP row is computed
-with O(1) vectorized NumPy ops instead of a per-cell Python loop. The
-in-row left-to-right dependency
-``f[j] = min(h[j], f[j-1] + cost[j] + penalty)`` is an exact prefix
-min-plus scan: with C = cost + penalty and S = cumsum(C),
-``f = S + cummin(h - S)``. This is algebraically identical to the
-sequential recurrence (min distributes over the chain), so values match
-the reference bit-for-bit up to float addition order within one row's
-cumsum; parity is asserted in tests/test_kernel_parity.py.
+with vectorized NumPy ops instead of a per-cell Python loop. The in-row
+left-to-right dependency ``f[j] = min(h[j], (f[j-1] + penalty) +
+cost[j])`` is first solved with the algebraic prefix min-plus scan
+(``S + cumsum/cummin``), then VERIFIED against the recurrence and
+patched sequentially where the scan's rounding differs from the
+reference's sequential add order (see _minplus_scan) — so every matrix
+cell is BIT-IDENTICAL to the reference's per-cell loop, including its
+documented float-tie behaviors (reference tests/test_bugs.py
+test_bug5_path). Residual 1-ulp cells can only come from the
+reference's use of scalar ``(x-y)**2`` (libm pow), which disagrees
+with the correctly-rounded ``d*d`` multiply on ~0.1% of inputs and is
+not reproducible vectorized (numpy's array ``np.power`` disagrees with
+scalar pow on yet other inputs). Parity is asserted in
+tests/test_kernel_parity.py and tests/test_reference_bugs.py.
 """
 
 from __future__ import annotations
@@ -67,17 +73,70 @@ def _cost_row(v, s2: np.ndarray, inner_dist) -> np.ndarray:
     return np.abs(s2 - v)
 
 
-def _minplus_scan(h: np.ndarray, cpen: np.ndarray, left0: float) -> np.ndarray:
-    """Exact f[j] = min(h[j], f[j-1] + cpen[j]) with f[-1] = left0.
+def _minplus_scan(
+    h: np.ndarray, cost: np.ndarray, penalty: float, left0: float
+) -> np.ndarray:
+    """Exact f[j] = min(h[j], (f[j-1] + penalty) + cost[j]), f[-1] = left0.
 
-    ``h`` may contain inf; ``cpen`` must be finite (callers segment around
-    inf step costs).
+    BIT-IDENTICAL to the reference's sequential per-cell recurrence
+    (its add order is (left + penalty) + cost, left-to-right). The fast
+    path is the algebraic prefix scan ``S + cummin(h - S)``, whose
+    rounding can differ from sequential adds by an ulp — exactly the
+    margin behind the reference's documented float-tie behaviors (its
+    tests/test_bugs.py test_bug5_path) and the strict pruning cutoff.
+    So we then VERIFY the scan against the recurrence in two vector
+    ops: the sequential solution is the unique fixpoint of
+    ``f[j] == min(h[j], (f[j-1]+penalty)+cost[j])`` given f[0], and
+    any scan/sequential divergence must show as a first mismatching
+    index, from which we recompute sequentially (measured ~0.1% of
+    rows on random data — the scan's rounding almost always agrees).
+
+    ``h`` may contain inf; ``cost`` must be finite (callers segment
+    around inf step costs).
     """
-    if left0 != INF and len(h):
+    n = len(h)
+    if n == 0:
+        return h
+    if left0 != INF:
         h = h.copy()
-        h[0] = min(h[0], left0 + cpen[0])
+        v = (left0 + penalty) + cost[0] if penalty else left0 + cost[0]
+        if v < h[0]:
+            h[0] = v
+    if n == 1:
+        return h
+    cpen = cost + penalty if penalty else cost
     S = np.cumsum(cpen)
-    return S + np.minimum.accumulate(h - S)
+    f = S + np.minimum.accumulate(h - S)
+    f[0] = h[0]  # the scan's S[0] round-trip can perturb even f[0]
+    if penalty:
+        cand = (f[:-1] + penalty) + cost[1:]
+    else:
+        cand = f[:-1] + cost[1:]
+    want = np.minimum(h[1:], cand)
+    bad = np.flatnonzero(f[1:] != want)
+    if len(bad):
+        # Patch each divergent chain sequentially, stopping as soon as
+        # the sequential state reconverges with the scan value (min
+        # with h[j] resets chains within a few steps) AND no later
+        # mismatch is pending — so total patch work is O(sum of chain
+        # lengths), not O(n) per mismatch.
+        nb = len(bad)
+        bi = 0
+        while bi < nb:
+            j0 = int(bad[bi]) + 1
+            prev = f[j0 - 1]
+            k = j0
+            while k < n:
+                v = (prev + penalty) + cost[k] if penalty else prev + cost[k]
+                hk = h[k]
+                prev = v if v < hk else hk
+                if prev == f[k] and (bi + 1 >= nb or int(bad[bi + 1]) + 1 > k):
+                    break
+                f[k] = prev
+                k += 1
+            while bi < nb and int(bad[bi]) + 1 <= k:
+                bi += 1
+    return f
 
 
 def _row_update(
@@ -100,7 +159,7 @@ def _row_update(
     e = np.minimum(prev[js:je], prev[js + 1 : je + 1] + penalty)
     if not skip.any():
         h = cost + e
-        f = _minplus_scan(h, cost + penalty, cur[js])
+        f = _minplus_scan(h, cost, penalty, cur[js])
         cur[js + 1 : je + 1] = f
     else:
         # max_step breaks the in-row chain; run the scan per finite segment.
@@ -114,7 +173,7 @@ def _row_update(
                 left = INF
                 continue
             h = cost[a:b] + e[a:b]
-            f = _minplus_scan(h, cost[a:b] + penalty, left if a == seg_starts[0] else INF)
+            f = _minplus_scan(h, cost[a:b], penalty, left if a == seg_starts[0] else INF)
             cur[js + a + 1 : js + b + 1] = f
             left = INF
     return skip

@@ -85,7 +85,7 @@ def warping_paths(s1, s2, weights=None, window: Optional[int] = None, **_kwargs)
         cost = d * d
         prev = paths[i]
         e = np.minimum(prev[js:je], prev[js + 1 : je + 1])
-        f = _minplus_scan(cost + e, cost.copy(), paths[i + 1, js])
+        f = _minplus_scan(cost + e, cost, 0.0, paths[i + 1, js])
         paths[i + 1, js + 1 : je + 1] = f
     paths = np.sqrt(paths)
     return paths[l1 - 1, l2 - 1], paths

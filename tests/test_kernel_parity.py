@@ -172,6 +172,8 @@ class TestRandomParity:
 
     def test_warping_paths_matrix_parity(self):
         rng = np.random.default_rng(3)
+        bitexact = 0
+        total = 0
         for trial in range(10):
             a = np.round(rng.normal(size=int(rng.integers(3, 20))), 3)
             b = np.round(rng.normal(size=int(rng.integers(3, 20))), 3)
@@ -180,6 +182,16 @@ class TestRandomParity:
                 d2, m2 = ref_dtw.warping_paths(a, b, **kw)
                 assert d1 == pytest.approx(d2, rel=1e-9, abs=1e-12), kw
                 np.testing.assert_allclose(m1, m2, rtol=1e-9, atol=1e-12)
+                total += 1
+                if np.array_equal(
+                    np.nan_to_num(m1, posinf=1e300),
+                    np.nan_to_num(np.asarray(m2), posinf=1e300),
+                ):
+                    bitexact += 1
+        # sequential-order row updates: matrices should be BIT-equal to
+        # the reference except for the rare scalar-pow libm ulp (see
+        # elastic.py header); demand near-total bit equality
+        assert bitexact >= total - 2, (bitexact, total)
 
     def test_best_path_parity(self):
         rng = np.random.default_rng(11)

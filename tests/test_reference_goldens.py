@@ -153,17 +153,19 @@ class TestBugCaseMirrors:
 
     def test_bug5_path(self):
         # The reference's tests/test_bugs.py:316-343 documents that its
-        # own float rounding breaks the diagonal-priority tie at (1,3)
-        # and yields [(0,1),(1,2),(1,3),(2,4)] instead of the "in
-        # theory" path [(0,2),(1,3),(2,4)]. Our min-plus scan sums the
-        # same costs in a different order and lands on the theoretical
-        # path — the matrices agree to all printed digits; only the
-        # last-ulp tie outcome differs.
+        # float rounding breaks the diagonal-priority tie at (1,3) and
+        # yields [(0,1),(1,2),(1,3),(2,4)] instead of the "in theory"
+        # path [(0,2),(1,3),(2,4)]. Since the row updates became
+        # bit-exact with the reference's sequential add order
+        # (elastic._minplus_scan verify+patch), we reproduce the
+        # reference's documented outcome exactly — see also
+        # tests/test_reference_bugs.py::test_bug5_path_float_tie which
+        # asserts this against the live reference library.
         s1 = np.array([2.1, 4.1, 5.1])
         s2 = np.array([1.1, 2.1, 3.1, 4.1, 5.1])
         _, wps = warping_paths(s1, s2, DTWSettings(psi=(0, 0, len(s2), len(s2))))
         p = best_path(wps)
-        assert p == [(0, 2), (1, 3), (2, 4)]
+        assert p == [(0, 1), (1, 2), (1, 3), (2, 4)]
         assert p[-1] == (2, 4)
 
     def test_bug6_psi_tuple(self):
