@@ -867,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": text.lang_id,
         "doc_fingerprints": text.fingerprints,
         "documents_stratified_sample": text.stratified_sample,
+        "documents_decontaminate": text.decontaminate,
         # near-dup suite
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -951,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_dormant": CUSTOMERS_DORMANT_SQL,
         "suppliers_of_large_parts": SUPPLIERS_OF_LARGE_PARTS_SQL,
         "dedup_exact_documents": text.DEDUP_EXACT_SQL,
+        "documents_decontaminate": text.DECONTAMINATE_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,
         "doc_quality_scores": text.QUALITY_SQL,
         "documents_stratified_sample": text.STRATIFIED_SAMPLE_SQL,

@@ -256,3 +256,116 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
       < CASE WHEN lang = 'en' THEN '{STRATA_THRESHOLDS["en"]}'
              ELSE '{DEFAULT_THRESHOLD}' END
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus decontamination (benchmark-leak filtering)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 5
+DECON_EVAL_MOD = 23  # doc_id % MOD == 0 -> member of the "eval" corpus
+
+
+def _word_grams(text: str, n: int = DECON_NGRAM) -> set:
+    """Distinct lowercase word n-grams of one document (whitespace
+    tokenization; equivalent to the oracle's regexp split on \\s+)."""
+    w = text.lower().split()
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+class DecontaminateScorer:
+    """Counts, per document, how many of its distinct word n-grams
+    appear in the broadcast eval-set gram set (actor-pool stage: the
+    eval grams are fetched from the object store once per actor).
+
+    100-TB shape: the eval corpus (benchmark/test sets) is the SMALL
+    side — typically MBs against TBs of training data — so this is the
+    canonical broadcast-filter: `ray.put` the gram set once, stream the
+    corpus through a map-only stage; no shuffle, no join. Exact string
+    membership (a Python frozenset; C-level hashing per lookup) rather
+    than 64-bit fingerprints keeps the result bit-reproducible by the
+    SQL oracle with no collision caveat.
+    """
+
+    def __init__(self, grams_ref):
+        import ray
+
+        self.grams = ray.get(grams_ref) if hasattr(grams_ref, "hex") else grams_ref
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hits = []
+        for t in batch["text"]:
+            g = _word_grams(t)
+            hits.append(len(g & self.grams) if g else 0)
+        doc_id = batch["doc_id"].astype("int64")
+        is_eval = (doc_id % DECON_EVAL_MOD == 0).astype("int64")
+        n_hit = pd.Series(hits, index=batch.index, dtype="int64")
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "n_hit": n_hit,
+                "is_eval": is_eval,
+                "contaminated": ((n_hit > 0) & (is_eval == 0)).astype("int64"),
+            }
+        )
+
+
+def decontaminate(sf_dir: str):
+    """Flag training documents sharing word 5-grams with the eval set.
+
+    The eval set is carved deterministically from the same table
+    (doc_id % 23 == 0) so the op needs no external data; in production
+    the eval side would be the held-out benchmark corpus. Two passes:
+    a bounded read of the (small) eval side to build the gram set, then
+    a streamed map-only scoring pass over the full corpus."""
+    import ray
+
+    def eval_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % DECON_EVAL_MOD == 0]
+
+    eval_df = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(eval_only, batch_format="pandas")
+        .to_pandas()  # the eval side is small by construction
+    )
+    grams: set = set()
+    for t in eval_df["text"]:
+        grams |= _word_grams(t)
+    grams_ref = ray.put(frozenset(grams))
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        DecontaminateScorer,
+        fn_constructor_args=(grams_ref,),
+        batch_format="pandas",
+        concurrency=auto_pool(),
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - {DECON_NGRAM - 2}),
+                               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) AS g
+  FROM words WHERE len(ws) >= {DECON_NGRAM}
+),
+doc_grams AS (SELECT DISTINCT doc_id, g FROM grams),
+eval_grams AS (SELECT DISTINCT g FROM doc_grams WHERE doc_id % {DECON_EVAL_MOD} = 0),
+hits AS (
+  SELECT dg.doc_id, count(*) AS n_hit
+  FROM doc_grams dg JOIN eval_grams e USING (g)
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(d.doc_id % {DECON_EVAL_MOD} = 0 AS BIGINT) AS is_eval,
+       CAST(coalesce(h.n_hit, 0) > 0 AND d.doc_id % {DECON_EVAL_MOD} <> 0 AS BIGINT)
+           AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""

@@ -466,3 +466,40 @@ class TestEventsWindowedOps:
         # grid: 00 (2 events), 01 (1), 02 (0 gap-filled), 03 (1)
         assert list(out["n_events"]) == [2, 1, 0, 1]
         assert list(out["avg_24h"]) == [2.0, 1.5, 0.5, 0.5]
+
+
+class TestDecontaminate:
+    def test_vs_sql_oracle_and_semantics(self, ray_session):
+        import duckdb
+
+        from dtaidistance_ray.stages import text
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            text.decontaminate(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = (
+            con.execute(text.DECONTAMINATE_SQL)
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+        # semantics: an eval doc with >= 5 words always hits its own grams
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+        wc = docs.set_index("doc_id")["text"].str.split().str.len()
+        g = got.set_index("doc_id")
+        ev = g[g["is_eval"] == 1]
+        long_eval = ev[wc.loc[ev.index] >= text.DECON_NGRAM]
+        assert (long_eval["n_hit"] > 0).all()
+        # contaminated never includes eval docs
+        assert (g.loc[g["contaminated"] == 1, "is_eval"] == 0).all()
