@@ -872,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_apply_survivors": dedup.dedup_apply,
         "simhash_signatures": dedup.simhash_signatures,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # similarity search
@@ -971,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
         "dedup_clusters": _sql_dedup_clusters(),
+        "dedup_apply_survivors": _sql_dedup_apply(),
         **_golden_oracles(),
     }
 
@@ -1029,6 +1031,12 @@ def _sql_dedup_clusters() -> str:
     from dtaidistance_ray.stages.dedup import dedup_clusters_sql
 
     return dedup_clusters_sql(os.path.join(_GOLDEN_DIR, "minhash_dedup_pairs.parquet"))
+
+
+def _sql_dedup_apply() -> str:
+    from dtaidistance_ray.stages.dedup import dedup_apply_sql
+
+    return dedup_apply_sql(os.path.join(_GOLDEN_DIR, "minhash_dedup_pairs.parquet"))
 
 
 def _q_events_distinct_users(sf_dir: str):

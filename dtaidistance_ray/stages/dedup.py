@@ -649,3 +649,71 @@ cc(doc, lbl) AS (
 SELECT doc AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM cc GROUP BY doc
 """
+
+
+def dedup_apply(sf_dir: str, threshold: float = 0.6):
+    """Near-dup collapse applied to the corpus: keep every document
+    that is not a non-survivor cluster member (survivor = the min
+    doc_id of its component, dedup_clusters semantics).
+
+    100-TB shape: the drop set is collision-sized (only docs that
+    appear in a verified near-dup pair and are not their component's
+    min), so it broadcasts; the corpus streams through a map-only
+    ``np.isin`` filter — no join, no shuffle, and the output keeps the
+    input's partitioning for downstream stages."""
+    import ray
+
+    from .text import read_documents
+
+    clusters = dedup_clusters(sf_dir, threshold)
+    drop = clusters.loc[
+        clusters["doc_id"] != clusters["cluster_id"], "doc_id"
+    ].to_numpy(np.int64)
+    drop.sort()
+    drop_ref = ray.put(drop)
+
+    class SurvivorFilter:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["doc_id"].to_numpy(np.int64)
+            keep = ~np.isin(ids, self.drop, assume_unique=False)
+            out = batch.loc[keep, ["doc_id", "source", "n_chars"]].copy()
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["n_chars"] = out["n_chars"].astype("int64")
+            return out
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+    from .pool import auto_pool
+
+    return ds.map_batches(
+        SurvivorFilter, batch_format="pandas", concurrency=auto_pool()
+    )
+
+
+def dedup_apply_sql(pairs_parquet: str) -> str:
+    """Survivor corpus oracle: documents minus non-min cluster members
+    (recursive-CTE components over the verified pairs golden)."""
+    return f"""
+WITH RECURSIVE
+edges AS (
+  SELECT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
+  FROM read_parquet('{pairs_parquet}')
+  UNION
+  SELECT CAST(doc_b AS BIGINT), CAST(doc_a AS BIGINT)
+  FROM read_parquet('{pairs_parquet}')
+),
+cc(doc, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.doc
+),
+clusters AS (
+  SELECT doc AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
+"""

@@ -503,3 +503,30 @@ class TestDecontaminate:
         assert (long_eval["n_hit"] > 0).all()
         # contaminated never includes eval docs
         assert (g.loc[g["contaminated"] == 1, "is_eval"] == 0).all()
+
+
+class TestDedupApply:
+    def test_survivors_consistent_with_clusters(self, ray_session):
+        from dtaidistance_ray.stages import dedup
+
+        sf = "/root/testdata/sf0.001"
+        clusters = dedup.dedup_clusters(sf)
+        survivors = dedup.dedup_apply(sf).to_pandas()
+        ids = set(survivors["doc_id"].astype(int))
+        # every cluster keeps exactly its min member
+        for cid, grp in clusters.groupby("cluster_id"):
+            members = set(grp["doc_id"].astype(int))
+            assert ids & members == {int(cid)}, (cid, members)
+        # docs outside any cluster all survive
+        import pyarrow.parquet as pq
+
+        all_ids = set(
+            pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+            .to_pandas()["doc_id"]
+            .astype(int)
+        )
+        clustered = set(clusters["doc_id"].astype(int))
+        assert all_ids - clustered <= ids
+        assert len(survivors) == len(all_ids) - sum(
+            len(g) - 1 for _, g in clusters.groupby("cluster_id")
+        )
