@@ -67,14 +67,17 @@ class HllSketch:
             s = np.uint64(shift)
             r = r | (r >> s)
         # r now has all bits below the leading bit set; popcount gives
-        # the leading-bit position
-        pc = np.zeros(r.shape, dtype=np.int64)
-        v = r
-        while True:
-            pc += (v & np.uint64(1)).astype(np.int64)
-            v = v >> np.uint64(1)
-            if not v.any():
-                break
+        # the leading-bit position. SWAR popcount: 12 vector ops
+        # instead of up to 64 shift/mask passes.
+        m1 = np.uint64(0x5555555555555555)
+        m2 = np.uint64(0x3333333333333333)
+        m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = r - ((r >> np.uint64(1)) & m1)
+        v = (v & m2) + ((v >> np.uint64(2)) & m2)
+        v = (v + (v >> np.uint64(4))) & m4
+        pc = (
+            (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+        ).astype(np.int64)
         top[nz] = pc  # leading-bit position + 1 (1-based from LSB)
         lz_nz = (64 - top[nz]).astype(np.uint8)
         lz[nz] = lz_nz
