@@ -293,3 +293,65 @@ class TestBatchedKernelFuzz:
                     assert b == pytest.approx(ref, rel=1e-9)
 
         check()
+
+
+class TestMinplusScanExactness:
+    def test_hypothesis_sequential_fixpoint(self):
+        """_minplus_scan must be BIT-identical to the sequential
+        recurrence f[j] = min(h[j], (f[j-1]+penalty)+cost[j]) — the
+        reference's per-cell add order — on adversarial inputs
+        (long chains, exact ties, infs, zero costs)."""
+        from hypothesis import given, settings as hsettings
+        from hypothesis import strategies as st
+
+        from dtaidistance_ray.kernels.elastic import INF, _minplus_scan
+
+        finite = st.floats(0.0, 10.0, allow_nan=False)
+        maybe_inf = st.one_of(finite, st.just(float("inf")))
+
+        @given(
+            h=st.lists(maybe_inf, min_size=1, max_size=60),
+            cost=st.data(),
+            penalty=st.sampled_from([0.0, 0.25, 1e-9, 3.0]),
+            left0=st.one_of(finite, st.just(float("inf"))),
+        )
+        @hsettings(max_examples=300, deadline=None)
+        def check(h, cost, penalty, left0):
+            n = len(h)
+            c = np.array(
+                cost.draw(st.lists(st.floats(0.0, 2.0), min_size=n, max_size=n))
+            )
+            ha = np.array(h)
+            got = _minplus_scan(ha.copy(), c, penalty, left0)
+            # sequential oracle, reference add order
+            f = ha.copy()
+            if left0 != INF:
+                v = (left0 + penalty) + c[0] if penalty else left0 + c[0]
+                if v < f[0]:
+                    f[0] = v
+            for j in range(1, n):
+                v = (f[j - 1] + penalty) + c[j] if penalty else f[j - 1] + c[j]
+                if v < f[j]:
+                    f[j] = v
+            np.testing.assert_array_equal(got, f)
+
+        check()
+
+    def test_long_chain_adversarial(self):
+        """Rows engineered for maximal scan/sequential divergence:
+        monotone-increasing h with tiny costs (every position chains)."""
+        from dtaidistance_ray.kernels.elastic import INF, _minplus_scan
+
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            n = 400
+            h = np.cumsum(rng.random(n) * 0.1) + 1.0
+            c = rng.random(n) * 1e-6
+            for pen in (0.0, 1e-7):
+                got = _minplus_scan(h.copy(), c, pen, INF)
+                f = h.copy()
+                for j in range(1, n):
+                    v = (f[j - 1] + pen) + c[j] if pen else f[j - 1] + c[j]
+                    if v < f[j]:
+                        f[j] = v
+                np.testing.assert_array_equal(got, f)
