@@ -101,6 +101,28 @@ def _build_tiers_cached(sf_dir: str):
     return _TIERS_CACHE[key]
 
 
+def _q_tokens_pack_sequences(sf_dir: str):
+    """Greedy fixed-budget sequence packing per source (the canonical
+    pretraining packer); value-identical recursive-CTE oracle."""
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.packing import pack_sequences
+
+    _ensure_token_parquet(sf_dir)
+    ds = token_table(_token_spec(sf_dir)).select_columns(["doc_id", "n_tok", "source"])
+    return pack_sequences(ds)
+
+
+def _sql_tokens_pack_sequences(sf: str) -> str:
+    from dtaidistance_ray.stages.packing import (
+        DEFAULT_PACK_BUDGET,
+        PACK_SEQUENCES_SQL_TMPL,
+    )
+
+    return PACK_SEQUENCES_SQL_TMPL.format(
+        tok_path=f"{_TOK_DIR}/sf{sf}.parquet", budget=DEFAULT_PACK_BUDGET
+    )
+
+
 def _q_tokens_stats_by_source(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -885,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         # token-table engine (synthetic input)
         "tokens_stats_by_source": _q_tokens_stats_by_source,
+        "tokens_pack_sequences": _q_tokens_pack_sequences,
         "tokens_rollup_tier0_aggs": _q_tokens_rollup_tier0_aggs,
         "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
@@ -962,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         "znormal_embeddings": ann.ZNORMAL_SQL,
         "embedding_covariance": ann.EMB_COVARIANCE_SQL,
         "tokens_stats_by_source": _sql_tokens_stats_by_source(sf),
+        "tokens_pack_sequences": _sql_tokens_pack_sequences(sf),
         "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),

@@ -530,3 +530,35 @@ class TestDedupApply:
         assert len(survivors) == len(all_ids) - sum(
             len(g) - 1 for _, g in clusters.groupby("cluster_id")
         )
+
+
+class TestPackSequences:
+    def test_greedy_invariants_and_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["tokens_pack_sequences"](sf)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        # greedy invariants: within a pack fill_after is a strict
+        # running sum; multi-doc packs never exceed the budget; a pack
+        # over budget is a single over-long doc
+        from dtaidistance_ray.stages.packing import DEFAULT_PACK_BUDGET as B
+
+        for (_, _), g in got.groupby(["source", "pack_id"]):
+            assert (g["fill_after"].to_numpy() == g["n_tok"].cumsum().to_numpy()).all()
+            if len(g) > 1:
+                assert g["fill_after"].iloc[-1] <= B
+        con = duckdb.connect()
+        sql = E.oracle_sql()["tokens_pack_sequences"].replace(
+            "/tmp/dtair_tokens/sf0.01.parquet", "/tmp/dtair_tokens/sf0.001.parquet"
+        )
+        want = (
+            con.execute(sql).df().sort_values(["source", "doc_id"]).reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
