@@ -123,6 +123,26 @@ def _sql_tokens_pack_sequences(sf: str) -> str:
     )
 
 
+def _q_source_kl_drift(sf_dir: str):
+    """Per-source token-distribution KL drift vs the corpus; the heavy
+    reduction is the vocab-bounded packed-partial tree (stages/vocab)."""
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.vocab import source_kl_drift
+
+    _ensure_token_parquet(sf_dir)
+    ds = token_table(_token_spec(sf_dir))
+    out = source_kl_drift(ds)
+    out["kl_to_corpus"] = out["kl_to_corpus"].round(6)
+    return out
+
+
+def _sql_source_kl_drift(sf: str) -> str:
+    from dtaidistance_ray.stages.vocab import source_kl_drift_sql
+
+    sql = source_kl_drift_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+    return f"SELECT source, n_tokens, round(kl_to_corpus, 6) AS kl_to_corpus FROM ({sql})"
+
+
 def _q_tokens_stats_by_source(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -908,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-table engine (synthetic input)
         "tokens_stats_by_source": _q_tokens_stats_by_source,
         "tokens_pack_sequences": _q_tokens_pack_sequences,
+        "source_token_kl_drift": _q_source_kl_drift,
         "tokens_rollup_tier0_aggs": _q_tokens_rollup_tier0_aggs,
         "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
@@ -986,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance": ann.EMB_COVARIANCE_SQL,
         "tokens_stats_by_source": _sql_tokens_stats_by_source(sf),
         "tokens_pack_sequences": _sql_tokens_pack_sequences(sf),
+        "source_token_kl_drift": _sql_source_kl_drift(sf),
         "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),

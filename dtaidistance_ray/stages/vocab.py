@@ -421,3 +421,60 @@ FROM (
 )
 GROUP BY token
 """
+
+
+def source_kl_drift(ds) -> pd.DataFrame:
+    """Per-source token-distribution drift: KL(source dist || corpus
+    dist) in nats, plus the source's token mass.
+
+    The heavy work is the same vocab-bounded packed-partial reduction
+    as the df/tf table (_source_token_counts) — the corpus never
+    shuffles by token; the KL itself is an O(sources x vocab) driver
+    fold over the bounded counts frame. Support of every source is a
+    subset of the corpus support, so the log ratio is always finite.
+    The canonical data-quality gate for mixture rebalancing: a source
+    whose drift jumps between snapshots changed its content
+    distribution."""
+    cnts = _source_token_counts(ds)
+    if not len(cnts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "n_tokens": pd.Series(dtype="int64"),
+                "kl_to_corpus": pd.Series(dtype="float64"),
+            }
+        )
+    corpus = cnts.groupby("token", sort=True)["cnt"].sum()
+    total = float(corpus.sum())
+    q = corpus / total
+    rows = {"source": [], "n_tokens": [], "kl_to_corpus": []}
+    for s, g in cnts.groupby("source", sort=True):
+        n = float(g["cnt"].sum())
+        p = g["cnt"].to_numpy(np.float64) / n
+        qg = q.loc[g["token"]].to_numpy(np.float64)
+        rows["source"].append(s)
+        rows["n_tokens"].append(int(n))
+        rows["kl_to_corpus"].append(float(np.sum(p * np.log(p / qg))))
+    out = pd.DataFrame(rows)
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out
+
+
+def source_kl_drift_sql(parquet_path: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(tokens) AS token FROM read_parquet('{parquet_path}')
+),
+sc AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+ct AS (SELECT token, sum(c) AS cc FROM sc GROUP BY 1),
+tot AS (SELECT sum(c) AS nn FROM sc)
+SELECT s.source,
+       CAST(st.n AS BIGINT) AS n_tokens,
+       sum((s.c / st.n) * ln((s.c / st.n) / (ct.cc / tot.nn))) AS kl_to_corpus
+FROM sc s
+JOIN stot st USING (source)
+JOIN ct USING (token)
+CROSS JOIN tot
+GROUP BY 1, st.n
+"""

@@ -113,3 +113,21 @@ class TestVocab:
                 )
                 ours = int(np.ceil(np.float64(p) * n))  # value == 1-based rank here
                 assert duck == ours, (n, p, duck, ours)
+
+
+class TestSourceKlDrift:
+    def test_vs_sql_and_properties(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E.queries()["source_token_kl_drift"](sf).sort_values("source").reset_index(drop=True)
+        sql = E.oracle_sql()["source_token_kl_drift"].replace("sf0.01.parquet", "sf0.001.parquet")
+        con = duckdb.connect()
+        want = con.execute(sql).df().sort_values("source").reset_index(drop=True)
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # KL is non-negative, and strictly positive unless a source IS
+        # the corpus distribution
+        assert (got["kl_to_corpus"] >= 0).all()
+        assert got["kl_to_corpus"].max() > 0
