@@ -369,3 +369,78 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
            AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+REP_NGRAM = 3
+
+
+class RepetitionScorer:
+    """Per-document repeated-n-gram ratio: 1 - distinct/total word
+    trigrams — the standard boilerplate/repetition signal (high for
+    template spam and looping generations). Map-only; word splitting
+    is the same whitespace tokenization as the decontamination op, so
+    the SQL oracle shares its list_transform n-gram builder."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        total = []
+        distinct = []
+        for t in batch["text"]:
+            w = t.lower().split()
+            n = len(w) - REP_NGRAM + 1
+            if n <= 0:
+                total.append(0)
+                distinct.append(0)
+                continue
+            grams = [" ".join(w[i : i + REP_NGRAM]) for i in range(n)]
+            total.append(n)
+            distinct.append(len(set(grams)))
+        total = pd.Series(total, index=batch.index, dtype="int64")
+        distinct = pd.Series(distinct, index=batch.index, dtype="int64")
+        ratio = pd.Series(0.0, index=batch.index, dtype="float64")
+        nz = total > 0
+        ratio[nz] = 1.0 - distinct[nz] / total[nz]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_grams": total,
+                "n_distinct": distinct,
+                "rep_ratio": ratio.round(6),
+            }
+        )
+
+
+def repetition_scores(sf_dir: str):
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        RepetitionScorer, batch_format="pandas", concurrency=auto_pool()
+    )
+
+
+REPETITION_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - {REP_NGRAM - 2}),
+                               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS g
+  FROM words WHERE len(ws) >= {REP_NGRAM}
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct
+  FROM grams GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       round(CASE WHEN a.n_grams > 0
+                  THEN 1.0 - a.n_distinct / CAST(a.n_grams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rep_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

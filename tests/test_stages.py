@@ -562,3 +562,37 @@ class TestPackSequences:
             con.execute(sql).df().sort_values(["source", "doc_id"]).reset_index(drop=True)
         )
         assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+
+
+class TestRepetitionScores:
+    def test_vs_sql_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["doc_repetition_scores"](sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = (
+            con.execute(E.oracle_sql()["doc_repetition_scores"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # a fully-repeated synthetic doc scores high
+        import pandas as pd
+
+        from dtaidistance_ray.stages.text import RepetitionScorer
+
+        fake = pd.DataFrame({"doc_id": [1], "text": ["spam ham " * 50]})
+        r = RepetitionScorer()(fake)
+        assert r["rep_ratio"].iloc[0] > 0.95
