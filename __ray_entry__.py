@@ -347,6 +347,13 @@ def _q_subsequence_knn(sf_dir: str):
     return subsequence_knn_tokens(_token_spec(sf_dir), k=10)
 
 
+def _q_tokens_paa(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_paa
+
+    _ensure_token_parquet(sf_dir)
+    return tokens_paa(_token_spec(sf_dir))
+
+
 def _q_tokens_derivative(sf_dir: str):
     from dtaidistance_ray.stages.series_ops import tokens_derivative
 
@@ -951,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_collocations": _q_bigram_collocations,
         # per-series preprocessing (§2.2)
         "tokens_derivative": _q_tokens_derivative,
+        "tokens_paa_downsample": _q_tokens_paa,
         "tokens_znormal": _q_tokens_znormal,
         "tokens_logdomain_stats": _q_tokens_logdomain_stats,
         # clustering / alignment / multimodal
@@ -1017,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         "token_doc_frequency": _sql_token_doc_frequency(sf),
         "bigram_collocations": _sql_bigram_collocations(sf),
         "tokens_derivative": _sql_tokens_derivative(sf),
+        "tokens_paa_downsample": _sql_tokens_paa(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
         "dedup_clusters": _sql_dedup_clusters(),
@@ -1121,6 +1130,12 @@ def _sql_tokens_derivative(sf: str) -> str:
     from dtaidistance_ray.stages.series_ops import tokens_derivative_sql
 
     return tokens_derivative_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _sql_tokens_paa(sf: str) -> str:
+    from dtaidistance_ray.stages.series_ops import tokens_paa_sql
+
+    return tokens_paa_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _sql_tokens_znormal(sf: str) -> str:

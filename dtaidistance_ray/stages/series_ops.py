@@ -138,3 +138,57 @@ def tokens_logdomain_stats(spec):
         return batch
 
     return out.map_batches(fix, batch_format="pandas")
+
+
+def tokens_paa(spec, n_seg: int = 8, limit_docs: int = 200):
+    """Piecewise Aggregate Approximation per sequence: the classic
+    timeseries downsample (Keogh et al. 2001) — n_seg equal index
+    segments, each represented by its mean. Segment j of an n-point
+    series covers positions with floor(idx * n_seg / n) == j, so the
+    mapping is pure integer arithmetic and the means are exact ratios
+    of integer token sums — bit-deterministic across engines, no
+    rounding. Map-only; long format (doc_id, seg, paa)."""
+    ds = _token_ds(spec)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
+            if int(doc_id[1:]) >= limit_docs:
+                continue
+            t = np.asarray(toks, dtype=np.int64)
+            n = len(t)
+            if n == 0:
+                continue
+            seg = (np.arange(n, dtype=np.int64) * n_seg) // n
+            sums = np.bincount(seg, weights=None, minlength=n_seg).astype(np.int64)
+            tot = np.zeros(n_seg, dtype=np.int64)
+            np.add.at(tot, seg, t)
+            for j in range(n_seg):
+                if sums[j]:
+                    rows.append((doc_id, j, tot[j] / sums[j]))
+        return pd.DataFrame(rows, columns=["doc_id", "seg", "paa"])
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["seg"] = batch["seg"].astype("int64")
+        batch["paa"] = batch["paa"].astype("float64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas").map_batches(fix, batch_format="pandas")
+
+
+def tokens_paa_sql(tok_path: str, n_seg: int = 8, limit_docs: int = 200) -> str:
+    return f"""
+WITH flat AS (
+  SELECT doc_id,
+         unnest(CAST(tokens AS BIGINT[])) AS val,
+         unnest(generate_series(0, len(tokens) - 1)) AS idx,
+         len(tokens) AS n
+  FROM read_parquet('{tok_path}')
+  WHERE CAST(substr(doc_id, 2) AS BIGINT) < {limit_docs} AND len(tokens) > 0
+)
+SELECT doc_id,
+       CAST((idx * {n_seg}) // n AS BIGINT) AS seg,
+       CAST(sum(val) AS DOUBLE) / count(*) AS paa
+FROM flat
+GROUP BY doc_id, (idx * {n_seg}) // n
+"""

