@@ -347,6 +347,19 @@ def _q_subsequence_knn(sf_dir: str):
     return subsequence_knn_tokens(_token_spec(sf_dir), k=10)
 
 
+def _q_tokens_lttb(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_lttb
+
+    _ensure_token_parquet(sf_dir)
+    return tokens_lttb(_token_spec(sf_dir))
+
+
+def _sql_tokens_lttb(sf: str) -> str:
+    from dtaidistance_ray.stages.series_ops import tokens_lttb_sql
+
+    return tokens_lttb_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
 def _q_tokens_paa(sf_dir: str):
     from dtaidistance_ray.stages.series_ops import tokens_paa
 
@@ -959,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-series preprocessing (§2.2)
         "tokens_derivative": _q_tokens_derivative,
         "tokens_paa_downsample": _q_tokens_paa,
+        "tokens_lttb_downsample": _q_tokens_lttb,
         "tokens_znormal": _q_tokens_znormal,
         "tokens_logdomain_stats": _q_tokens_logdomain_stats,
         # clustering / alignment / multimodal
@@ -1026,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_collocations": _sql_bigram_collocations(sf),
         "tokens_derivative": _sql_tokens_derivative(sf),
         "tokens_paa_downsample": _sql_tokens_paa(sf),
+        "tokens_lttb_downsample": _sql_tokens_lttb(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
         "dedup_clusters": _sql_dedup_clusters(),

@@ -192,3 +192,124 @@ SELECT doc_id,
 FROM flat
 GROUP BY doc_id, (idx * {n_seg}) // n
 """
+
+
+def _lttb_indices(y: np.ndarray, m: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets downsample indices (Steinarsson
+    2013), deterministic variant: middle buckets split 1..n-2 by
+    integer floor division; argmax tie -> smallest index. All triangle
+    areas are exact in float64 (integer token values x integer
+    indices), so the selection is bit-deterministic and the SQL oracle
+    reproduces it with the same expressions."""
+    n = len(y)
+    B = m - 2
+    # bucket of middle index i (1..n-2) is ((i-1)*B) // (n-2); the
+    # bucket-j range is therefore the ceil-boundary interval below
+    # (the same definition the SQL oracle states directly)
+    def _lo(j: int) -> int:
+        return 1 + (j * (n - 2) + B - 1) // B
+
+    sel = np.empty(m, dtype=np.int64)
+    sel[0] = 0
+    xa = 0
+    for j in range(B):
+        lo = _lo(j)
+        hi = _lo(j + 1)
+        if j < B - 1:
+            nlo = _lo(j + 1)
+            nhi = _lo(j + 2)
+            nidx = np.arange(nlo, nhi, dtype=np.int64)
+            ax = float(nidx.sum()) / len(nidx)
+            ay = float(y[nlo:nhi].sum()) / (nhi - nlo)
+        else:
+            ax = float(n - 1)
+            ay = float(y[n - 1])
+        ya = float(y[xa])
+        cidx = np.arange(lo, hi, dtype=np.int64)
+        area = np.abs(
+            (float(xa) - ax) * (y[lo:hi] - ya)
+            - (float(xa) - cidx.astype(np.float64)) * (ya - ay)
+        )
+        xa = lo + int(np.argmax(area))  # first max -> smallest index
+        sel[j + 1] = xa
+    sel[m - 1] = n - 1
+    return sel
+
+
+def tokens_lttb(spec, m: int = 12, limit_docs: int = 150):
+    """LTTB downsample per sequence, long format (doc_id, rank, idx,
+    val); series with n <= m pass through unchanged. Map-only."""
+    ds = _token_ds(spec)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
+            if int(doc_id[1:]) >= limit_docs:
+                continue
+            y = np.asarray(toks, dtype=np.float64)
+            n = len(y)
+            if n <= m:
+                for i in range(n):
+                    rows.append((doc_id, i, i, float(y[i])))
+                continue
+            sel = _lttb_indices(y, m)
+            for r, i in enumerate(sel):
+                rows.append((doc_id, r, int(i), float(y[i])))
+        return pd.DataFrame(rows, columns=["doc_id", "rank", "idx", "val"])
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("rank", "idx"):
+            batch[c] = batch[c].astype("int64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas").map_batches(fix, batch_format="pandas")
+
+
+def tokens_lttb_sql(tok_path: str, m: int = 12, limit_docs: int = 150) -> str:
+    B = m - 2
+    area = (
+        "abs((CAST(s.idx AS DOUBLE) - nx.ax) * (c.val - s.val)"
+        " - (CAST(s.idx AS DOUBLE) - CAST(c.idx AS DOUBLE)) * (s.val - nx.ay))"
+    )
+    sub = (
+        "(SELECT {pick} FROM cand c JOIN nxt nx"
+        " ON nx.doc_id = s.doc_id AND nx.j = s.j + 1"
+        " WHERE c.doc_id = s.doc_id AND c.b = s.j + 1"
+        f" ORDER BY {area} DESC, c.idx LIMIT 1)"
+    )
+    return f"""
+WITH RECURSIVE flat AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(tokens) - 1)) AS idx,
+         unnest(CAST(tokens AS DOUBLE[])) AS val,
+         len(tokens) AS n
+  FROM read_parquet('{tok_path}')
+  WHERE CAST(substr(doc_id, 2) AS BIGINT) < {limit_docs}
+),
+big AS (SELECT * FROM flat WHERE n > {m}),
+small AS (
+  SELECT doc_id, CAST(idx AS BIGINT) AS rank, CAST(idx AS BIGINT) AS idx, val
+  FROM flat WHERE n <= {m}
+),
+cand AS (
+  SELECT doc_id, idx, val, n, ((idx - 1) * {B}) // (n - 2) AS b
+  FROM big WHERE idx >= 1 AND idx <= n - 2
+),
+nxt AS (
+  SELECT doc_id, b - 1 AS j, avg(CAST(idx AS DOUBLE)) AS ax, avg(val) AS ay
+  FROM cand WHERE b >= 1 GROUP BY doc_id, b
+  UNION ALL
+  SELECT doc_id, {B} - 1, CAST(n - 1 AS DOUBLE), val FROM big WHERE idx = n - 1
+),
+sel(doc_id, j, idx, val) AS (
+  SELECT doc_id, -1, 0, val FROM big WHERE idx = 0
+  UNION ALL
+  SELECT s.doc_id, s.j + 1, {sub.format(pick="c.idx")}, {sub.format(pick="c.val")}
+  FROM sel s WHERE s.j + 1 < {B}
+)
+SELECT doc_id, CAST(j + 1 AS BIGINT) AS rank, CAST(idx AS BIGINT) AS idx, val FROM sel
+UNION ALL
+SELECT doc_id, CAST({m} - 1 AS BIGINT), CAST(n - 1 AS BIGINT), val FROM big WHERE idx = n - 1
+UNION ALL
+SELECT * FROM small
+"""

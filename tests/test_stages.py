@@ -628,3 +628,44 @@ class TestPaaDownsample:
         # mean of segment means weighted by segment sizes == series mean
         g = got.groupby("doc_id")["paa"].mean()
         assert len(g) > 0 and np.isfinite(g).all()
+
+
+class TestLttbDownsample:
+    def test_vs_sql_and_shape(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["tokens_lttb_downsample"](sf)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        sql = E.oracle_sql()["tokens_lttb_downsample"].replace(
+            "sf0.01.parquet", "sf0.001.parquet"
+        )
+        want = (
+            duckdb.connect().execute(sql).df()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # downsampled series: first/last always kept, idx strictly increasing
+        for _, g in got.groupby("doc_id"):
+            idx = g.sort_values("rank")["idx"].to_numpy()
+            assert idx[0] == 0
+            assert (idx[1:] > idx[:-1]).all()
+
+    def test_kernel_keeps_extremes(self):
+        import numpy as np
+
+        from dtaidistance_ray.stages.series_ops import _lttb_indices
+
+        # a single spike must survive aggressive downsampling
+        y = np.zeros(200)
+        y[117] = 1000.0
+        sel = _lttb_indices(y, 12)
+        assert 117 in sel
+        assert sel[0] == 0 and sel[-1] == 199
