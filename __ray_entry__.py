@@ -910,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events_daily_from_hourly": events.rollup_daily_from_hourly,
         "rollup_events_hourly_gapfill": events.rollup_hourly_gapfill,
         "events_rolling_hourly_avg": events.rolling_hourly_avg,
+        "events_hourly_anomalies": events.hourly_anomalies,
         "events_asof_hourly_baseline": events.events_asof_hourly_baseline,
         "events_in_sessions": events.events_in_sessions,
         "events_session_intervals": events.session_intervals,
@@ -1008,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events_daily_from_hourly": events.ROLLUP_DAILY_SQL,
         "rollup_events_hourly_gapfill": events.ROLLUP_GAPFILL_SQL,
         "events_rolling_hourly_avg": events.ROLLING_HOURLY_SQL,
+        "events_hourly_anomalies": events.HOURLY_ANOMALIES_SQL,
         "events_asof_hourly_baseline": events.EVENTS_ASOF_SQL,
         "events_in_sessions": events.EVENTS_IN_SESSIONS_SQL,
         "events_session_intervals": events.SESSION_INTERVALS_SQL,

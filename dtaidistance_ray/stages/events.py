@@ -578,3 +578,82 @@ SELECT event_type, user_id, cents / 100.0 AS value_sum, n_events,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
 """
+
+
+def hourly_anomalies(sf_dir: str, window_h: int = 24, min_prior: int = 8, z_thr: float = 3.0):
+    """Rolling z-score anomaly detection on the gap-filled hourly
+    series: per event_type, each hour's count is scored against the
+    mean/sample-std of the PRECEDING ``window_h`` hours (current hour
+    excluded — the classic self-exclusion that keeps a spike from
+    masking itself). Hours with fewer than ``min_prior`` prior hours
+    are unscored (dropped) so the output is NaN-free.
+
+    Scale shape: identical to rolling_hourly_avg — the raw-events
+    reduction is the distributed rollup; the window pass runs over the
+    BOUNDED (type x hour) grid. z is rounded at 6 on both engines and
+    the flag is derived from the ROUNDED z, so the threshold decision
+    is bit-deterministic."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        x = g["n_events"].astype("float64")
+        prior = x.shift(1)
+        # window moments from EXACT integer sums (counts < 2^26, so S1,
+        # S2 and S1*S1 are exact in float64) with the variance expanded
+        # in the same operation order as the SQL oracle — z is then
+        # bit-equal across engines, unlike pandas' sliding rolling.std
+        # vs DuckDB's stddev_samp (different algorithms, ulp drift)
+        cnt = prior.rolling(window=window_h, min_periods=min_prior).count()
+        s1 = prior.rolling(window=window_h, min_periods=min_prior).sum()
+        s2 = (prior * prior).rolling(window=window_h, min_periods=min_prior).sum()
+        mean = s1 / cnt
+        var = (s2 - (s1 * s1) / cnt) / (cnt - 1)
+        ok = cnt.notna() & (cnt >= min_prior) & (var > 0)
+        out = g.loc[ok, ["event_type", "bucket", "n_events"]].copy()
+        z = ((x - mean) / np.sqrt(var))[ok]
+        out["z"] = np.round(z.to_numpy(), 6)
+        out["is_anomaly"] = (np.abs(out["z"].to_numpy()) > z_thr).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return hourly.groupby("event_type").map_groups(score, batch_format="pandas")
+
+
+HOURLY_ANOMALIES_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type, g.bucket,
+         CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.bucket = h.bucket
+), scored AS (
+  SELECT event_type, bucket, n_events,
+         CAST(sum(n_events) OVER w AS DOUBLE) AS s1,
+         CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS s2,
+         CAST(count(*) OVER w AS DOUBLE) AS cnt
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), zval AS (
+  -- variance expanded from exact integer window sums, SAME operation
+  -- order as the engine: (s2 - (s1*s1)/cnt) / (cnt-1)
+  SELECT event_type, bucket, n_events, cnt,
+         (s2 - (s1 * s1) / cnt) / (cnt - 1) AS var,
+         (n_events - s1 / cnt) AS dev
+  FROM scored
+)
+SELECT event_type, bucket, n_events,
+       round(dev / sqrt(var), 6) AS z,
+       CAST(abs(round(dev / sqrt(var), 6)) > 3.0 AS BIGINT) AS is_anomaly
+FROM zval
+WHERE cnt >= 8 AND var > 0
+"""

@@ -669,3 +669,35 @@ class TestLttbDownsample:
         sel = _lttb_indices(y, 12)
         assert 117 in sel
         assert sel[0] == 0 and sel[-1] == 199
+
+
+class TestHourlyAnomalies:
+    def test_vs_sql_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["events_hourly_anomalies"](sf)
+            .to_pandas()
+            .sort_values(["event_type", "bucket"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = (
+            con.execute(E.oracle_sql()["events_hourly_anomalies"])
+            .df()
+            .sort_values(["event_type", "bucket"])
+            .reset_index(drop=True)
+        )
+        got["bucket"] = got["bucket"].astype("datetime64[us]")
+        want["bucket"] = want["bucket"].astype("datetime64[us]")
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # flags follow the rounded-z threshold exactly
+        assert (
+            (got["z"].abs() > 3.0).astype("int64") == got["is_anomaly"]
+        ).all()
