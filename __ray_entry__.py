@@ -143,6 +143,22 @@ def _sql_source_kl_drift(sf: str) -> str:
     return f"SELECT source, n_tokens, round(kl_to_corpus, 6) AS kl_to_corpus FROM ({sql})"
 
 
+def _q_doc_bigram_xent(sf_dir: str):
+    """CCNet-style bigram cross-entropy per doc (broadcast unigrams +
+    hash-partitioned bigram join; stages/vocab.doc_bigram_xent)."""
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.vocab import doc_bigram_xent
+
+    _ensure_token_parquet(sf_dir)
+    return doc_bigram_xent(token_table(_token_spec(sf_dir)))
+
+
+def _sql_doc_bigram_xent(sf: str) -> str:
+    from dtaidistance_ray.stages.vocab import doc_bigram_xent_sql
+
+    return doc_bigram_xent_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
 def _q_tokens_stats_by_source(sf_dir: str):
     import numpy as np
     import pandas as pd
@@ -951,6 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_stats_by_source": _q_tokens_stats_by_source,
         "tokens_pack_sequences": _q_tokens_pack_sequences,
         "source_token_kl_drift": _q_source_kl_drift,
+        "doc_bigram_xent": _q_doc_bigram_xent,
         "tokens_rollup_tier0_aggs": _q_tokens_rollup_tier0_aggs,
         "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
@@ -1034,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_stats_by_source": _sql_tokens_stats_by_source(sf),
         "tokens_pack_sequences": _sql_tokens_pack_sequences(sf),
         "source_token_kl_drift": _sql_source_kl_drift(sf),
+        "doc_bigram_xent": _sql_doc_bigram_xent(sf),
         "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),

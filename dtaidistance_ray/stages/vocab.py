@@ -478,3 +478,127 @@ JOIN ct USING (token)
 CROSS JOIN tot
 GROUP BY 1, st.n
 """
+
+
+def doc_bigram_xent(ds, num_partitions: int = 16):
+    """Per-document cross-entropy under the corpus bigram model with
+    add-one smoothing (the CCNet-style perplexity quality filter):
+
+        xent(d) = -(1/m) * sum_i [ ln(c2(w_i, w_{i+1}) + 1)
+                                   - ln(c1(w_i) + V) ]
+
+    Architecture (the one stage family that genuinely needs a JOIN):
+    the unigram table is vocab-bounded -> broadcast once; the bigram
+    table is NOT (up to vocab^2) -> it stays a Dataset and each doc's
+    exploded bigrams meet their counts in a hash-partitioned
+    ``Dataset.join`` on the packed pair key, then re-aggregate per
+    doc_id. No driver-side structure scales with the corpus. xent is
+    rounded at 4 decimals: the float ln-sum order differs between
+    engines (and between runs of either), a ~1e-13 noise that 4
+    decimals absorb with ~1e-9 headroom.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    # corpus unigram counts (vocab-bounded) -> broadcast
+    uni = _source_token_counts(ds)
+    g = uni.groupby("token", sort=True)["cnt"].sum()
+    toks = g.index.to_numpy(np.int64)
+    c1 = g.to_numpy(np.int64)
+    V = len(toks)
+    uni_ref = ray.put((toks, c1, np.int64(V)))
+
+    # corpus bigram counts (unbounded key space) -> Dataset for the
+    # join (unkeyed fan-in tree, same shape as bigram_collocations)
+    parts = ds.map_batches(_partial_bigrams_packed, batch_format="pyarrow").materialize()
+    nb = parts.count()
+    while nb > max(1, _rs._MERGE_THRESHOLD_ROWS):
+        parts = parts.map_batches(
+            _merge_bigrams, batch_size=_rs._MERGE_FANIN, batch_format="pandas"
+        ).materialize()
+        nb = parts.count()
+    packed = _merge_bigrams(parts.to_pandas())
+    bk = np.frombuffer(packed["keys"].iloc[0], np.int64) if len(packed) else np.zeros(0, np.int64)
+    bc = np.frombuffer(packed["cnts"].iloc[0], np.int64) if len(packed) else np.zeros(0, np.int64)
+    bigrams = rd.from_pandas(
+        pd.DataFrame({"bkey": bk, "c2": bc})
+    ).repartition(num_partitions)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        src, vals, lens = _flat_tokens(batch)
+        doc = batch.column("doc_id").to_pandas().to_numpy()
+        if len(vals) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=object), "bkey": pd.Series(dtype="int64")})
+        mask = np.ones(len(vals), dtype=bool)
+        ends = lens.cumsum()
+        mask[ends[lens > 0] - 1] = False
+        li = np.flatnonzero(mask)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc, np.maximum(lens - 1, 0)),
+                "bkey": vals[li] * _BIGRAM_SHIFT + vals[li + 1],
+            }
+        )
+
+    doc_bigrams = ds.map_batches(explode, batch_format="pyarrow")
+    joined = doc_bigrams.join(
+        bigrams, join_type="inner", num_partitions=num_partitions, on=("bkey",)
+    )
+
+    class LpScorer:
+        def __init__(self):
+            self.toks, self.c1, self.V = ray.get(uni_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            w1 = (batch["bkey"].to_numpy(np.int64) // _BIGRAM_SHIFT).astype(np.int64)
+            pos = np.searchsorted(self.toks, w1)
+            lp = np.log(batch["c2"].to_numpy(np.float64) + 1.0) - np.log(
+                self.c1[pos].astype(np.float64) + float(self.V)
+            )
+            return pd.DataFrame({"doc_id": batch["doc_id"], "lp": lp})
+
+    from .pool import auto_pool
+
+    scored = joined.map_batches(LpScorer, batch_format="pandas", concurrency=auto_pool())
+    agg = scored.groupby("doc_id").aggregate(
+        Sum("lp", alias_name="lp_sum"), Count(alias_name="n_bigrams")
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": batch["n_bigrams"].astype("int64"),
+                "xent": np.round(-batch["lp_sum"].to_numpy() / batch["n_bigrams"].to_numpy(), 4),
+            }
+        )
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def doc_bigram_xent_sql(parquet_path: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(CAST(tokens AS BIGINT[])) AS w,
+         unnest(generate_series(1, len(tokens))) AS pos
+  FROM read_parquet('{parquet_path}')
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+vocab AS (SELECT count(*) AS v FROM c1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln(c2.c + 1) - ln(c1.c + vocab.v)), 4) AS xent
+FROM big g
+JOIN c2 ON c2.w1 = g.w1 AND c2.w2 = g.w2
+JOIN c1 ON c1.w = g.w1
+CROSS JOIN vocab
+GROUP BY g.doc_id
+"""

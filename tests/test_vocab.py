@@ -131,3 +131,26 @@ class TestSourceKlDrift:
         # the corpus distribution
         assert (got["kl_to_corpus"] >= 0).all()
         assert got["kl_to_corpus"].max() > 0
+
+
+class TestDocBigramXent:
+    def test_vs_sql_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["doc_bigram_xent"](sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        sql = E.oracle_sql()["doc_bigram_xent"].replace("sf0.01.parquet", "sf0.001.parquet")
+        want = (
+            duckdb.connect().execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # cross-entropy under add-one smoothing is positive and bounded
+        # by ln of the smoothed denominator
+        assert (got["xent"] > 0).all()
