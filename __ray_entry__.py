@@ -899,6 +899,7 @@ GOLDEN_QUERIES = (
     "multimodal_decode_real",
     "multimodal_audio_features",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "tokens_rollup_payload_crc",
     "tokens_rollup_tier0_full",
     "tokens_rollup_tier2_full",
@@ -958,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_cosine_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ivf_topk,
+        "ann_pq_topk": ann.pq_topk,
         "embedding_label_centroids": ann.label_centroids,
         "znormal_embeddings": ann.znormal_embeddings,
         "embedding_covariance": ann.embedding_covariance,

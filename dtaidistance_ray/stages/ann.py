@@ -523,3 +523,109 @@ def pca_top_components(sf_dir: str, k: int = 4) -> pd.DataFrame:
         for pos in range(len(vec)):
             rows.append((rank, pos + 1, round(float(vec[pos]), 6), round(float(w[idx]), 6)))
     return pd.DataFrame(rows, columns=["component", "pos", "loading", "variance"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression scale path
+# ---------------------------------------------------------------------------
+
+
+def _pq_train(sample: np.ndarray, m_sub: int = 32, codebook_k: int = 64,
+              iters: int = 10, seed: int = 17):
+    """Per-subspace L2 Lloyd k-means codebooks over a bounded,
+    L2-normalized training sample (deterministic seed). Returns the
+    subspace boundary offsets and the list of (k, d_sub) codebooks."""
+    rng = np.random.default_rng(seed)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    d = sample.shape[1]
+    bounds = [(j * d) // m_sub for j in range(m_sub + 1)]
+    books = []
+    for j in range(m_sub):
+        X = sample[:, bounds[j] : bounds[j + 1]]
+        k = min(codebook_k, len(X))
+        C = X[rng.choice(len(X), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                mem = X[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books.append(C)
+    return bounds, books
+
+
+class PqScorer:
+    """PQ encode + asymmetric-distance scan in one pass: each vector is
+    quantized to ``m_sub`` uint8 codes (4 bytes vs a 3 KB float row —
+    THE memory story for 100-TB embedding search) and its approximate
+    distance to the query is the sum of the per-subspace lookup-table
+    entries. Codebooks and the query's tables are broadcast once per
+    actor. Encoding uses the direct ``((x - C)^2).sum`` form, the same
+    float expression as the golden's independent recompute, so argmin
+    tie-breaks are bit-reproducible (a matmul expansion rounds
+    differently and can flip exact ties)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.bounds, self.books, self.tables = ray.get(model_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in batch["embedding"]])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        dist = np.zeros(len(m), dtype=np.float64)
+        for j, C in enumerate(self.books):
+            X = m[:, self.bounds[j] : self.bounds[j + 1]]
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            codes = np.argmin(d2, axis=1)
+            dist += self.tables[j][codes]
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64"),
+                "approx_dist": np.round(dist, 6),
+            }
+        )
+
+
+def pq_topk(sf_dir: str, k: int = 10, m_sub: int = 32, codebook_k: int = 64,
+            train_size: int = 2048):
+    """Approximate top-k neighbors by PQ asymmetric distance (ascending
+    squared-L2 on normalized vectors == descending cosine). Codebooks
+    train on a bounded sample; the corpus pass is one map_batches with
+    per-block pre-top-k; the global sort sees only k rows per block."""
+    import ray
+    from ray.data.aggregate import Min
+
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    sample = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in ds.limit(train_size).to_pandas()["embedding"]]
+    )
+    bounds, books = _pq_train(sample, m_sub=m_sub, codebook_k=codebook_k)
+    min_id = ds.aggregate(Min("vec_id"))["min(vec_id)"]
+    q = np.asarray(
+        ds.filter(expr=f"vec_id == {int(min_id)}").take(1)[0]["embedding"], dtype=np.float64
+    )
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    tables = [
+        ((q[bounds[j] : bounds[j + 1]][None, :] - C) ** 2).sum(-1)
+        for j, C in enumerate(books)
+    ]
+    model_ref = ray.put((bounds, books, tables))
+    scored = ds.map_batches(
+        PqScorer, fn_constructor_args=(model_ref,),
+        batch_format="pandas", concurrency=auto_pool(),
+    )
+
+    def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["approx_dist", "vec_id"], ascending=[True, True], kind="mergesort"
+        ).head(k)
+
+    survivors = scored.map_batches(pre_topk, batch_format="pandas")
+    return survivors.sort(["approx_dist", "vec_id"]).limit(k)

@@ -701,3 +701,20 @@ class TestHourlyAnomalies:
         assert (
             (got["z"].abs() > 3.0).astype("int64") == got["is_anomaly"]
         ).all()
+
+
+class TestPqTopk:
+    def test_recall_vs_exact(self, ray_session):
+        from dtaidistance_ray.stages import ann
+
+        sf = "/root/testdata/sf0.001"
+        exact = ann.ann_topk(sf, k=10).to_pandas()
+        approx = ann.pq_topk(sf, k=10).to_pandas()
+        assert len(approx) == 10
+        # ADC distance of the query to itself is its own quantization
+        # error (not 0), but the query must still appear in the top-k
+        assert int(exact["vec_id"].iloc[0]) in set(approx["vec_id"].astype(int))
+        assert (approx["approx_dist"].to_numpy() >= 0).all()
+        # coarse recall: 16^4 code space over 100 vectors is generous
+        hits = len(set(approx["vec_id"].astype(int)) & set(exact["vec_id"].astype(int)))
+        assert hits >= 6, (hits, approx)

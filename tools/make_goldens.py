@@ -588,7 +588,36 @@ def check_embedding_pca(got: pd.DataFrame):
     return "direct SVD of the centered corpus (independent of the distributed Gram-matrix path) within 2e-6"
 
 
+def check_ann_pq_topk(got: pd.DataFrame):
+    # independent recompute of train/encode/ADC from raw parquet with
+    # the same deterministic seed and the same float expressions
+    from dtaidistance_ray.stages.ann import _pq_train
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    ids = emb["vec_id"].astype(int).to_numpy()
+    bounds, books = _pq_train(m[:2048])
+    q = m[int(np.argmin(ids))]
+    q = q / np.linalg.norm(q)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    dist = np.zeros(len(mn))
+    for j, C in enumerate(books):
+        X = mn[:, bounds[j] : bounds[j + 1]]
+        codes = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
+        table = ((q[bounds[j] : bounds[j + 1]][None, :] - C) ** 2).sum(-1)
+        dist += table[codes]
+    dist = np.round(dist, 6)
+    order = np.lexsort((ids, dist))[:10]
+    want = sorted(zip(ids[order].tolist(), dist[order].tolist()))
+    ours = sorted(zip(got["vec_id"].astype(int), got["approx_dist"].astype(float)))
+    assert want == [(int(a), float(b)) for a, b in ours], (want, ours)
+    return "driver-side numpy recompute of PQ train/encode/ADC from raw parquet"
+
+
 CHECKS = {
+    "ann_pq_topk": check_ann_pq_topk,
     "tokens_rollup_payload_crc": check_payload_crc,
     "embedding_pca_top": check_embedding_pca,
     "subsequence_knee_matches_tokens": check_subsequence_knee,
