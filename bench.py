@@ -84,17 +84,20 @@ def run_benchmarks() -> dict:
     headline = min(attempts)
     queries["flagship_rollup_3tiers"] = round(headline, 3)
 
-    t0 = time.perf_counter()
-    consume(events.rollup_hourly(sf_dir))
-    queries["rollup_events_hourly"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    consume(events.sessionize(sf_dir))
-    queries["events_sessionize"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    consume(lineitem_pricing_summary(sf_dir))
-    queries["lineitem_pricing_summary"] = round(time.perf_counter() - t0, 3)
+    # side-table mini-pipelines: skipped (not failed) when GRAFT_SF_DIR
+    # is a synthetic token-only dir without the TPC-H/events tables
+    # (row-scale experiments); the driver's standard sf dirs have them
+    for qname, fn in (
+        ("rollup_events_hourly", events.rollup_hourly),
+        ("events_sessionize", events.sessionize),
+        ("lineitem_pricing_summary", lineitem_pricing_summary),
+    ):
+        t0 = time.perf_counter()
+        try:
+            consume(fn(sf_dir))
+            queries[qname] = round(time.perf_counter() - t0, 3)
+        except FileNotFoundError:
+            queries[qname] = None
 
     result = {
         "metric": "rollup_downsample_throughput",
