@@ -44,6 +44,21 @@ class TestAffinity:
         d2, m2 = ref_dtw.warping_paths_affinity(a, b, window=4, penalty=0.2, gamma=0.8)
         np.testing.assert_allclose(m1, m2, rtol=1e-9)
 
+    def test_affinity_psi(self):
+        # psi relaxation through the affinity recurrence (the reference
+        # requires an explicit penalty — it crashes on penalty=None)
+        rng = np.random.default_rng(9)
+        for _ in range(5):
+            a = rng.normal(size=int(rng.integers(6, 20)))
+            b = rng.normal(size=int(rng.integers(6, 20)))
+            d1, m1 = warping_paths_affinity(a, b, DTWSettings(penalty=0.4, psi=2))
+            d2, m2 = ref_dtw.warping_paths_affinity(a, b, penalty=0.4, psi=2)
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(m1), posinf=1e300, neginf=-1e300),
+                np.nan_to_num(np.asarray(m2), posinf=1e300, neginf=-1e300),
+                rtol=1e-9, atol=1e-12,
+            )
+
 
 class TestGoodC:
     def test_medoid_seed(self):
