@@ -480,7 +480,7 @@ GROUP BY 1, st.n
 """
 
 
-def doc_bigram_xent(ds, num_partitions: int = 16):
+def doc_bigram_xent(ds, num_partitions: int | None = None):
     """Per-document cross-entropy under the corpus bigram model with
     add-one smoothing (the CCNet-style perplexity quality filter):
 
@@ -500,6 +500,12 @@ def doc_bigram_xent(ds, num_partitions: int = 16):
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
+
+    if num_partitions is None:
+        # join width follows the cluster (no fixed config ceiling)
+        from .pool import ncpus
+
+        num_partitions = max(2, min(64, ncpus()))
 
     # corpus unigram counts (vocab-bounded) -> broadcast
     uni = _source_token_counts(ds)
