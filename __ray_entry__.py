@@ -935,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events.sessionize,
         "events_top_users_by_value": events.top_users_by_value,
         "events_distinct_users": _q_events_distinct_users,
+        "events_ohlc_hourly": events.ohlc_hourly,
+        "events_counter_increase": events.counter_increase,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1036,6 +1038,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": events.SESSIONIZE_SQL,
         "events_top_users_by_value": events.TOP_USERS_SQL,
         "events_distinct_users": _sql_events_distinct_users(),
+        "events_ohlc_hourly": events.OHLC_HOURLY_SQL,
+        "events_counter_increase": events.COUNTER_INCREASE_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

@@ -657,3 +657,159 @@ SELECT event_type, bucket, n_events,
 FROM zval
 WHERE cnt >= 8 AND var > 0
 """
+
+
+def ohlc_hourly(sf_dir: str):
+    """OHLC tumbling-window downsample per (event_type, hour): open =
+    value of the earliest event (ties broken by event_id), close = the
+    latest, plus high/low/count — the classic financial continuous
+    aggregate.
+
+    Scale shape: open/close are NOT plain min/max but they ARE
+    associative once each partial carries its arg keys — every block
+    emits one candidate row per touched (type, hour) with the block's
+    own (open_ts, open_id, open), (close_ts, close_id, close), high,
+    low, n; the merge picks the lexicographically smallest/largest
+    (ts, id) pair among candidates. Partial rows ~ groups x blocks
+    (key-space bounded). The merge shuffles partials into n_buckets
+    hash buckets of (type, hour) — NOT one Ray group per (type, hour),
+    which would pay per-group Python-call overhead growing with the
+    time span — and each bucket merges all its groups vectorized
+    (sort + drop_duplicates, the same kernel as the partial). Values
+    pass through untouched (no arithmetic), so the oracle match is
+    trivially bit-exact."""
+    ds = read_events(sf_dir, columns=["ts", "event_type", "event_id", "value"])
+    ds = ds.map_batches(_add_hour, batch_format="pyarrow")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["ts", "event_id"], kind="mergesort")
+        out = b.groupby(["event_type", "bucket"], as_index=False).agg(
+            high=("value", "max"),
+            low=("value", "min"),
+            n_events=("value", "size"),
+        )
+        # the sort above makes keep=first/last the (ts, event_id)
+        # argmin/argmax rows — the block's open/close candidates
+        first = b.drop_duplicates(["event_type", "bucket"], keep="first")
+        last = b.drop_duplicates(["event_type", "bucket"], keep="last")
+        return out.merge(
+            first[["event_type", "bucket", "ts", "event_id", "value"]].rename(
+                columns={"ts": "open_ts", "event_id": "open_id", "value": "open"}
+            ),
+            on=["event_type", "bucket"],
+        ).merge(
+            last[["event_type", "bucket", "ts", "event_id", "value"]].rename(
+                columns={"ts": "close_ts", "event_id": "close_id", "value": "close"}
+            ),
+            on=["event_type", "bucket"],
+        )
+
+    def add_merge_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        key = pd.util.hash_pandas_object(
+            b[["event_type", "bucket"]], index=False, categorize=False
+        )
+        b["merge_bucket"] = (key.to_numpy(np.uint64) % 64).astype(np.int64)
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ["event_type", "bucket"]
+        g = g.sort_values(["open_ts", "open_id"], kind="mergesort")
+        opens = g.drop_duplicates(keys, keep="first")[keys + ["open"]]
+        g = g.sort_values(["close_ts", "close_id"], kind="mergesort")
+        closes = g.drop_duplicates(keys, keep="last")[keys + ["close"]]
+        aggs = g.groupby(keys, as_index=False).agg(
+            high=("high", "max"), low=("low", "min"), n_events=("n_events", "sum")
+        )
+        out = aggs.merge(opens, on=keys).merge(closes, on=keys)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[keys + ["open", "high", "low", "close", "n_events"]]
+
+    parts = ds.map_batches(partial, batch_format="pandas").map_batches(
+        add_merge_bucket, batch_format="pandas"
+    )
+    return parts.groupby("merge_bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+OHLC_HOURLY_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT event_type, bucket,
+       max(CASE WHEN rn_open = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_close = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ranked GROUP BY 1, 2
+"""
+
+
+def counter_increase(sf_dir: str, n_buckets: int = 64):
+    """PromQL-style increase() with counter-reset handling: per user,
+    events ordered by (ts, event_id); each step contributes
+    (v[i] - v[i-1]) when the counter moved forward, else v[i] (the
+    post-reset level — the monitoring-systems convention). Exact int64
+    cents arithmetic so the per-user sums are bit-equal to the oracle
+    under any partitioning.
+
+    Scale shape: same bucketed co-partitioning as sessionize — users
+    hash into n_buckets bounded groups, the per-bucket pass is one
+    vectorized sort + diff + boolean mask (no per-user Python calls)."""
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "value"])
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["user_bucket"] = (batch["user_id"].to_numpy(np.int64)) % n_buckets
+        return batch
+
+    def inc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        delta = np.empty(len(g), dtype=np.int64)
+        delta[0] = 0
+        delta[1:] = c[1:] - c[:-1]
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        reset = (~first) & (delta < 0)
+        contrib = np.where(first, 0, np.where(reset, c, delta))
+        out = (
+            pd.DataFrame({"user_id": uid, "_c": contrib, "_r": reset.astype(np.int64)})
+            .groupby("user_id", as_index=False, sort=True)
+            .agg(_cents=("_c", "sum"), n_resets=("_r", "sum"), n_events=("_c", "size"))
+        )
+        out["user_id"] = out["user_id"].astype("int64")
+        out["increase"] = out["_cents"] / 100.0
+        out["n_resets"] = out["n_resets"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "increase", "n_resets", "n_events"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("user_bucket")
+        .map_groups(inc_bucket, batch_format="pandas")
+    )
+
+
+COUNTER_INCREASE_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         lag(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pc
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN pc IS NULL THEN 0
+                     WHEN c >= pc THEN c - pc
+                     ELSE c END) AS BIGINT) / 100.0 AS increase,
+       CAST(sum(CASE WHEN pc IS NOT NULL AND c < pc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resets,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM d GROUP BY user_id
+"""
