@@ -937,6 +937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_ohlc_hourly": events.ohlc_hourly,
         "events_counter_increase": events.counter_increase,
+        "rollup_events_hourly_lerp": events.rollup_hourly_lerp,
+        "events_hourly_ewma": events.hourly_ewma,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1040,6 +1042,8 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": _sql_events_distinct_users(),
         "events_ohlc_hourly": events.OHLC_HOURLY_SQL,
         "events_counter_increase": events.COUNTER_INCREASE_SQL,
+        "rollup_events_hourly_lerp": events.ROLLUP_LERP_SQL,
+        "events_hourly_ewma": events.HOURLY_EWMA_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

@@ -813,3 +813,151 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM d GROUP BY user_id
 """
+
+
+def rollup_hourly_lerp(sf_dir: str):
+    """Linear-interpolation gap-fill of the hourly value-sum series per
+    event_type (complement of the LOCF-style count gap-fill): missing
+    hours get prev + (next - prev) * frac with frac computed from epoch
+    hours — the numeric gap-fill a metrics store applies to sparse
+    gauges. Present hours pass through exactly.
+
+    Exactness: sums travel as int64 cents; interior hours always have
+    both neighbors (the grid spans each type's [min, max]); both
+    engines evaluate pc + (nc - pc) * ((h - ph) / (nh - ph)) in f64 in
+    the same operation order, so filled values are bit-equal.
+
+    Scale shape: raw events reduce through the distributed combiner +
+    groupby (bounded key-space); the fill pass runs per event_type over
+    the bounded (type x hour) grid."""
+    hourly = _hourly_partials_df(sf_dir)
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        grid = pd.date_range(g["bucket"].min(), g["bucket"].max(), freq="1h")
+        out = pd.DataFrame({"bucket": grid})
+        out["event_type"] = g["event_type"].iloc[0]
+        out = out.merge(g[["bucket", "cents"]], on="bucket", how="left")
+        # epoch hours via a second-resolution cast (unit-safe: the
+        # Arrow round-trip may hand us us- or ns-precision datetimes)
+        h = (out["bucket"].astype("datetime64[s]").astype("int64") // 3600).to_numpy(np.int64)
+        present = out["cents"].notna().to_numpy()
+        c = out["cents"].to_numpy(np.float64)  # NaN where missing
+        # prev/next present index per row (grid edges are present)
+        idx = np.arange(len(out))
+        prev = np.maximum.accumulate(np.where(present, idx, -1))
+        nxt = len(out) - 1 - np.maximum.accumulate(np.where(present[::-1], idx, -1))[::-1]
+        frac = (h - h[prev]).astype(np.float64) / (h[nxt] - h[prev] + (prev == nxt)).astype(
+            np.float64
+        )
+        lerp = c[prev] + (c[nxt] - c[prev]) * frac
+        out["value_sum"] = np.where(present, c, lerp) / 100.0
+        out["filled"] = (~present).astype("int64")
+        return out[["event_type", "bucket", "value_sum", "filled"]]
+
+    return fill_grouped_hourly(hourly, fill)
+
+
+def fill_grouped_hourly(hourly: pd.DataFrame, fn):
+    """Apply a per-type grid function over the merged hourly partials
+    via a Ray Dataset (bounded groups: one per event_type)."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(hourly)
+    return ds.groupby("event_type").map_groups(fn, batch_format="pandas")
+
+
+ROLLUP_LERP_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), joined AS (
+  SELECT g.event_type, g.bucket,
+         CAST(epoch(g.bucket) AS BIGINT) // 3600 AS h,
+         hr.cents
+  FROM grid g LEFT JOIN hourly hr
+    ON g.event_type = hr.event_type AND g.bucket = hr.bucket
+), nb AS (
+  SELECT event_type, bucket, h, cents,
+         last_value(cents IGNORE NULLS) OVER w_prev AS pc,
+         last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER w_prev AS ph,
+         first_value(cents IGNORE NULLS) OVER w_next AS nc,
+         first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER w_next AS nh
+  FROM joined
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket,
+       CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+            ELSE CAST(pc AS DOUBLE)
+                 + (CAST(nc AS DOUBLE) - CAST(pc AS DOUBLE))
+                   * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+       END / 100.0 AS value_sum,
+       CAST(cents IS NULL AS BIGINT) AS filled
+FROM nb
+"""
+
+
+def hourly_ewma(sf_dir: str, alpha: float = 0.25):
+    """Exponentially weighted moving average of the gap-filled hourly
+    counts per event_type: e[0] = x[0]; e[t] = alpha*x[t] +
+    (1-alpha)*e[t-1]. alpha = 0.25 and 0.75 are exact binary fractions
+    and both engines evaluate the recurrence in the same f64 operation
+    order, so the stream is bit-equal to the recursive-CTE oracle with
+    no rounding.
+
+    Scale shape: the sequential recurrence runs per event_type over the
+    bounded hourly grid (a Python loop over ~10^3-10^4 floats per
+    group — bounded by the time span, not the row count)."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        x = g["n_events"].to_numpy(np.float64)
+        e = np.empty(len(x))
+        if len(x):
+            e[0] = x[0]
+            for t in range(1, len(x)):
+                e[t] = alpha * x[t] + (1.0 - alpha) * e[t - 1]
+        g["ewma"] = e
+        g["n_events"] = g["n_events"].astype("int64")
+        return g[["event_type", "bucket", "n_events", "ewma"]]
+
+    return hourly.groupby("event_type").map_groups(smooth, batch_format="pandas")
+
+
+HOURLY_EWMA_SQL = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type, g.bucket,
+         CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+         row_number() OVER (PARTITION BY g.event_type ORDER BY g.bucket) AS rn
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.bucket = h.bucket
+), e AS (
+  SELECT event_type, bucket, rn, n_events, CAST(n_events AS DOUBLE) AS ewma
+  FROM filled WHERE rn = 1
+  UNION ALL
+  SELECT f.event_type, f.bucket, f.rn, f.n_events,
+         0.25 * CAST(f.n_events AS DOUBLE) + 0.75 * e.ewma
+  FROM filled f JOIN e ON f.event_type = e.event_type AND f.rn = e.rn + 1
+)
+SELECT event_type, bucket, n_events, ewma FROM e
+"""
