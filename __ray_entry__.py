@@ -997,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_derivative": _q_tokens_derivative,
         "tokens_paa_downsample": _q_tokens_paa,
         "tokens_lttb_downsample": _q_tokens_lttb,
+        "tokens_sax_symbols": _q_tokens_sax,
         "tokens_znormal": _q_tokens_znormal,
         "tokens_logdomain_stats": _q_tokens_logdomain_stats,
         # clustering / alignment / multimodal
@@ -1071,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_derivative": _sql_tokens_derivative(sf),
         "tokens_paa_downsample": _sql_tokens_paa(sf),
         "tokens_lttb_downsample": _sql_tokens_lttb(sf),
+        "tokens_sax_symbols": _sql_tokens_sax(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
         "dedup_clusters": _sql_dedup_clusters(),
@@ -1181,6 +1183,18 @@ def _sql_tokens_paa(sf: str) -> str:
     from dtaidistance_ray.stages.series_ops import tokens_paa_sql
 
     return tokens_paa_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_tokens_sax(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_sax
+
+    return tokens_sax(_token_spec(sf_dir))
+
+
+def _sql_tokens_sax(sf: str) -> str:
+    from dtaidistance_ray.stages.series_ops import tokens_sax_sql
+
+    return tokens_sax_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _sql_tokens_znormal(sf: str) -> str:

@@ -313,3 +313,88 @@ SELECT doc_id, CAST({m} - 1 AS BIGINT), CAST(n - 1 AS BIGINT), val FROM big WHER
 UNION ALL
 SELECT * FROM small
 """
+
+
+def tokens_sax(spec, n_seg: int = 8, limit_docs: int = 200):
+    """SAX symbolization (Lin/Keogh et al. 2003): z-normalize each
+    series by its own full-series moments, PAA to n_seg segments, then
+    quantize against the standard-normal breakpoints for a 4-letter
+    alphabet. Complements the PAA downsample and the reference-parity
+    SymbolAlignment stage with the classic index-friendly symbol
+    stream. Map-only; long format (doc_id, seg, zpaa, sym).
+
+    Exactness: token sums are exact int64, so mu / msq are exact-ratio
+    doubles; sd is one correctly-rounded IEEE sqrt; z is rounded at 6
+    on BOTH engines and the letter is derived from the ROUNDED z
+    against exact decimal breakpoints — so the quantization decision is
+    bit-deterministic (same trick as the anomaly flags). Constant
+    series (sd == 0) are skipped on both sides."""
+    ds = _token_ds(spec)
+    brk = (-0.67449, 0.0, 0.67449)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
+            if int(doc_id[1:]) >= limit_docs:
+                continue
+            t = np.asarray(toks, dtype=np.int64)
+            n = len(t)
+            if n == 0:
+                continue
+            mu = float(t.sum()) / n
+            msq = float((t * t).sum()) / n
+            var = msq - mu * mu
+            if var <= 0:
+                continue
+            sd = np.sqrt(var)
+            seg = (np.arange(n, dtype=np.int64) * n_seg) // n
+            cnt = np.bincount(seg, minlength=n_seg)
+            tot = np.zeros(n_seg, dtype=np.int64)
+            np.add.at(tot, seg, t)
+            for j in range(n_seg):
+                if cnt[j]:
+                    z = round((float(tot[j]) / cnt[j] - mu) / sd, 6)
+                    sym = "abcd"[int(z >= brk[0]) + int(z >= brk[1]) + int(z >= brk[2])]
+                    rows.append((doc_id, j, z, sym))
+        return pd.DataFrame(rows, columns=["doc_id", "seg", "zpaa", "sym"])
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["seg"] = batch["seg"].astype("int64")
+        batch["zpaa"] = batch["zpaa"].astype("float64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas").map_batches(fix, batch_format="pandas")
+
+
+def tokens_sax_sql(tok_path: str, n_seg: int = 8, limit_docs: int = 200) -> str:
+    return f"""
+WITH flat AS (
+  SELECT doc_id,
+         unnest(CAST(tokens AS BIGINT[])) AS val,
+         unnest(generate_series(0, len(tokens) - 1)) AS idx,
+         len(tokens) AS n
+  FROM read_parquet('{tok_path}')
+  WHERE CAST(substr(doc_id, 2) AS BIGINT) < {limit_docs} AND len(tokens) > 0
+), stats AS (
+  SELECT doc_id,
+         CAST(sum(val) AS DOUBLE) / count(*) AS mu,
+         CAST(sum(val * val) AS DOUBLE) / count(*) AS msq
+  FROM flat GROUP BY doc_id
+), paa AS (
+  SELECT doc_id,
+         CAST((idx * {n_seg}) // n AS BIGINT) AS seg,
+         CAST(sum(val) AS DOUBLE) / count(*) AS paa
+  FROM flat GROUP BY doc_id, (idx * {n_seg}) // n
+), z AS (
+  SELECT p.doc_id, p.seg,
+         round((p.paa - s.mu) / sqrt(s.msq - s.mu * s.mu), 6) AS zpaa
+  FROM paa p JOIN stats s USING (doc_id)
+  WHERE s.msq - s.mu * s.mu > 0
+)
+SELECT doc_id, seg, zpaa,
+       CASE WHEN zpaa < -0.67449 THEN 'a'
+            WHEN zpaa < 0.0 THEN 'b'
+            WHEN zpaa < 0.67449 THEN 'c'
+            ELSE 'd' END AS sym
+FROM z
+"""

