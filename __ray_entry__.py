@@ -939,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_counter_increase": events.counter_increase,
         "rollup_events_hourly_lerp": events.rollup_hourly_lerp,
         "events_hourly_ewma": events.hourly_ewma,
+        "events_hourly_xcorr_lags": events.hourly_xcorr_lags,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1045,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
         "events_counter_increase": events.COUNTER_INCREASE_SQL,
         "rollup_events_hourly_lerp": events.ROLLUP_LERP_SQL,
         "events_hourly_ewma": events.HOURLY_EWMA_SQL,
+        "events_hourly_xcorr_lags": events.HOURLY_XCORR_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

@@ -961,3 +961,141 @@ WITH RECURSIVE hourly AS (
 )
 SELECT event_type, bucket, n_events, ewma FROM e
 """
+
+
+def hourly_xcorr_lags(sf_dir: str, max_lag: int = 6):
+    """Lead-lag detection between event types: for every unordered type
+    pair (a < b) and every lag in [-max_lag, +max_lag], the Pearson
+    correlation of the two gap-filled hourly count series with b
+    shifted by `lag` hours; reports the full lag profile. corr > 0 at
+    lag L means "a at hour t tracks b at hour t+L" — the classic
+    which-metric-leads question.
+
+    Exactness: every moment (n, Sa, Sb, Saa, Sbb, Sab) over each
+    overlap window is an exact int64 sum of counts/products; both
+    engines then evaluate the SAME f64 expression
+    (n*Sab - Sa*Sb) / (sqrt(n*Saa - Sa*Sa) * sqrt(n*Sbb - Sb*Sb))
+    on those exact integers, so the correlations are bit-equal
+    (rounded at 6 only to absorb nothing — kept for display hygiene,
+    both sides round identically).
+
+    Scale shape: the raw-events reduction is the distributed gap-fill;
+    the pair stage replicates the BOUNDED (type x hour) grid rows once
+    per containing pair (flat_map, no driver loop) and computes each
+    pair's 2*max_lag+1 windows vectorized inside one bounded
+    map_groups."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+    types = sorted(r["event_type"] for r in hourly.groupby("event_type").count().take_all())
+    pairs = [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]]
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pa, pb in pairs:
+            m = batch[batch["event_type"].isin([pa, pb])].copy()
+            if not len(m):
+                continue
+            m["pair"] = f"{pa}|{pb}"
+            m["side"] = np.where(m["event_type"].to_numpy() == pa, 0, 1)
+            outs.append(m)
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "pair": pd.Series(dtype="object"),
+                    "side": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="datetime64[us]"),
+                    "n_events": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out[["pair", "side", "bucket", "n_events"]]
+
+    def xcorr(g: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = g["pair"].iloc[0].split("|")
+        h = (g["bucket"].astype("datetime64[s]").astype("int64") // 3600).to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        x = g["n_events"].to_numpy(np.int64)
+        da = dict(zip(h[side == 0], x[side == 0]))
+        db = dict(zip(h[side == 1], x[side == 1]))
+        rows = []
+        for lag in range(-max_lag, max_lag + 1):
+            hs = sorted(set(da) & {hb - lag for hb in db})
+            if len(hs) < 2:
+                continue
+            a = np.array([da[t] for t in hs], dtype=np.int64)
+            b = np.array([db[t + lag] for t in hs], dtype=np.int64)
+            n = np.int64(len(hs))
+            Sa, Sb = a.sum(), b.sum()
+            Saa, Sbb, Sab = (a * a).sum(), (b * b).sum(), (a * b).sum()
+            va = float(n) * float(Saa) - float(Sa) * float(Sa)
+            vb = float(n) * float(Sbb) - float(Sb) * float(Sb)
+            if va <= 0 or vb <= 0:
+                continue
+            corr = (float(n) * float(Sab) - float(Sa) * float(Sb)) / (
+                np.sqrt(va) * np.sqrt(vb)
+            )
+            rows.append((pa, pb, lag, int(n), round(corr, 6)))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "lag", "n_overlap", "corr"])
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lag"] = batch["lag"].astype("int64")
+        batch["n_overlap"] = batch["n_overlap"].astype("int64")
+        return batch
+
+    return (
+        hourly.map_batches(replicate, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(xcorr, batch_format="pandas")
+        .map_batches(fix, batch_format="pandas")
+    )
+
+
+HOURLY_XCORR_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type,
+         CAST(epoch(g.bucket) AS BIGINT) // 3600 AS h,
+         CAST(coalesce(hr.n_events, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN hourly hr
+    ON g.event_type = hr.event_type AND g.bucket = hr.bucket
+), types AS (
+  SELECT DISTINCT event_type FROM filled
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+), lags AS (
+  SELECT unnest(generate_series(-6, 6)) AS lag
+), moments AS (
+  SELECT p.ta, p.tb, l.lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(fa.x) AS BIGINT) AS sa,
+         CAST(sum(fb.x) AS BIGINT) AS sb,
+         CAST(sum(fa.x * fa.x) AS BIGINT) AS saa,
+         CAST(sum(fb.x * fb.x) AS BIGINT) AS sbb,
+         CAST(sum(fa.x * fb.x) AS BIGINT) AS sab
+  FROM pairs p
+  CROSS JOIN lags l
+  JOIN filled fa ON fa.event_type = p.ta
+  JOIN filled fb ON fb.event_type = p.tb AND fb.h = fa.h + l.lag
+  GROUP BY 1, 2, 3
+)
+SELECT ta AS type_a, tb AS type_b, CAST(lag AS BIGINT) AS lag,
+       n AS n_overlap,
+       round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS corr
+FROM moments
+WHERE n >= 2
+  AND CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+  AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+"""
