@@ -1099,3 +1099,126 @@ WHERE n >= 2
   AND CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
   AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
 """
+
+
+def hourly_cusum_changepoints(
+    sf_dir: str, train_h: int = 168, k: float = 0.5, h_thr: float = 5.0
+):
+    """CUSUM changepoint detection (Page 1954) on the gap-filled hourly
+    counts per event_type: standardize each post-training hour against
+    the first ``train_h`` hours' baseline moments, then run the classic
+    one-sided pair cpos[t] = max(0, cpos[t-1] + z_t - k) / cneg[t] =
+    max(0, cneg[t-1] - z_t - k); an alarm fires when either exceeds
+    ``h_thr`` — drift detection a metrics store runs on every series.
+
+    Exactness: baseline mu/sd come from exact integer sums evaluated in
+    the oracle's operation order; both engines then run the SAME f64
+    recurrence (no per-step rounding), so every cpos/cneg is bit-equal;
+    reported values are rounded at 6 on both sides and the alarm flag
+    is derived from the ROUNDED statistic (the bit-deterministic
+    threshold trick used by the z-score anomaly stage).
+
+    Scale shape: distributed gap-fill reduction, then a bounded
+    per-type sequential scan over the hourly grid (time-span bounded,
+    row-count independent)."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        def empty():
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "bucket": pd.Series(dtype="datetime64[us]"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "cpos": pd.Series(dtype="float64"),
+                    "cneg": pd.Series(dtype="float64"),
+                    "alarm": pd.Series(dtype="int64"),
+                }
+            )
+
+        if len(g) <= train_h:
+            return empty()
+        x = g["n_events"].to_numpy(np.int64)
+        tr = x[:train_h]
+        n = np.int64(train_h)
+        s1 = tr.sum()
+        s2 = (tr * tr).sum()
+        # sample variance from exact integer sums, oracle op order
+        var = (float(s2) - (float(s1) * float(s1)) / float(n)) / (float(n) - 1.0)
+        if var <= 0:
+            return empty()
+        mu = float(s1) / float(n)
+        sd = np.sqrt(var)
+        m = len(x) - train_h
+        cpos = np.empty(m)
+        cneg = np.empty(m)
+        p = 0.0
+        q = 0.0
+        for i in range(m):
+            z = (float(x[train_h + i]) - mu) / sd
+            p = max(0.0, p + z - k)
+            q = max(0.0, q - z - k)
+            cpos[i] = p
+            cneg[i] = q
+        out = g.iloc[train_h:][["event_type", "bucket", "n_events"]].copy()
+        out["cpos"] = np.round(cpos, 6)
+        out["cneg"] = np.round(cneg, 6)
+        out["alarm"] = (
+            (out["cpos"].to_numpy() > h_thr) | (out["cneg"].to_numpy() > h_thr)
+        ).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return hourly.groupby("event_type").map_groups(scan, batch_format="pandas")
+
+
+HOURLY_CUSUM_SQL = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type, g.bucket,
+         CAST(coalesce(hr.n_events, 0) AS BIGINT) AS n_events,
+         row_number() OVER (PARTITION BY g.event_type ORDER BY g.bucket) AS rn
+  FROM grid g LEFT JOIN hourly hr
+    ON g.event_type = hr.event_type AND g.bucket = hr.bucket
+), base AS (
+  SELECT event_type,
+         CAST(sum(n_events) AS DOUBLE) AS s1,
+         CAST(sum(n_events * n_events) AS DOUBLE) AS s2,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM filled WHERE rn <= 168 GROUP BY event_type
+  HAVING count(*) = 168
+     AND (CAST(sum(n_events * n_events) AS DOUBLE)
+          - CAST(sum(n_events) AS DOUBLE) * CAST(sum(n_events) AS DOUBLE) / 168.0)
+         / 167.0 > 0
+), c AS (
+  SELECT f.event_type, f.bucket, f.rn, f.n_events,
+         greatest(0.0, (CAST(f.n_events AS DOUBLE) - b.s1 / b.n)
+                        / sqrt((b.s2 - (b.s1 * b.s1) / b.n) / (b.n - 1.0)) - 0.5) AS cpos,
+         greatest(0.0, -((CAST(f.n_events AS DOUBLE) - b.s1 / b.n)
+                        / sqrt((b.s2 - (b.s1 * b.s1) / b.n) / (b.n - 1.0))) - 0.5) AS cneg
+  FROM filled f JOIN base b USING (event_type)
+  WHERE f.rn = 169
+  UNION ALL
+  SELECT f.event_type, f.bucket, f.rn, f.n_events,
+         greatest(0.0, c.cpos + (CAST(f.n_events AS DOUBLE) - b.s1 / b.n)
+                        / sqrt((b.s2 - (b.s1 * b.s1) / b.n) / (b.n - 1.0)) - 0.5),
+         greatest(0.0, c.cneg - (CAST(f.n_events AS DOUBLE) - b.s1 / b.n)
+                        / sqrt((b.s2 - (b.s1 * b.s1) / b.n) / (b.n - 1.0)) - 0.5)
+  FROM filled f
+  JOIN c ON f.event_type = c.event_type AND f.rn = c.rn + 1
+  JOIN base b ON b.event_type = f.event_type
+)
+SELECT event_type, bucket, n_events,
+       round(cpos, 6) AS cpos, round(cneg, 6) AS cneg,
+       CAST(round(cpos, 6) > 5.0 OR round(cneg, 6) > 5.0 AS BIGINT) AS alarm
+FROM c
+"""
