@@ -941,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_ewma": events.hourly_ewma,
         "events_hourly_xcorr_lags": events.hourly_xcorr_lags,
         "events_hourly_cusum": events.hourly_cusum_changepoints,
+        "events_hourly_holt": events.hourly_holt,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1049,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_ewma": events.HOURLY_EWMA_SQL,
         "events_hourly_xcorr_lags": events.HOURLY_XCORR_SQL,
         "events_hourly_cusum": events.HOURLY_CUSUM_SQL,
+        "events_hourly_holt": events.HOURLY_HOLT_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

@@ -1222,3 +1222,105 @@ SELECT event_type, bucket, n_events,
        CAST(round(cpos, 6) > 5.0 OR round(cneg, 6) > 5.0 AS BIGINT) AS alarm
 FROM c
 """
+
+
+def hourly_holt(sf_dir: str, alpha: float = 0.5, beta: float = 0.25):
+    """Holt double-exponential smoothing (level + trend) of the
+    gap-filled hourly counts per event_type, with the one-step-ahead
+    forecast each hour — the standard short-horizon capacity-planning
+    smoother. l[t] = a*x[t] + (1-a)*(l[t-1]+b[t-1]);
+    b[t] = beta*(l[t]-l[t-1]) + (1-beta)*b[t-1]; init l0=x0, b0=x1-x0.
+
+    alpha/beta are exact binary fractions and both engines evaluate the
+    coupled recurrence in the same f64 operation order, so every
+    level/trend/forecast is bit-equal to the recursive-CTE oracle
+    (rounded at 6 identically on both sides for display hygiene).
+
+    Scale shape: distributed gap-fill reduction, bounded per-type
+    sequential scan (time-span bounded)."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        x = g["n_events"].to_numpy(np.float64)
+        if len(x) < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "bucket": pd.Series(dtype="datetime64[us]"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "level": pd.Series(dtype="float64"),
+                    "trend": pd.Series(dtype="float64"),
+                    "forecast": pd.Series(dtype="float64"),
+                }
+            )
+        m = len(x) - 1
+        level = np.empty(m)
+        trend = np.empty(m)
+        fcast = np.empty(m)
+        pl = x[0]
+        pb = x[1] - x[0]
+        for i in range(m):
+            xi = x[i + 1]
+            f = pl + pb
+            l = alpha * xi + (1.0 - alpha) * (pl + pb)
+            b = beta * (l - pl) + (1.0 - beta) * pb
+            fcast[i] = f
+            level[i] = l
+            trend[i] = b
+            pl, pb = l, b
+        out = g.iloc[1:][["event_type", "bucket", "n_events"]].copy()
+        # no rounding: the recurrence is bit-equal across engines, and
+        # rounding would actually BREAK parity (Holt's exact binary
+        # fractions hit exact half-way points at the 6th decimal, where
+        # numpy rounds half-even but SQL rounds half-away)
+        out["level"] = level
+        out["trend"] = trend
+        out["forecast"] = fcast
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return hourly.groupby("event_type").map_groups(smooth, batch_format="pandas")
+
+
+HOURLY_HOLT_SQL = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type, g.bucket,
+         CAST(coalesce(hr.n_events, 0) AS BIGINT) AS n_events,
+         row_number() OVER (PARTITION BY g.event_type ORDER BY g.bucket) AS rn
+  FROM grid g LEFT JOIN hourly hr
+    ON g.event_type = hr.event_type AND g.bucket = hr.bucket
+), init AS (
+  SELECT f1.event_type,
+         CAST(f1.n_events AS DOUBLE) AS l0,
+         CAST(f2.n_events AS DOUBLE) - CAST(f1.n_events AS DOUBLE) AS b0
+  FROM filled f1 JOIN filled f2
+    ON f1.event_type = f2.event_type AND f1.rn = 1 AND f2.rn = 2
+), h AS (
+  SELECT f.event_type, f.bucket, f.rn, f.n_events,
+         i.l0 + i.b0 AS forecast,
+         0.5 * CAST(f.n_events AS DOUBLE) + 0.5 * (i.l0 + i.b0) AS level,
+         0.25 * ((0.5 * CAST(f.n_events AS DOUBLE) + 0.5 * (i.l0 + i.b0)) - i.l0)
+           + 0.75 * i.b0 AS trend
+  FROM filled f JOIN init i USING (event_type)
+  WHERE f.rn = 2
+  UNION ALL
+  SELECT f.event_type, f.bucket, f.rn, f.n_events,
+         h.level + h.trend,
+         0.5 * CAST(f.n_events AS DOUBLE) + 0.5 * (h.level + h.trend),
+         0.25 * ((0.5 * CAST(f.n_events AS DOUBLE) + 0.5 * (h.level + h.trend)) - h.level)
+           + 0.75 * h.trend
+  FROM filled f JOIN h ON f.event_type = h.event_type AND f.rn = h.rn + 1
+)
+SELECT event_type, bucket, n_events, level, trend, forecast
+FROM h
+"""

@@ -82,3 +82,44 @@ class TestEventsExtended:
         for _, g in got.groupby("event_type"):
             lo, hi = g["n_events"].min(), g["n_events"].max()
             assert (g["ewma"] >= lo - 1e-9).all() and (g["ewma"] <= hi + 1e-9).all()
+
+
+class TestTimeseriesAnalytics:
+    def test_xcorr_lags(self, ray_session):
+        got = _canon(_run(events.hourly_xcorr_lags))
+        want = _canon(_duck(events.HOURLY_XCORR_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        assert got["corr"].between(-1.0000001, 1.0000001).all()
+        # zero lag of a pair with itself would be 1; cross pairs need not be,
+        # but every (pair) must include the full lag grid where overlap >= 2
+        assert got["lag"].between(-6, 6).all()
+
+    def test_cusum(self, ray_session):
+        got = _canon(_run(events.hourly_cusum_changepoints))
+        want = _canon(_duck(events.HOURLY_CUSUM_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        assert (got["cpos"] >= 0).all() and (got["cneg"] >= 0).all()
+
+    def test_cusum_detects_injected_shift(self, ray_session):
+        # pure-kernel sanity: a mean shift after the training window
+        # must raise the positive CUSUM over threshold
+        rng = np.random.default_rng(7)
+        x = np.concatenate([rng.poisson(5, 200), rng.poisson(25, 48)])
+        mu = x[:168].mean()
+        sd = x[:168].std(ddof=1)
+        p = 0.0
+        alarms = 0
+        for v in x[168:]:
+            p = max(0.0, p + (v - mu) / sd - 0.5)
+            alarms += p > 5.0
+        assert alarms > 0
+
+    def test_holt(self, ray_session):
+        got = _canon(_run(events.hourly_holt))
+        want = _canon(_duck(events.HOURLY_HOLT_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # one-step-ahead forecast equals previous level + previous trend
+        for _, g in got.groupby("event_type"):
+            g = g.sort_values("bucket")
+            f = (g["level"] + g["trend"]).to_numpy()[:-1]
+            assert np.array_equal(f, g["forecast"].to_numpy()[1:])

@@ -718,3 +718,31 @@ class TestPqTopk:
         # coarse recall: 16^4 code space over 100 vectors is generous
         hits = len(set(approx["vec_id"].astype(int)) & set(exact["vec_id"].astype(int)))
         assert hits >= 6, (hits, approx)
+
+
+class TestSaxSymbols:
+    def test_vs_sql_and_alphabet(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["tokens_sax_symbols"](sf)
+            .to_pandas()
+            .sort_values(["doc_id", "seg"])
+            .reset_index(drop=True)
+        )
+        sql = E.oracle_sql()["tokens_sax_symbols"].replace(
+            "sf0.01.parquet", "sf0.001.parquet"
+        )
+        want = (
+            duckdb.connect().execute(sql).df()
+            .sort_values(["doc_id", "seg"])
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        assert set(got["sym"]) <= set("abcd")
+        # letters are monotone in z: sorting by zpaa never decreases sym
+        s = got.sort_values("zpaa")["sym"].to_numpy()
+        assert (s[:-1] <= s[1:]).all()
