@@ -942,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_xcorr_lags": events.hourly_xcorr_lags,
         "events_hourly_cusum": events.hourly_cusum_changepoints,
         "events_hourly_holt": events.hourly_holt,
+        "events_hourly_trend": events.hourly_trend,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1001,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_paa_downsample": _q_tokens_paa,
         "tokens_lttb_downsample": _q_tokens_lttb,
         "tokens_sax_symbols": _q_tokens_sax,
+        "tokens_matrix_profile": _q_tokens_matrix_profile,
         "tokens_znormal": _q_tokens_znormal,
         "tokens_logdomain_stats": _q_tokens_logdomain_stats,
         # clustering / alignment / multimodal
@@ -1051,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_xcorr_lags": events.HOURLY_XCORR_SQL,
         "events_hourly_cusum": events.HOURLY_CUSUM_SQL,
         "events_hourly_holt": events.HOURLY_HOLT_SQL,
+        "events_hourly_trend": events.HOURLY_TREND_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,
@@ -1079,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_paa_downsample": _sql_tokens_paa(sf),
         "tokens_lttb_downsample": _sql_tokens_lttb(sf),
         "tokens_sax_symbols": _sql_tokens_sax(sf),
+        "tokens_matrix_profile": _sql_tokens_matrix_profile(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
         "dedup_clusters": _sql_dedup_clusters(),
@@ -1189,6 +1193,18 @@ def _sql_tokens_paa(sf: str) -> str:
     from dtaidistance_ray.stages.series_ops import tokens_paa_sql
 
     return tokens_paa_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_tokens_matrix_profile(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_matrix_profile
+
+    return tokens_matrix_profile(_token_spec(sf_dir))
+
+
+def _sql_tokens_matrix_profile(sf: str) -> str:
+    from dtaidistance_ray.stages.series_ops import tokens_matrix_profile_sql
+
+    return tokens_matrix_profile_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _q_tokens_sax(sf_dir: str):

@@ -1324,3 +1324,98 @@ WITH RECURSIVE hourly AS (
 SELECT event_type, bucket, n_events, level, trend, forecast
 FROM h
 """
+
+
+def hourly_trend(sf_dir: str):
+    """Per-type OLS trend of the gap-filled hourly counts: slope
+    (events/hour), intercept, and R^2 over hours RELATIVE to each
+    type's first hour (keeps every moment small enough that n*Sxx is
+    exact in f64). All moments (n, Sx, Sxx, Sy, Syy, Sxy) are exact
+    int64 sums over the bounded grid, and both engines evaluate
+      slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+      intercept = (Sy - slope*Sx) / n
+      r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx*Sx) * (n*Syy - Sy*Sy))
+    in the same f64 operation order — bit-equal, no rounding.
+
+    Scale shape: distributed gap-fill reduction; the fit is a bounded
+    per-type vectorized pass (constant output rows)."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        y = g["n_events"].to_numpy(np.int64)
+        n = np.int64(len(y))
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "n_hours": pd.Series(dtype="int64"),
+                    "slope": pd.Series(dtype="float64"),
+                    "intercept": pd.Series(dtype="float64"),
+                    "r2": pd.Series(dtype="float64"),
+                }
+            )
+        x = np.arange(n, dtype=np.int64)
+        Sx = x.sum()
+        Sxx = (x * x).sum()
+        Sy = y.sum()
+        Syy = (y * y).sum()
+        Sxy = (x * y).sum()
+        nf = float(n)
+        cov = nf * float(Sxy) - float(Sx) * float(Sy)
+        varx = nf * float(Sxx) - float(Sx) * float(Sx)
+        vary = nf * float(Syy) - float(Sy) * float(Sy)
+        slope = cov / varx
+        intercept = (float(Sy) - slope * float(Sx)) / nf
+        r2 = (cov * cov) / (varx * vary) if vary > 0 else np.nan
+        out = pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_hours": [int(n)],
+                "slope": [slope],
+                "intercept": [intercept],
+                "r2": [r2],
+            }
+        )
+        return out.dropna(subset=["r2"])
+
+    return hourly.groupby("event_type").map_groups(fit, batch_format="pandas")
+
+
+HOURLY_TREND_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, b.lo, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type,
+         (CAST(epoch(g.bucket) AS BIGINT) - CAST(epoch(g.lo) AS BIGINT)) // 3600 AS x,
+         CAST(coalesce(hr.n_events, 0) AS BIGINT) AS y
+  FROM grid g LEFT JOIN hourly hr
+    ON g.event_type = hr.event_type AND g.bucket = hr.bucket
+), mom AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM filled GROUP BY event_type
+  HAVING count(*) >= 2
+     AND CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE)
+         - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE) > 0
+)
+SELECT event_type, n_hours,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM mom
+"""

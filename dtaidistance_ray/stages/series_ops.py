@@ -398,3 +398,147 @@ SELECT doc_id, seg, zpaa,
             ELSE 'd' END AS sym
 FROM z
 """
+
+
+def tokens_matrix_profile(spec, m: int = 16, limit_docs: int = 40):
+    """Self-join matrix profile (Yeh et al. 2016, brute-force exact):
+    for every length-m window i of each series, the z-normalized
+    Euclidean distance to its nearest non-trivial neighbor window j
+    (exclusion zone |i - j| >= m) and that neighbor's index — the
+    motif/discord primitive modern timeseries stacks build on and the
+    reference library does not ship.
+
+    Exactness: with integer tokens every window moment (Sx, Sxx, and
+    the cross sum Sxy) is an exact int64, so both engines evaluate the
+    SAME closed form on exact integers:
+      corr = (m*Sxy - Sx*Sy) / (sqrt(m*Sxx - Sx^2) * sqrt(m*Syy - Sy^2))
+      d    = sqrt(greatest(2m * (1 - corr), 0))
+    in identical f64 operation order — distances are bit-equal to the
+    SQL oracle, and the argmin tie-break (smallest j) is therefore
+    bit-deterministic. Zero-variance windows are excluded on both
+    sides.
+
+    Scale shape: each series is one row, so the stage is map-only and
+    embarrassingly parallel across docs; per doc the O(p^2) profile is
+    one int64 Gram matmul over the window matrix (vectorized, no
+    Python pair loop). Series longer than one block would chunk the
+    window axis across tasks with the same exact-integer partials —
+    documented here, not needed for row-shaped token tables."""
+    ds = _token_ds(spec)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
+            if int(doc_id[1:]) >= limit_docs:
+                continue
+            t = np.asarray(toks, dtype=np.int64)
+            n = len(t)
+            p = n - m + 1
+            if p < m + 1:  # need at least one non-trivial neighbor
+                continue
+            # window matrix and exact integer moments
+            W = np.lib.stride_tricks.sliding_window_view(t, m)  # p x m
+            Sx = W.sum(axis=1)  # int64
+            Sxx = (W * W).sum(axis=1)
+            G = W @ W.T  # int64 Gram: Sxy for every pair
+            varx = m * Sxx - Sx * Sx  # int64, exact
+            ok = varx > 0
+            # closed form in f64, fixed operation order (matches SQL)
+            mf = float(m)
+            sd = np.sqrt((mf * Sxx.astype(np.float64)) - Sx.astype(np.float64) ** 2)
+            num = mf * G.astype(np.float64) - np.outer(
+                Sx.astype(np.float64), Sx.astype(np.float64)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                corr = num / np.outer(sd, sd)
+            d2 = 2.0 * mf * (1.0 - corr)
+            d = np.sqrt(np.maximum(d2, 0.0))
+            # exclusion zone + invalid windows -> +inf
+            idx = np.arange(p)
+            excl = np.abs(idx[:, None] - idx[None, :]) < m
+            d[excl] = np.inf
+            d[~ok, :] = np.inf
+            d[:, ~ok] = np.inf
+            nn_j = np.argmin(d, axis=1)  # first min -> smallest j
+            nn_d = d[idx, nn_j]
+            for i in range(p):
+                if ok[i] and np.isfinite(nn_d[i]):
+                    rows.append((doc_id, i, int(nn_j[i]), float(nn_d[i])))
+        return pd.DataFrame(rows, columns=["doc_id", "wpos", "nn_pos", "nn_dist"])
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["wpos"] = batch["wpos"].astype("int64")
+        batch["nn_pos"] = batch["nn_pos"].astype("int64")
+        batch["nn_dist"] = batch["nn_dist"].astype("float64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas").map_batches(fix, batch_format="pandas")
+
+
+def tokens_matrix_profile_sql(tok_path: str, m: int = 16, limit_docs: int = 40) -> str:
+    return f"""
+WITH flat AS (
+  SELECT doc_id,
+         unnest(CAST(tokens AS BIGINT[])) AS val,
+         unnest(generate_series(0, len(tokens) - 1)) AS idx,
+         len(tokens) AS n
+  FROM read_parquet('{tok_path}')
+  WHERE CAST(substr(doc_id, 2) AS BIGINT) < {limit_docs}
+    AND len(tokens) >= {m} * 2
+), wmom AS (
+  -- per-window exact integer moments via a ROWS window frame
+  SELECT doc_id, idx AS wpos,
+         CAST(sum(val) OVER w AS BIGINT) AS sx,
+         CAST(sum(val * val) OVER w AS BIGINT) AS sxx,
+         CAST(count(*) OVER w AS BIGINT) AS cnt,
+         n
+  FROM flat
+  WINDOW w AS (PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND {m} - 1 FOLLOWING)
+), win AS (
+  SELECT doc_id, wpos, sx, sxx
+  FROM wmom
+  WHERE cnt = {m} AND wpos <= n - {m}
+    AND {m} * sxx - sx * sx > 0
+), diag AS (
+  -- every non-trivial aligned product x[i+k]*x[j+k]: one row per
+  -- (position pair on a diagonal); |delta| >= m IS the exclusion zone
+  SELECT a.doc_id, a.idx AS ai, a.idx - b.idx AS delta,
+         a.val * b.val AS prod
+  FROM flat a JOIN flat b
+    ON a.doc_id = b.doc_id AND abs(a.idx - b.idx) >= {m}
+), diagsum AS (
+  -- Sxy(i, j=i-delta) is a length-m sliding sum along each diagonal
+  -- (exact integer sums, order-free)
+  SELECT doc_id, delta, ai AS i,
+         CAST(sum(prod) OVER w AS BIGINT) AS sxy,
+         CAST(count(*) OVER w AS BIGINT) AS cnt
+  FROM diag
+  WINDOW w AS (PARTITION BY doc_id, delta ORDER BY ai
+               ROWS BETWEEN CURRENT ROW AND {m} - 1 FOLLOWING)
+), pair AS (
+  SELECT wa.doc_id, wa.wpos AS i, wb.wpos AS j,
+         wa.sx AS sxi, wa.sxx AS sxxi, wb.sx AS sxj, wb.sxx AS sxxj,
+         d.sxy
+  FROM diagsum d
+  JOIN win wa ON wa.doc_id = d.doc_id AND wa.wpos = d.i
+  JOIN win wb ON wb.doc_id = d.doc_id AND wb.wpos = d.i - d.delta
+  WHERE d.cnt = {m}
+), dist AS (
+  SELECT doc_id, i, j,
+         sqrt(greatest(2.0 * {m}.0 * (1.0 -
+           ({m}.0 * CAST(sxy AS DOUBLE)
+            - CAST(sxi AS DOUBLE) * CAST(sxj AS DOUBLE))
+           / (sqrt({m}.0 * CAST(sxxi AS DOUBLE)
+                   - CAST(sxi AS DOUBLE) * CAST(sxi AS DOUBLE))
+              * sqrt({m}.0 * CAST(sxxj AS DOUBLE)
+                     - CAST(sxj AS DOUBLE) * CAST(sxj AS DOUBLE)))), 0.0)) AS d
+  FROM pair
+), ranked AS (
+  SELECT doc_id, i, j, d,
+         row_number() OVER (PARTITION BY doc_id, i ORDER BY d, j) AS rk
+  FROM dist
+)
+SELECT doc_id, CAST(i AS BIGINT) AS wpos, CAST(j AS BIGINT) AS nn_pos, d AS nn_dist
+FROM ranked WHERE rk = 1
+"""
