@@ -943,6 +943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_cusum": events.hourly_cusum_changepoints,
         "events_hourly_holt": events.hourly_holt,
         "events_hourly_trend": events.hourly_trend,
+        "events_value_percentiles_daily": events.value_percentiles_daily,
+        "events_funnel_stages": events.funnel_stages,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1054,6 +1056,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_cusum": events.HOURLY_CUSUM_SQL,
         "events_hourly_holt": events.HOURLY_HOLT_SQL,
         "events_hourly_trend": events.HOURLY_TREND_SQL,
+        "events_value_percentiles_daily": events.VALUE_PERCENTILES_SQL,
+        "events_funnel_stages": events.FUNNEL_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

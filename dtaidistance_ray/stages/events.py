@@ -1419,3 +1419,171 @@ SELECT event_type, n_hours,
          / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
 FROM mom
 """
+
+
+def value_percentiles_daily(sf_dir: str):
+    """Exact p50/p90/p99 of value per (event_type, day), computed the
+    100-TB way: a VALUE HISTOGRAM, not a sort. Per-block combiner
+    counts (type, day, cents) occurrences; one Ray groupby-aggregate
+    merges the histograms (key-space = types x days x distinct cents —
+    bounded by the value domain, not the row count); the percentile
+    pick is then a cumsum + searchsorted over each group's histogram.
+    No stage ever holds, sorts, or shuffles the raw rows by value.
+
+    Exactness: ranks use the inverse-CDF convention rank = ceil(q*n)
+    evaluated in EXACT integer arithmetic ((q_num*n + 99) // 100) on
+    both engines, so there is no float boundary to disagree on; the
+    picked cents are integers and divide back to 2-decimal doubles
+    identically."""
+    from ray.data.aggregate import Sum
+
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            day=b["ts"].dt.floor("D"),
+            c=np.round(b["value"].to_numpy() * 100).astype(np.int64),
+        )
+        return b.groupby(["event_type", "day", "c"], as_index=False).agg(cnt=("c", "size"))
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day", "c"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("c", kind="mergesort")
+        c = g["c"].to_numpy(np.int64)
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        ranks = [(50 * n + 99) // 100, (90 * n + 99) // 100, (99 * n + 99) // 100]
+        vals = [float(c[np.searchsorted(cum, r)]) / 100.0 for r in ranks]
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "day": [g["day"].iloc[0]],
+                "n_events": [n],
+                "p50": [vals[0]],
+                "p90": [vals[1]],
+                "p99": [vals[2]],
+            }
+        )
+
+    return hist.groupby(["event_type", "day"]).map_groups(pick, batch_format="pandas")
+
+
+VALUE_PERCENTILES_SQL = """
+WITH cents AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), hist AS (
+  SELECT event_type, day, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM cents GROUP BY 1, 2, 3
+), cum AS (
+  SELECT event_type, day, c,
+         CAST(sum(cnt) OVER (PARTITION BY event_type, day ORDER BY c) AS BIGINT) AS cm,
+         CAST(sum(cnt) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+  FROM hist
+)
+SELECT event_type, day, n AS n_events,
+       min(CASE WHEN cm >= (50 * n + 99) // 100 THEN c END) / 100.0 AS p50,
+       min(CASE WHEN cm >= (90 * n + 99) // 100 THEN c END) / 100.0 AS p90,
+       min(CASE WHEN cm >= (99 * n + 99) // 100 THEN c END) / 100.0 AS p99
+FROM cum GROUP BY event_type, day, n
+"""
+
+
+def funnel_stages(sf_dir: str, n_buckets: int = 64):
+    """Per-user ordered funnel view -> click -> purchase: the first
+    view, the first click STRICTLY AFTER it, the first purchase
+    strictly after that; reports the stage reached (0-3) and exact
+    microsecond latencies from the first view (-1 sentinel where the
+    stage was not reached, keeping the schema NULL-free for hashing).
+
+    Scale shape: users hash into n_buckets co-partitions (the
+    sessionize pattern); within a bucket the three passes are C-level
+    pandas groupby-min + merge + boolean filters — no per-user Python.
+    The timestamps compared are raw int64 microseconds, so there is no
+    float arithmetic to disagree with the oracle about."""
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_type"])
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["user_bucket"] = (batch["user_id"].to_numpy(np.int64)) % n_buckets
+        return batch
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(us=g["ts"].astype("datetime64[us]").astype("int64"))
+        users = pd.DataFrame({"user_id": np.unique(g["user_id"].to_numpy(np.int64))})
+        v = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id", as_index=False)
+            .agg(t1=("us", "min"))
+        )
+        gc = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = (
+            gc[gc["us"] > gc["t1"]]
+            .groupby("user_id", as_index=False)
+            .agg(t2=("us", "min"))
+        )
+        gp = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = (
+            gp[gp["us"] > gp["t2"]]
+            .groupby("user_id", as_index=False)
+            .agg(t3=("us", "min"))
+        )
+        out = users.merge(v, on="user_id", how="left").merge(
+            c, on="user_id", how="left"
+        ).merge(p, on="user_id", how="left")
+        has_v = out["t1"].notna().to_numpy()
+        has_c = out["t2"].notna().to_numpy()
+        has_p = out["t3"].notna().to_numpy()
+        out["funnel_stage"] = (
+            has_v.astype(np.int64) + has_c.astype(np.int64) + has_p.astype(np.int64)
+        )
+        t1 = out["t1"].to_numpy(np.float64)
+        out["us_view_to_click"] = np.where(
+            has_c, out["t2"].to_numpy(np.float64) - t1, -1
+        ).astype(np.int64)
+        out["us_view_to_purchase"] = np.where(
+            has_p, out["t3"].to_numpy(np.float64) - t1, -1
+        ).astype(np.int64)
+        out["user_id"] = out["user_id"].astype("int64")
+        return out[["user_id", "funnel_stage", "us_view_to_click", "us_view_to_purchase"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("user_bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+), u AS (
+  SELECT DISTINCT user_id FROM events
+)
+SELECT u.user_id,
+       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2
+                 WHEN v.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage,
+       CAST(coalesce(epoch_us(c.t2) - epoch_us(v.t1), -1) AS BIGINT)
+         AS us_view_to_click,
+       CAST(coalesce(epoch_us(p.t3) - epoch_us(v.t1), -1) AS BIGINT)
+         AS us_view_to_purchase
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""

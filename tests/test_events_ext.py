@@ -123,3 +123,34 @@ class TestTimeseriesAnalytics:
             g = g.sort_values("bucket")
             f = (g["level"] + g["trend"]).to_numpy()[:-1]
             assert np.array_equal(f, g["forecast"].to_numpy()[1:])
+
+
+class TestPercentilesAndFunnel:
+    def test_percentiles_vs_sql_and_sorted_oracle(self, ray_session):
+        got = _canon(_run(events.value_percentiles_daily))
+        want = _canon(_duck(events.VALUE_PERCENTILES_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # cross-check one group against a plain sorted-array percentile
+        ev = pd.read_parquet(f"{SF}/events.parquet")
+        ev["day"] = ev["ts"].dt.floor("D")
+        et, day = got.iloc[0]["event_type"], got.iloc[0]["day"]
+        vals = np.sort(
+            np.round(
+                ev[(ev["event_type"] == et) & (ev["day"] == day)]["value"].to_numpy() * 100
+            ).astype(np.int64)
+        )
+        n = len(vals)
+        row = got[(got["event_type"] == et) & (got["day"] == day)].iloc[0]
+        for q, col in [(50, "p50"), (90, "p90"), (99, "p99")]:
+            rank = (q * n + 99) // 100
+            assert row[col] == vals[rank - 1] / 100.0
+        assert (got["p50"] <= got["p90"]).all() and (got["p90"] <= got["p99"]).all()
+
+    def test_funnel_vs_sql(self, ray_session):
+        got = _canon(_run(events.funnel_stages))
+        want = _canon(_duck(events.FUNNEL_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # stage monotonicity: purchase latency >= click latency when both present
+        both = got[(got["us_view_to_click"] >= 0) & (got["us_view_to_purchase"] >= 0)]
+        assert (both["us_view_to_purchase"] > both["us_view_to_click"]).all()
+        assert got["funnel_stage"].between(0, 3).all()
