@@ -136,6 +136,21 @@ def _q_source_kl_drift(sf_dir: str):
     return out
 
 
+def _q_length_ks_drift(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.vocab import length_ks_drift
+
+    _ensure_token_parquet(sf_dir)
+    ds = token_table(_token_spec(sf_dir))
+    return length_ks_drift(ds)
+
+
+def _sql_length_ks_drift(sf: str) -> str:
+    from dtaidistance_ray.stages.vocab import length_ks_drift_sql
+
+    return length_ks_drift_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
 def _sql_source_kl_drift(sf: str) -> str:
     from dtaidistance_ray.stages.vocab import source_kl_drift_sql
 
@@ -945,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_trend": events.hourly_trend,
         "events_value_percentiles_daily": events.value_percentiles_daily,
         "events_funnel_stages": events.funnel_stages,
+        "events_seasonal_anomalies": events.seasonal_anomalies,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -979,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_stats_by_source": _q_tokens_stats_by_source,
         "tokens_pack_sequences": _q_tokens_pack_sequences,
         "source_token_kl_drift": _q_source_kl_drift,
+        "source_length_ks_drift": _q_length_ks_drift,
         "doc_bigram_xent": _q_doc_bigram_xent,
         "tokens_rollup_tier0_aggs": _q_tokens_rollup_tier0_aggs,
         "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
@@ -1058,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_trend": events.HOURLY_TREND_SQL,
         "events_value_percentiles_daily": events.VALUE_PERCENTILES_SQL,
         "events_funnel_stages": events.FUNNEL_SQL,
+        "events_seasonal_anomalies": events.SEASONAL_ANOMALIES_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,
@@ -1075,6 +1093,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_stats_by_source": _sql_tokens_stats_by_source(sf),
         "tokens_pack_sequences": _sql_tokens_pack_sequences(sf),
         "source_token_kl_drift": _sql_source_kl_drift(sf),
+        "source_length_ks_drift": _sql_length_ks_drift(sf),
         "doc_bigram_xent": _sql_doc_bigram_xent(sf),
         "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),

@@ -1587,3 +1587,93 @@ LEFT JOIN v ON u.user_id = v.user_id
 LEFT JOIN c ON u.user_id = c.user_id
 LEFT JOIN p ON u.user_id = p.user_id
 """
+
+
+def seasonal_anomalies(sf_dir: str, min_peers: int = 10, z_thr: float = 3.0):
+    """Seasonality-aware anomaly detection: each gap-filled hour is
+    scored against the OTHER hours sharing its hour-of-day within the
+    same event_type (self-excluded peer group) — catching
+    "abnormal for 3am" spikes that a flat rolling window normalizes
+    away.
+
+    Exactness: per (type, hour-of-day) peer moments are exact integer
+    sums; the self-excluded mean/variance are evaluated in the same
+    f64 operation order as the oracle; z is rounded at 6 on both sides
+    and the flag derives from the rounded z (the bit-deterministic
+    threshold pattern).
+
+    Scale shape: distributed gap-fill reduction; scoring is a bounded
+    per-type vectorized pass over the (hour-of-day x hour) grid."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        x = g["n_events"].to_numpy(np.int64)
+        hod = g["bucket"].dt.hour.to_numpy(np.int64)
+        s1 = np.zeros(24, dtype=np.int64)
+        s2 = np.zeros(24, dtype=np.int64)
+        cnt = np.zeros(24, dtype=np.int64)
+        np.add.at(s1, hod, x)
+        np.add.at(s2, hod, x * x)
+        np.add.at(cnt, hod, 1)
+        # self-excluded moments, oracle operation order
+        m = cnt[hod].astype(np.float64) - 1.0
+        ls1 = (s1[hod] - x).astype(np.float64)
+        ls2 = (s2[hod] - x * x).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (ls2 - (ls1 * ls1) / m) / (m - 1.0)
+            mean = ls1 / m
+            z = (x.astype(np.float64) - mean) / np.sqrt(var)
+        ok = (cnt[hod] - 1 >= min_peers) & (var > 0)
+        out = g.loc[ok, ["event_type", "bucket", "n_events"]].copy()
+        out["hod"] = hod[ok]
+        out["z"] = np.round(z[ok], 6)
+        out["is_anomaly"] = (np.abs(out["z"].to_numpy()) > z_thr).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["hod"] = out["hod"].astype("int64")
+        return out
+
+    return hourly.groupby("event_type").map_groups(score, batch_format="pandas")
+
+
+SEASONAL_ANOMALIES_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type, g.bucket,
+         CAST(coalesce(hr.n_events, 0) AS BIGINT) AS x,
+         CAST(hour(g.bucket) AS BIGINT) AS hod
+  FROM grid g LEFT JOIN hourly hr
+    ON g.event_type = hr.event_type AND g.bucket = hr.bucket
+), peer AS (
+  SELECT event_type, hod,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM filled GROUP BY 1, 2
+), scored AS (
+  SELECT f.event_type, f.bucket, f.x, f.hod,
+         CAST(p.cnt AS DOUBLE) - 1.0 AS m,
+         CAST(p.s1 - f.x AS DOUBLE) AS ls1,
+         CAST(p.s2 - f.x * f.x AS DOUBLE) AS ls2
+  FROM filled f JOIN peer p USING (event_type, hod)
+  WHERE p.cnt - 1 >= 10
+), zval AS (
+  SELECT event_type, bucket, x, hod,
+         (ls2 - (ls1 * ls1) / m) / (m - 1.0) AS var,
+         (CAST(x AS DOUBLE) - ls1 / m) AS dev
+  FROM scored
+)
+SELECT event_type, bucket, x AS n_events, hod,
+       round(dev / sqrt(var), 6) AS z,
+       CAST(abs(round(dev / sqrt(var), 6)) > 3.0 AS BIGINT) AS is_anomaly
+FROM zval
+WHERE var > 0
+"""

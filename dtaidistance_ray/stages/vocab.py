@@ -608,3 +608,103 @@ JOIN c1 ON c1.w = g.w1
 CROSS JOIN vocab
 GROUP BY g.doc_id
 """
+
+
+def length_ks_drift(ds) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift of the sequence-LENGTH
+    distribution, per source vs the whole corpus: D = sup_l
+    |F_source(l) - F_corpus(l)| over the shared length grid, plus the
+    length where the sup is attained (ties -> smallest length). The
+    structural companion to source_kl_drift: KL watches WHAT tokens a
+    source emits, KS watches the SHAPE of its documents.
+
+    Scale: lengths are a BOUNDED domain, so per-block (source, n_tok)
+    partial counts reduce through one Ray groupby-aggregate and the
+    ECDF fold runs over a sources x lengths frame that never grows with
+    row count. ECDF values are exact-int ratios evaluated in the same
+    f64 order as the SQL oracle, and D is a max over bit-equal values —
+    no rounding needed."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "n_tok": batch["n_tok"].to_pandas().astype(np.int64),
+            }
+        )
+        return df.groupby(["source", "n_tok"], as_index=False).agg(cnt=("n_tok", "size"))
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "n_tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    if not len(hist):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype="int64"),
+                "ks_d": pd.Series(dtype="float64"),
+                "ks_at_len": pd.Series(dtype="int64"),
+            }
+        )
+    lengths = np.sort(hist["n_tok"].unique())
+    corpus = (
+        hist.groupby("n_tok")["cnt"].sum().reindex(lengths, fill_value=0).to_numpy(np.int64)
+    )
+    ccum = corpus.cumsum()
+    nc = float(ccum[-1])
+    rows = {"source": [], "n_docs": [], "ks_d": [], "ks_at_len": []}
+    for s, g in hist.groupby("source", sort=True):
+        scnt = (
+            g.set_index("n_tok")["cnt"].reindex(lengths, fill_value=0).to_numpy(np.int64)
+        )
+        scum = scnt.cumsum()
+        ns = float(scum[-1])
+        diff = np.abs(scum.astype(np.float64) / ns - ccum.astype(np.float64) / nc)
+        k = int(np.argmax(diff))  # first max -> smallest length
+        rows["source"].append(s)
+        rows["n_docs"].append(int(scum[-1]))
+        rows["ks_d"].append(float(diff[k]))
+        rows["ks_at_len"].append(int(lengths[k]))
+    return pd.DataFrame(rows)
+
+
+def length_ks_drift_sql(parquet_path: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM read_parquet('{parquet_path}') GROUP BY 1, 2
+), lens AS (
+  SELECT DISTINCT n_tok FROM h
+), srcs AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS ns FROM h GROUP BY 1
+), grid AS (
+  SELECT s.source, s.ns, l.n_tok FROM srcs s CROSS JOIN lens l
+), scum AS (
+  SELECT g.source, g.ns, g.n_tok,
+         CAST(sum(coalesce(h.cnt, 0)) OVER (PARTITION BY g.source ORDER BY g.n_tok)
+              AS BIGINT) AS cs
+  FROM grid g LEFT JOIN h ON h.source = g.source AND h.n_tok = g.n_tok
+), ccum AS (
+  SELECT l.n_tok,
+         CAST(sum(coalesce(t.cnt, 0)) OVER (ORDER BY l.n_tok) AS BIGINT) AS cc
+  FROM lens l LEFT JOIN (SELECT n_tok, sum(cnt) AS cnt FROM h GROUP BY 1) t
+    ON t.n_tok = l.n_tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS nc FROM h
+), diff AS (
+  SELECT s.source, s.ns, s.n_tok,
+         abs(CAST(s.cs AS DOUBLE) / CAST(s.ns AS DOUBLE)
+             - CAST(c.cc AS DOUBLE) / CAST(t.nc AS DOUBLE)) AS d
+  FROM scum s JOIN ccum c USING (n_tok) CROSS JOIN tot t
+), ranked AS (
+  SELECT source, ns, n_tok, d,
+         row_number() OVER (PARTITION BY source ORDER BY d DESC, n_tok ASC) AS rk
+  FROM diff
+)
+SELECT source, ns AS n_docs, d AS ks_d, CAST(n_tok AS BIGINT) AS ks_at_len
+FROM ranked WHERE rk = 1
+"""

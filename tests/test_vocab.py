@@ -154,3 +154,46 @@ class TestDocBigramXent:
         # cross-entropy under add-one smoothing is positive and bounded
         # by ln of the smoothed denominator
         assert (got["xent"] > 0).all()
+
+
+class TestLengthKsDrift:
+    def test_vs_sql_and_bounds(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["source_length_ks_drift"](sf)
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        sql = E.oracle_sql()["source_length_ks_drift"].replace(
+            "sf0.01.parquet", "sf0.001.parquet"
+        )
+        want = (
+            duckdb.connect().execute(sql).df().sort_values("source").reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        assert got["ks_d"].between(0, 1).all()
+
+    def test_ks_hand_computed(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from dtaidistance_ray.stages.vocab import length_ks_drift
+
+        # source a: lengths all 8; source b: lengths all 32
+        # corpus = 4x len-8 + 4x len-32 -> F_c(8) = 0.5
+        # F_a(8) = 1.0 -> D_a = 0.5 at len 8; F_b(8) = 0 -> D_b = 0.5 at len 8
+        df = pd.DataFrame(
+            {
+                "source": ["a"] * 4 + ["b"] * 4,
+                "n_tok": np.array([8] * 4 + [32] * 4, dtype=np.int32),
+            }
+        )
+        got = length_ks_drift(rd.from_pandas(df)).sort_values("source")
+        assert got["ks_d"].tolist() == [0.5, 0.5]
+        assert got["ks_at_len"].tolist() == [8, 8]
+        assert got["n_docs"].tolist() == [4, 4]
