@@ -961,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles_daily": events.value_percentiles_daily,
         "events_funnel_stages": events.funnel_stages,
         "events_seasonal_anomalies": events.seasonal_anomalies,
+        "events_retention_cohorts": events.retention_cohorts,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1076,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_percentiles_daily": events.VALUE_PERCENTILES_SQL,
         "events_funnel_stages": events.FUNNEL_SQL,
         "events_seasonal_anomalies": events.SEASONAL_ANOMALIES_SQL,
+        "events_retention_cohorts": events.RETENTION_COHORTS_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

@@ -1677,3 +1677,87 @@ SELECT event_type, bucket, x AS n_events, hod,
 FROM zval
 WHERE var > 0
 """
+
+
+def retention_cohorts(sf_dir: str, n_buckets: int = 64):
+    """Retention cohort triangle: each user is assigned to the cohort
+    of their first active day; for every (cohort_day, day_offset) the
+    operator reports how many cohort members were active again
+    ``day_offset`` days later, plus the cohort size and the retention
+    ratio — the classic DAU cohort analysis a rollup engine feeds.
+
+    Exactness: days are whole multiples of 86400s, so the offset is an
+    exact int64 division of the ns delta; counts are integers under
+    any partitioning; the ratio is round(n/size, 6) on both sides.
+
+    Scale shape: users hash into n_buckets co-partitions (each user's
+    full history lands in one group — the sessionize/funnel pattern),
+    the per-bucket pass emits one partial row per (cohort_day, offset)
+    seen in the bucket, and the final groupby-aggregate merge runs over
+    a key-space bounded by days^2/2 — independent of user count and
+    row count. The driver only holds the merged triangle."""
+    from ray.data.aggregate import Sum
+
+    ds = read_events(sf_dir, columns=["ts", "user_id"])
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
+        return batch
+
+    def cohort_partial(g: pd.DataFrame) -> pd.DataFrame:
+        day_ns = g["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64")
+        ud = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(np.int64), "day_ns": day_ns}
+        ).drop_duplicates()
+        fst = ud.groupby("user_id", as_index=False).agg(cohort_ns=("day_ns", "min"))
+        j = ud.merge(fst, on="user_id")
+        j["day_offset"] = (j["day_ns"] - j["cohort_ns"]) // (86_400 * 10**9)
+        out = j.groupby(["cohort_ns", "day_offset"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return out
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("user_bucket")
+        .map_groups(cohort_partial, batch_format="pandas")
+    )
+    merged = (
+        parts.groupby(["cohort_ns", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    base = merged[merged["day_offset"] == 0][["cohort_ns", "n_users"]].rename(
+        columns={"n_users": "cohort_size"}
+    )
+    out = merged.merge(base, on="cohort_ns")
+    out["cohort_day"] = out["cohort_ns"].astype("datetime64[ns]")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["cohort_size"] = out["cohort_size"].astype("int64")
+    out["day_offset"] = out["day_offset"].astype("int64")
+    out["retention_pct"] = np.round(
+        out["n_users"].to_numpy(np.float64) / out["cohort_size"].to_numpy(np.float64),
+        6,
+    )
+    return out[["cohort_day", "day_offset", "n_users", "cohort_size", "retention_pct"]]
+
+
+RETENTION_COHORTS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), fst AS (
+  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
+), joined AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, u.day) AS BIGINT) AS day_offset
+  FROM ud u JOIN fst f USING (user_id)
+), counts AS (
+  SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+  FROM joined GROUP BY 1, 2
+)
+SELECT c.cohort_day, c.day_offset, c.n_users,
+       c0.n_users AS cohort_size,
+       round(CAST(c.n_users AS DOUBLE) / c0.n_users, 6) AS retention_pct
+FROM counts c JOIN counts c0
+  ON c0.cohort_day = c.cohort_day AND c0.day_offset = 0
+"""

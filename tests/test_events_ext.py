@@ -154,3 +154,56 @@ class TestPercentilesAndFunnel:
         both = got[(got["us_view_to_click"] >= 0) & (got["us_view_to_purchase"] >= 0)]
         assert (both["us_view_to_purchase"] > both["us_view_to_click"]).all()
         assert got["funnel_stage"].between(0, 3).all()
+
+
+class TestRetentionCohorts:
+    def test_vs_sql(self, ray_session):
+        got = _canon(_run(events.retention_cohorts))
+        want = _canon(_duck(events.RETENTION_COHORTS_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # triangle invariants: offset-0 row is the full cohort; counts
+        # never exceed the cohort; ratio in (0, 1]
+        base = got[got["day_offset"] == 0]
+        assert (base["n_users"] == base["cohort_size"]).all()
+        assert (got["n_users"] <= got["cohort_size"]).all()
+        assert (got["retention_pct"] > 0).all() and (got["retention_pct"] <= 1).all()
+
+    def test_hand_built(self, ray_session, tmp_path):
+        # u1 active day0+day1+day3, u2 active day0 only, u3 active day1+day2
+        ts = pd.to_datetime(
+            [
+                "2024-01-01 05:00",  # u1 day0
+                "2024-01-01 07:00",  # u1 day0 (dup day)
+                "2024-01-02 01:00",  # u1 day1
+                "2024-01-04 12:00",  # u1 day3
+                "2024-01-01 09:00",  # u2 day0
+                "2024-01-02 03:00",  # u3 day1 (cohort starts day1)
+                "2024-01-03 03:00",  # u3 day2
+            ]
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": range(7),
+                "ts": ts,
+                "user_id": [1, 1, 1, 1, 2, 3, 3],
+                "event_type": ["view"] * 7,
+                "value": [1.0] * 7,
+                "props": [""] * 7,
+            }
+        )
+        df.to_parquet(tmp_path / "events.parquet")
+        got = events.retention_cohorts(str(tmp_path)).sort_values(
+            ["cohort_day", "day_offset"]
+        ).reset_index(drop=True)
+        d0 = pd.Timestamp("2024-01-01")
+        d1 = pd.Timestamp("2024-01-02")
+        want = pd.DataFrame(
+            {
+                "cohort_day": [d0, d0, d0, d1, d1],
+                "day_offset": [0, 1, 3, 0, 1],
+                "n_users": [2, 1, 1, 1, 1],
+                "cohort_size": [2, 2, 2, 1, 1],
+                "retention_pct": [1.0, 0.5, 0.5, 1.0, 1.0],
+            }
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
