@@ -962,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_stages": events.funnel_stages,
         "events_seasonal_anomalies": events.seasonal_anomalies,
         "events_retention_cohorts": events.retention_cohorts,
+        "events_user_interarrival": events.user_interarrival_stats,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1078,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel_stages": events.FUNNEL_SQL,
         "events_seasonal_anomalies": events.SEASONAL_ANOMALIES_SQL,
         "events_retention_cohorts": events.RETENTION_COHORTS_SQL,
+        "events_user_interarrival": events.USER_INTERARRIVAL_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

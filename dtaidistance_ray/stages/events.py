@@ -1761,3 +1761,92 @@ SELECT c.cohort_day, c.day_offset, c.n_users,
 FROM counts c JOIN counts c0
   ON c0.cohort_day = c.cohort_day AND c0.day_offset = 0
 """
+
+
+def user_interarrival_stats(sf_dir: str, n_buckets: int = 64):
+    """Per-user inter-arrival gap statistics (engagement cadence):
+    consecutive events per user ordered by (ts, event_id); reports the
+    gap count, exact mean gap in microseconds, the discrete p50 gap
+    (rank (50*n+99)//100 over the sorted gaps — the engine's standard
+    inverse-CDF convention), and the max gap. Users with fewer than
+    two events have no gaps and are omitted, matching the oracle.
+
+    Exactness: gaps are int64 microsecond differences; the mean is the
+    single f64 division of the exact int sum — the same operation
+    order as the oracle; p50/max are integers.
+
+    Scale shape: bucketed user co-partitioning (sessionize pattern);
+    the per-bucket pass is two vectorized sorts + cumcount — no
+    per-user Python."""
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_id"])
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
+        return batch
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        same = uid[1:] == uid[:-1]
+        df = pd.DataFrame(
+            {"user_id": uid[1:][same], "gap_us": (us[1:] - us[:-1])[same]}
+        )
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "mean_gap_us": pd.Series([], dtype="float64"),
+                    "p50_gap_us": pd.Series([], dtype="int64"),
+                    "max_gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = df.groupby("user_id", as_index=False, sort=True).agg(
+            n_gaps=("gap_us", "size"),
+            sum_gap=("gap_us", "sum"),
+            max_gap_us=("gap_us", "max"),
+        )
+        d2 = df.sort_values(["user_id", "gap_us"], kind="mergesort").reset_index(drop=True)
+        rk = d2.groupby("user_id").cumcount().to_numpy(np.int64) + 1
+        n = d2["user_id"].map(agg.set_index("user_id")["n_gaps"]).to_numpy(np.int64)
+        sel = rk == (50 * n + 99) // 100
+        p50 = d2.loc[sel, ["user_id", "gap_us"]].rename(columns={"gap_us": "p50_gap_us"})
+        out = agg.merge(p50, on="user_id")
+        out["mean_gap_us"] = out["sum_gap"].to_numpy(np.float64) / out[
+            "n_gaps"
+        ].to_numpy(np.float64)
+        for c in ("user_id", "n_gaps", "p50_gap_us", "max_gap_us"):
+            out[c] = out[c].astype("int64")
+        return out[["user_id", "n_gaps", "mean_gap_us", "p50_gap_us", "max_gap_us"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("user_bucket")
+        .map_groups(gaps_bucket, batch_format="pandas")
+    )
+
+
+USER_INTERARRIVAL_SQL = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), gaps AS (
+  SELECT user_id, us - prev AS gap FROM ordered WHERE prev IS NOT NULL
+), ranked AS (
+  SELECT user_id, gap,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(gap) OVER (PARTITION BY user_id) AS s,
+         max(gap) OVER (PARTITION BY user_id) AS mx
+  FROM gaps
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_gap_us,
+       CAST(min(CASE WHEN rk >= (50 * n + 99) // 100 THEN gap END) AS BIGINT)
+         AS p50_gap_us,
+       CAST(max(mx) AS BIGINT) AS max_gap_us
+FROM ranked GROUP BY user_id
+"""

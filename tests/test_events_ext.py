@@ -207,3 +207,42 @@ class TestRetentionCohorts:
             }
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestUserInterarrival:
+    def test_vs_sql(self, ray_session):
+        got = _canon(_run(events.user_interarrival_stats))
+        want = _canon(_duck(events.USER_INTERARRIVAL_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        assert (got["p50_gap_us"] <= got["max_gap_us"]).all()
+        assert (got["mean_gap_us"] <= got["max_gap_us"]).all()
+        assert (got["n_gaps"] >= 1).all()
+
+    def test_hand_built(self, ray_session, tmp_path):
+        # u1 gaps: 10us, 30us, 20us -> sorted [10,20,30], n=3,
+        # p50 rank=(150+99)//100=2 -> 20; u2 single event -> omitted
+        base = pd.Timestamp("2024-01-01")
+        ts = [
+            base,
+            base + pd.Timedelta(microseconds=10),
+            base + pd.Timedelta(microseconds=40),
+            base + pd.Timedelta(microseconds=60),
+            base + pd.Timedelta(hours=1),
+        ]
+        df = pd.DataFrame(
+            {
+                "event_id": range(5),
+                "ts": ts,
+                "user_id": [1, 1, 1, 1, 2],
+                "event_type": ["view"] * 5,
+                "value": [1.0] * 5,
+                "props": [""] * 5,
+            }
+        )
+        df.to_parquet(tmp_path / "events.parquet")
+        got = events.user_interarrival_stats(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert r["user_id"] == 1 and r["n_gaps"] == 3
+        assert r["p50_gap_us"] == 20 and r["max_gap_us"] == 30
+        assert r["mean_gap_us"] == 60.0 / 3
