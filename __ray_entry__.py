@@ -963,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_anomalies": events.seasonal_anomalies,
         "events_retention_cohorts": events.retention_cohorts,
         "events_user_interarrival": events.user_interarrival_stats,
+        "events_dau_wau_stickiness": events.dau_wau_stickiness,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1080,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonal_anomalies": events.SEASONAL_ANOMALIES_SQL,
         "events_retention_cohorts": events.RETENTION_COHORTS_SQL,
         "events_user_interarrival": events.USER_INTERARRIVAL_SQL,
+        "events_dau_wau_stickiness": events.DAU_WAU_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

@@ -1850,3 +1850,105 @@ SELECT user_id,
        CAST(max(mx) AS BIGINT) AS max_gap_us
 FROM ranked GROUP BY user_id
 """
+
+
+def dau_wau_stickiness(sf_dir: str, n_buckets: int = 64):
+    """DAU / WAU / stickiness per day: distinct active users that day,
+    distinct users active in the trailing 7-day window, and the
+    DAU/WAU ratio — the standard engagement rollup.
+
+    The rolling distinct count never runs a windowed-distinct shuffle:
+    users hash into n_buckets co-partitions; within a bucket each
+    distinct (user, active-day) expands to the <=7 window days it
+    covers, the (user, window-day) pairs dedup locally, and the bucket
+    emits exact integer partial counts per day. The final merge is a
+    groupby-sum over a key-space bounded by the calendar — counting a
+    user once per window is guaranteed because all of a user's rows
+    live in one bucket.
+
+    Exactness: integer counts under any partitioning; stickiness is
+    round() of one f64 division of exact ints — bit-equal to the
+    oracle. Days beyond the data's max day are not emitted, and days
+    with an empty trailing window are absent on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = read_events(sf_dir, columns=["ts", "user_id"])
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
+        return batch
+
+    # global day bounds: tiny exact reduction (2 ints)
+    import ray.data as rd
+
+    bounds = (
+        ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "lo": [b["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64").min()],
+                    "hi": [b["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64").max()],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    day_ns = 86_400 * 10**9
+    lo_d = int(bounds["lo"].min()) // day_ns
+    hi_d = int(bounds["hi"].max()) // day_ns
+
+    def window_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64") // day_ns
+        ud = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(np.int64), "d": d.to_numpy()}
+        ).drop_duplicates()
+        # DAU partials
+        dau = ud.groupby("d", as_index=False).agg(dau=("user_id", "size"))
+        # expand each active day to the window days it covers
+        u = np.repeat(ud["user_id"].to_numpy(), 7)
+        wd = (ud["d"].to_numpy()[:, None] + np.arange(7)[None, :]).ravel()
+        keep = wd <= hi_d
+        cover = pd.DataFrame({"user_id": u[keep], "d": wd[keep]}).drop_duplicates()
+        wau = cover.groupby("d", as_index=False).agg(wau=("user_id", "size"))
+        out = wau.merge(dau, on="d", how="left")
+        out["dau"] = out["dau"].fillna(0).astype("int64")
+        out["wau"] = out["wau"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("user_bucket")
+        .map_groups(window_partial, batch_format="pandas")
+    )
+    merged = (
+        parts.groupby("d")
+        .aggregate(Sum("dau", alias_name="dau"), Sum("wau", alias_name="wau"))
+        .to_pandas()
+    )
+    merged["day"] = (merged["d"] * day_ns).astype("datetime64[ns]")
+    merged["dau"] = merged["dau"].astype("int64")
+    merged["wau"] = merged["wau"].astype("int64")
+    merged["stickiness"] = np.round(
+        merged["dau"].to_numpy(np.float64) / merged["wau"].to_numpy(np.float64), 6
+    )
+    return merged[["day", "dau", "wau", "stickiness"]]
+
+
+DAU_WAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+), bounds AS (
+  SELECT max(day) AS hi FROM ud
+), cover AS (
+  SELECT DISTINCT u.user_id, u.day + (INTERVAL 1 DAY) * o.k AS wday
+  FROM ud u, (SELECT unnest(generate_series(0, 6)) AS k) o, bounds b
+  WHERE u.day + (INTERVAL 1 DAY) * o.k <= b.hi
+), wau AS (
+  SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau FROM cover GROUP BY 1
+)
+SELECT w.day, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, w.wau,
+       round(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau, 6) AS stickiness
+FROM wau w LEFT JOIN dau d USING (day)
+"""

@@ -246,3 +246,37 @@ class TestUserInterarrival:
         assert r["user_id"] == 1 and r["n_gaps"] == 3
         assert r["p50_gap_us"] == 20 and r["max_gap_us"] == 30
         assert r["mean_gap_us"] == 60.0 / 3
+
+
+class TestDauWau:
+    def test_vs_sql(self, ray_session):
+        got = _canon(_run(events.dau_wau_stickiness))
+        want = _canon(_duck(events.DAU_WAU_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        assert (got["dau"] <= got["wau"]).all()
+        assert (got["stickiness"] <= 1.0).all()
+
+    def test_hand_built(self, ray_session, tmp_path):
+        # u1 active day0; u2 active day0 and day8; grid ends day8.
+        # day0: dau=2 wau=2; days1-6: dau=0 wau=2 (both windows cover);
+        # day7: only u2's day8? no - u2 active day0 covers day0..6,
+        # day8 covers day8..; day7 window [1..7] has nobody -> absent.
+        # day8: dau=1 wau=1.
+        ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-09 10:00"])
+        df = pd.DataFrame(
+            {
+                "event_id": range(3),
+                "ts": ts,
+                "user_id": [1, 2, 2],
+                "event_type": ["view"] * 3,
+                "value": [1.0] * 3,
+                "props": [""] * 3,
+            }
+        )
+        df.to_parquet(tmp_path / "events.parquet")
+        got = events.dau_wau_stickiness(str(tmp_path)).sort_values("day").reset_index(drop=True)
+        days = (got["day"] - pd.Timestamp("2024-01-01")).dt.days.tolist()
+        assert days == [0, 1, 2, 3, 4, 5, 6, 8]
+        assert got["dau"].tolist() == [2, 0, 0, 0, 0, 0, 0, 1]
+        assert got["wau"].tolist() == [2, 2, 2, 2, 2, 2, 2, 1]
+        assert got.iloc[0]["stickiness"] == 1.0 and got.iloc[1]["stickiness"] == 0.0
