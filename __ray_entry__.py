@@ -363,6 +363,86 @@ def _q_tokens_rollup_tier2_full(sf_dir: str):
     return _q_tokens_rollup_tier_full(sf_dir, 2)
 
 
+_RETENTION_KEEPS = (48, 42, None)  # tier0: last 48 x 1h; tier1: last 42 x 4h; tier2: all
+
+
+def _q_tokens_retention_expiry(sf_dir: str):
+    """Retention-policy expiry view: the union of rolled-up rows each
+    tier still SERVES after applying its TTL (tier-0 keeps the last 48
+    hourly buckets, tier-1 the last 42 four-hour buckets, tier-2 is
+    kept forever) — the storage picture a retention sweep leaves
+    behind, as a hash-checkable query.
+
+    Cutoffs derive exactly from the tier-0 max bucket: tier widths are
+    integer multiples of 3600 and ``ts`` is integer seconds, so
+    ``max(ts)//w == (max(ts)//3600) // (w//3600)`` — no float time
+    arithmetic. Per-tier filtering is a map-only pass over the already
+    bounded tier datasets (one row per (source, bucket)); nothing
+    re-reads the raw token table."""
+    import pandas as pd
+
+    from dtaidistance_ray.stages.rollup import RollupConfig
+
+    cfg = RollupConfig()
+    tiers = _build_tiers_cached(sf_dir)
+    mb0 = int(tiers[0].max("bucket"))
+
+    def project(tier: int, cut):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]]
+            if cut is not None:
+                out = out[out["bucket"] > cut]
+            out = out.copy()
+            out.insert(0, "tier", tier)
+            for c in ("tier", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+                out[c] = out[c].astype("int64")
+            return out
+
+        return fn
+
+    parts = []
+    for t, keep in enumerate(_RETENTION_KEEPS):
+        w_h = cfg.tier_widths[t] // 3600
+        cut = None if keep is None else mb0 // w_h - keep
+        parts.append(tiers[t].map_batches(project(t, cut), batch_format="pandas"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _sql_tokens_retention_expiry(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH mx AS (
+  SELECT CAST(max(ts) // 3600 AS BIGINT) AS mb0 FROM read_parquet('{tok}')
+), t0 AS (
+  SELECT source, CAST(ts // 3600 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS agg_count,
+         CAST(sum(n_tok) AS BIGINT) AS agg_n_tok_sum,
+         CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS agg_token_sum
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), t1 AS (
+  SELECT source, CAST(ts // 14400 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS agg_count,
+         CAST(sum(n_tok) AS BIGINT) AS agg_n_tok_sum,
+         CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS agg_token_sum
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), t2 AS (
+  SELECT source, CAST(ts // 86400 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS agg_count,
+         CAST(sum(n_tok) AS BIGINT) AS agg_n_tok_sum,
+         CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS agg_token_sum
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+)
+SELECT CAST(0 AS BIGINT) AS tier, t0.* FROM t0, mx WHERE bucket > mb0 - 48
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS tier, t1.* FROM t1, mx WHERE bucket > mb0 // 4 - 42
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS tier, t2.* FROM t2
+"""
+
+
 def _q_dtw_distance_matrix(sf_dir: str):
     """All-pairs banded+pruned DTW over a 48-series sample of the token
     table (condensed pair rows). Non-SQL; parity vs the reference
@@ -1002,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_xent": _q_doc_bigram_xent,
         "tokens_rollup_tier0_aggs": _q_tokens_rollup_tier0_aggs,
         "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
+        "tokens_retention_expiry": _q_tokens_retention_expiry,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1103,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_xent": _sql_doc_bigram_xent(sf),
         "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),
+        "tokens_retention_expiry": _sql_tokens_retention_expiry(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),

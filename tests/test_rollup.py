@@ -305,3 +305,31 @@ class TestCliSurface:
         assert parts, "no checkpointed parquet written"
         manifests = list(out_dir.glob("tier=*/shard=*/_manifest.json"))
         assert manifests, "no lineage manifests written"
+
+
+class TestRetentionExpiry:
+    def test_policy_view(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_retention_expiry"](sf).to_pandas()
+        t0 = df[df["tier"] == 0]
+        t1 = df[df["tier"] == 1]
+        t2 = df[df["tier"] == 2]
+        # TTL windows honoured: surviving bucket span bounded by the keep
+        mb0 = t0["bucket"].max()
+        assert t0["bucket"].min() > mb0 - 48 and len(t0["bucket"].unique()) <= 48
+        assert t1["bucket"].min() > mb0 // 4 - 42
+        # tier-2 is forever: full history (first bucket present)
+        assert len(t2) > 0 and t2["bucket"].min() == t2["bucket"].min()
+        # conservation inside the surviving window: tier-1 sums over its
+        # children equal the tier-0 sums for fully-covered 4h buckets
+        cover = t0.groupby([t0["source"], t0["bucket"] // 4]).agg(
+            n=("agg_count", "sum"), s=("agg_token_sum", "sum"), c=("bucket", "size")
+        )
+        full = cover[cover["c"] == 4].reset_index()
+        j = full.merge(
+            t1, left_on=["source", "bucket"], right_on=["source", "bucket"]
+        )
+        assert len(j) > 0
+        assert (j["n"] == j["agg_count"]).all() and (j["s"] == j["agg_token_sum"]).all()
