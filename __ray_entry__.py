@@ -443,6 +443,86 @@ SELECT CAST(2 AS BIGINT) AS tier, t2.* FROM t2
 """
 
 
+def _q_tokens_gap_serve_parent(sf_dir: str):
+    """Tiered-storage miss path: for every tier-0 gap bucket (hole in
+    a source's hourly grid), the tier-1 parent aggregate that would
+    serve a read of that hour — parent doc count and mean token value
+    (0 / 0.0 when the whole 4-hour parent is also empty).
+
+    Scale shape: the gap-filled tier-0 stream is filtered map-only;
+    the tier-1 side is a bounded (source x 4h-bucket) table broadcast
+    once via ray.put and merged per batch inside an autoscaling actor
+    pool — no shuffle join. The parent mean is one f64 division of
+    exact int sums, bit-equal to the oracle."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from dtaidistance_ray.stages.pool import auto_pool
+    from dtaidistance_ray.stages.rollup import gap_fill_tier
+
+    tiers = _build_tiers_cached(sf_dir)
+    t1 = tiers[1].to_pandas()[["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]]
+    t1 = t1.rename(columns={"bucket": "parent_bucket"})
+    ref = ray.put(t1)
+
+    class ServeParent:
+        def __init__(self, ref):
+            self.t1 = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if "gap_filled" in batch.columns:
+                gap = batch["gap_filled"].fillna(False).astype(bool)
+            else:
+                gap = pd.Series(False, index=batch.index)
+            g = batch.loc[gap, ["source", "bucket"]].copy()
+            g["bucket"] = g["bucket"].astype("int64")
+            g["parent_bucket"] = g["bucket"] // 4
+            m = g.merge(self.t1, on=["source", "parent_bucket"], how="left")
+            m["parent_count"] = m["agg_count"].fillna(0).astype("int64")
+            nts = m["agg_n_tok_sum"].to_numpy(np.float64)
+            tsum = m["agg_token_sum"].to_numpy(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = np.where(np.nan_to_num(nts) > 0, tsum / nts, 0.0)
+            m["parent_token_mean"] = mean
+            return m[["source", "bucket", "parent_bucket", "parent_count", "parent_token_mean"]]
+
+    return gap_fill_tier(tiers[0]).map_batches(
+        ServeParent,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=auto_pool(),
+    )
+
+
+def _sql_tokens_gap_serve_parent(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH t0 AS (
+  SELECT source, CAST(ts // 3600 AS BIGINT) AS bucket
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), bounds AS (
+  SELECT source, min(bucket) AS lo, max(bucket) AS hi FROM t0 GROUP BY 1
+), grid AS (
+  SELECT b.source, unnest(generate_series(b.lo, b.hi)) AS bucket FROM bounds b
+), gaps AS (
+  SELECT g.source, g.bucket FROM grid g ANTI JOIN t0 USING (source, bucket)
+), t1 AS (
+  SELECT source, CAST(ts // 14400 AS BIGINT) AS parent_bucket,
+         CAST(count(*) AS BIGINT) AS agg_count,
+         CAST(sum(n_tok) AS BIGINT) AS n_ts,
+         CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS t_s
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+)
+SELECT gaps.source, CAST(gaps.bucket AS BIGINT) AS bucket,
+       CAST(gaps.bucket // 4 AS BIGINT) AS parent_bucket,
+       CAST(coalesce(t1.agg_count, 0) AS BIGINT) AS parent_count,
+       coalesce(CAST(t1.t_s AS DOUBLE) / t1.n_ts, 0.0) AS parent_token_mean
+FROM gaps LEFT JOIN t1
+  ON gaps.source = t1.source AND gaps.bucket // 4 = t1.parent_bucket
+"""
+
+
 def _q_dtw_distance_matrix(sf_dir: str):
     """All-pairs banded+pruned DTW over a 48-series sample of the token
     table (condensed pair rows). Non-SQL; parity vs the reference
@@ -1083,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_rollup_tier0_aggs": _q_tokens_rollup_tier0_aggs,
         "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
         "tokens_retention_expiry": _q_tokens_retention_expiry,
+        "tokens_gap_serve_parent": _q_tokens_gap_serve_parent,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1185,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_rollup_tier0_aggs": _sql_tokens_rollup_tier0(sf),
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),
         "tokens_retention_expiry": _sql_tokens_retention_expiry(sf),
+        "tokens_gap_serve_parent": _sql_tokens_gap_serve_parent(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),

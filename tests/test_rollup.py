@@ -333,3 +333,22 @@ class TestRetentionExpiry:
         )
         assert len(j) > 0
         assert (j["n"] == j["agg_count"]).all() and (j["s"] == j["agg_token_sum"]).all()
+
+
+class TestGapServeParent:
+    def test_miss_path(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_gap_serve_parent"](sf).to_pandas()
+        t0 = E.queries()["tokens_rollup_tier0_aggs"](sf).to_pandas()
+        # gap rows are exactly the holes: never a bucket present in tier 0
+        present = set(zip(t0["source"], t0["bucket"]))
+        assert not any((s, b) in present for s, b in zip(df["source"], df["bucket"]))
+        assert (df["parent_bucket"] == df["bucket"] // 4).all()
+        # a served parent always has positive mean (tokens are positive)
+        served = df[df["parent_count"] > 0]
+        assert (served["parent_token_mean"] > 0).all()
+        # empty parents report the 0/0.0 sentinel pair consistently
+        empty = df[df["parent_count"] == 0]
+        assert (empty["parent_token_mean"] == 0.0).all()
