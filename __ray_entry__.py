@@ -523,6 +523,127 @@ FROM gaps LEFT JOIN t1
 """
 
 
+def _q_tokens_downsample_fidelity(sf_dir: str):
+    """Downsample-fidelity audit: for each tier-1 bucket, the maximum
+    absolute deviation between any child tier-0 hourly token mean and
+    the parent 4-hour mean — how much information the coarser tier
+    loses per bucket. Means are single f64 divisions of exact integer
+    sums, so deviations and their max are bit-deterministic.
+
+    Scale shape: a map-only pass over the bounded tier-0 table that
+    re-derives the parent sums per batch-local group plus a final
+    bounded (source x parent-bucket) groupby merge — the raw token
+    table is never re-read."""
+    import numpy as np
+    import pandas as pd
+
+    tiers = _build_tiers_cached(sf_dir)
+
+    def child_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]].copy()
+        for c in ("bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+            out[c] = out[c].astype("int64")
+        out["parent_bucket"] = out["bucket"] // 4
+        return out
+
+    # the tier-0 table is bounded by (source x hour); one distributed
+    # pass emits child rows, the parent-side sums re-aggregate exactly
+    children = tiers[0].map_batches(child_rows, batch_format="pandas").to_pandas()
+    par = children.groupby(["source", "parent_bucket"], as_index=False).agg(
+        n_children=("bucket", "size"),
+        p_ntok=("agg_n_tok_sum", "sum"),
+        p_tsum=("agg_token_sum", "sum"),
+    )
+    j = children.merge(par, on=["source", "parent_bucket"])
+    child_mean = j["agg_token_sum"].to_numpy(np.float64) / j["agg_n_tok_sum"].to_numpy(
+        np.float64
+    )
+    parent_mean = j["p_tsum"].to_numpy(np.float64) / j["p_ntok"].to_numpy(np.float64)
+    j["dev"] = np.abs(child_mean - parent_mean)
+    out = j.groupby(["source", "parent_bucket"], as_index=False).agg(
+        n_children=("dev", "size"), max_abs_dev=("dev", "max")
+    )
+    out["parent_bucket"] = out["parent_bucket"].astype("int64")
+    out["n_children"] = out["n_children"].astype("int64")
+    return out
+
+
+def _sql_tokens_downsample_fidelity(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH t0 AS (
+  SELECT source, CAST(ts // 3600 AS BIGINT) AS bucket,
+         CAST(sum(n_tok) AS BIGINT) AS n_ts,
+         CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS t_s
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), par AS (
+  SELECT source, bucket // 4 AS parent_bucket,
+         CAST(count(*) AS BIGINT) AS n_children,
+         CAST(sum(n_ts) AS BIGINT) AS p_ntok,
+         CAST(sum(t_s) AS BIGINT) AS p_tsum
+  FROM t0 GROUP BY 1, 2
+)
+SELECT t0.source, CAST(par.parent_bucket AS BIGINT) AS parent_bucket,
+       max(par.n_children) AS n_children,
+       max(abs(CAST(t0.t_s AS DOUBLE) / t0.n_ts
+               - CAST(par.p_tsum AS DOUBLE) / par.p_ntok)) AS max_abs_dev
+FROM t0 JOIN par ON t0.source = par.source AND t0.bucket // 4 = par.parent_bucket
+GROUP BY 1, 2
+"""
+
+
+def _q_tokens_source_skew(sf_dir: str):
+    """Hot-source skew report: per hourly bucket, the dominant source
+    and its share of the bucket's documents — the signal a shuffle
+    planner uses to decide which keys need salting. Ties break to the
+    lexicographically-smallest source on both sides.
+
+    Scale shape: derives from the bounded tier-0 table; one vectorized
+    argmax per bucket over a frame whose size is (source x hour)."""
+    import numpy as np
+    import pandas as pd
+
+    tiers = _build_tiers_cached(sf_dir)
+    t0 = tiers[0].to_pandas()[["source", "bucket", "agg_count"]]
+    t0["bucket"] = t0["bucket"].astype("int64")
+    t0 = t0.sort_values(["bucket", "agg_count", "source"],
+                        ascending=[True, False, True], kind="mergesort")
+    total = t0.groupby("bucket", as_index=False).agg(
+        total_docs=("agg_count", "sum"), n_sources=("source", "size")
+    )
+    top = t0.drop_duplicates("bucket", keep="first")[["bucket", "source", "agg_count"]]
+    top = top.rename(columns={"source": "top_source", "agg_count": "top_docs"})
+    out = total.merge(top, on="bucket")
+    out["top_share"] = np.round(
+        out["top_docs"].to_numpy(np.float64) / out["total_docs"].to_numpy(np.float64), 6
+    )
+    for c in ("bucket", "total_docs", "n_sources", "top_docs"):
+        out[c] = out[c].astype("int64")
+    return out[["bucket", "total_docs", "n_sources", "top_source", "top_docs", "top_share"]]
+
+
+def _sql_tokens_source_skew(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH t0 AS (
+  SELECT source, CAST(ts // 3600 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS docs
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), ranked AS (
+  SELECT bucket, source, docs,
+         row_number() OVER (PARTITION BY bucket ORDER BY docs DESC, source) AS rk,
+         sum(docs) OVER (PARTITION BY bucket) AS total_docs,
+         count(*) OVER (PARTITION BY bucket) AS n_sources
+  FROM t0
+)
+SELECT bucket, CAST(total_docs AS BIGINT) AS total_docs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       source AS top_source, docs AS top_docs,
+       round(CAST(docs AS DOUBLE) / total_docs, 6) AS top_share
+FROM ranked WHERE rk = 1
+"""
+
+
 def _q_dtw_distance_matrix(sf_dir: str):
     """All-pairs banded+pruned DTW over a 48-series sample of the token
     table (condensed pair rows). Non-SQL; parity vs the reference
@@ -1164,6 +1285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_rollup_tier1_aggs": _q_tokens_rollup_tier1_aggs,
         "tokens_retention_expiry": _q_tokens_retention_expiry,
         "tokens_gap_serve_parent": _q_tokens_gap_serve_parent,
+        "tokens_downsample_fidelity": _q_tokens_downsample_fidelity,
+        "tokens_source_skew": _q_tokens_source_skew,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1267,6 +1390,8 @@ def oracle_sql() -> dict[str, str]:
         "tokens_rollup_tier1_aggs": _sql_tokens_rollup_tier1(sf),
         "tokens_retention_expiry": _sql_tokens_retention_expiry(sf),
         "tokens_gap_serve_parent": _sql_tokens_gap_serve_parent(sf),
+        "tokens_downsample_fidelity": _sql_tokens_downsample_fidelity(sf),
+        "tokens_source_skew": _sql_tokens_source_skew(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),

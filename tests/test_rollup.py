@@ -352,3 +352,32 @@ class TestGapServeParent:
         # empty parents report the 0/0.0 sentinel pair consistently
         empty = df[df["parent_count"] == 0]
         assert (empty["parent_token_mean"] == 0.0).all()
+
+
+class TestFidelityAndSkew:
+    def test_downsample_fidelity(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_downsample_fidelity"](sf)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        assert (df["max_abs_dev"] >= 0).all()
+        assert df["n_children"].between(1, 4).all()
+        # single-child parents have zero deviation by construction
+        solo = df[df["n_children"] == 1]
+        if len(solo):
+            assert (solo["max_abs_dev"] == 0).all()
+
+    def test_source_skew(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_source_skew"](sf)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        assert df["bucket"].is_unique
+        assert (df["top_docs"] <= df["total_docs"]).all()
+        # the dominant share is at least the uniform share (top_share
+        # is rounded to 6 dp, so allow that rounding times n_sources)
+        assert (
+            df["top_share"] * df["n_sources"] >= 1.0 - 1e-5 * df["n_sources"]
+        ).all()
