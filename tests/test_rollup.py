@@ -381,3 +381,52 @@ class TestFidelityAndSkew:
         assert (
             df["top_share"] * df["n_sources"] >= 1.0 - 1e-5 * df["n_sources"]
         ).all()
+
+
+class TestIncrementalRefresh:
+    def test_bit_equal_to_full_rerun(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dtaidistance_ray.pipelines.refresh import refresh_tier0
+        from dtaidistance_ray.sources.synth import derive_ts, token_table_arrow
+        from dtaidistance_ray.stages.rollup import bucketize
+        from dtaidistance_ray.stages.rollup_scan import scan_rollup_base_tier
+
+        at = token_table_arrow(SPEC)
+        ids = np.array([int(d[1:]) for d in at["doc_id"].to_pylist()], dtype=np.int64)
+        ts = derive_ts(ids, SPEC)
+        at = at.append_column("ts", pa.array(ts, pa.int64()))
+        cut = int(np.quantile(ts, 0.8))
+        old = rd.from_arrow(at.filter(pa.array(ts < cut)))
+        delta_tbl = at.filter(pa.array(ts >= cut))
+        delta = rd.from_arrow(delta_tbl)
+        comb = rd.from_arrow(at)
+
+        existing = scan_rollup_base_tier(bucketize(old, 3600, SPEC), CFG)
+        refreshed, dk = refresh_tier0(existing, comb, delta, CFG, SPEC)
+        full = scan_rollup_base_tier(bucketize(comb, 3600, SPEC), CFG)
+
+        got = _canon(refreshed.to_pandas())
+        want = _canon(full.to_pandas())
+        assert len(got) == len(want)
+        for col in ["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]:
+            assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+        for col in ["agg_token_min", "agg_token_max", "agg_token_mean"]:
+            np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy())
+        for a, b in zip(got["repr_series"], want["repr_series"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # the dirty set is exactly the delta's (source, hour) groups
+        want_dirty = set(
+            zip(delta_tbl["source"].to_pylist(),
+                (delta_tbl["ts"].to_numpy() // 3600).tolist())
+        )
+        assert set(zip(dk["source"], dk["bucket"])) == want_dirty
+        # refresh really skipped clean groups: pass-through rows ==
+        # total minus dirty
+        assert len(got) - len(dk) == len(
+            existing.to_pandas().merge(
+                dk, on=["source", "bucket"], how="left", indicator=True
+            ).query("_merge == 'left_only'")
+        )
