@@ -644,6 +644,47 @@ FROM ranked WHERE rk = 1
 """
 
 
+def _q_tokens_incremental_refresh(sf_dir: str):
+    """Gate proof of the incremental-refresh path: build the tier-0
+    rollup from the FIRST 80% of the time range only, then refresh it
+    with the remaining rows via pipelines.refresh.refresh_tier0
+    (dirty-group recompute + clean pass-through). The oracle is the
+    plain full-table tier-0 aggregate — a correct refresh is
+    indistinguishable from a full rerun, which is exactly the claim."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dtaidistance_ray.pipelines.refresh import refresh_tier0
+    from dtaidistance_ray.stages.rollup import RollupConfig, bucketize
+    from dtaidistance_ray.stages.rollup_scan import scan_rollup_base_tier
+
+    path = _ensure_token_parquet(sf_dir)
+    cfg = RollupConfig()
+    comb = rd.read_parquet(path)
+    # exact integer cutoff at 80% of the span
+    mm = comb.map_batches(
+        lambda b: pd.DataFrame({"lo": [int(b["ts"].min())], "hi": [int(b["ts"].max())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    cut = lo + (hi - lo) * 4 // 5
+
+    old = rd.read_parquet(path).filter(expr=f"ts < {cut}")
+    delta = rd.read_parquet(path).filter(expr=f"ts >= {cut}")
+    existing = scan_rollup_base_tier(bucketize(old, cfg.tier_widths[0], None), cfg)
+    refreshed, _dk = refresh_tier0(existing, comb, delta, cfg, None)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]].copy()
+        for c in ("bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+            out[c] = out[c].astype("int64")
+        out["agg_token_mean"] = batch["agg_token_mean"]
+        return out
+
+    return refreshed.map_batches(project, batch_format="pandas")
+
+
 def _q_dtw_distance_matrix(sf_dir: str):
     """All-pairs banded+pruned DTW over a 48-series sample of the token
     table (condensed pair rows). Non-SQL; parity vs the reference
@@ -1287,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_gap_serve_parent": _q_tokens_gap_serve_parent,
         "tokens_downsample_fidelity": _q_tokens_downsample_fidelity,
         "tokens_source_skew": _q_tokens_source_skew,
+        "tokens_incremental_refresh": _q_tokens_incremental_refresh,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1392,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_gap_serve_parent": _sql_tokens_gap_serve_parent(sf),
         "tokens_downsample_fidelity": _sql_tokens_downsample_fidelity(sf),
         "tokens_source_skew": _sql_tokens_source_skew(sf),
+        "tokens_incremental_refresh": _sql_tokens_rollup_tier0(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),
