@@ -1286,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention_cohorts": events.retention_cohorts,
         "events_user_interarrival": events.user_interarrival_stats,
         "events_dau_wau_stickiness": events.dau_wau_stickiness,
+        "events_out_of_order_audit": events.out_of_order_audit,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1409,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": events.RETENTION_COHORTS_SQL,
         "events_user_interarrival": events.USER_INTERARRIVAL_SQL,
         "events_dau_wau_stickiness": events.DAU_WAU_SQL,
+        "events_out_of_order_audit": events.OUT_OF_ORDER_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

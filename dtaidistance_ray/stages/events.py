@@ -1952,3 +1952,126 @@ SELECT w.day, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, w.wau,
        round(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau, 6) AS stickiness
 FROM wau w LEFT JOIN dau d USING (day)
 """
+
+
+def out_of_order_audit(sf_dir: str, shard_width: int = 1024):
+    """Watermark / out-of-order arrival audit: treating event_id as the
+    arrival sequence, an event is LATE when its timestamp is behind the
+    running maximum timestamp of everything that arrived before it
+    (within its event_type stream). Reports per (event_type, day of the
+    event's own ts): event count, late count, and the worst skew in
+    microseconds — the numbers that size a streaming watermark.
+
+    Scale shape: the running max is a classic sequential prefix, made
+    distributed the engine's usual way — arrival ids hash into ORDERED
+    range shards (event_id // shard_width); pass 1 collects per-shard
+    max timestamps (bounded partial rows), the driver prefix-scans that
+    bounded list into an incoming-watermark per shard, and pass 2
+    co-partitions rows by shard and applies a vectorized cummax with
+    the broadcast incoming prefix. No stage ever orders the full
+    stream globally.
+
+    Exactness: timestamps are int64 microseconds throughout; counts and
+    max-skews are integers under any partitioning."""
+    from ray.data.aggregate import Max, Sum
+
+    import ray
+
+    ds = read_events(sf_dir, columns=["ts", "event_id", "event_type"])
+
+    def p1(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "shard": batch["event_id"].to_numpy(np.int64) // shard_width,
+                "us": batch["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+        return b.groupby(["event_type", "shard"], as_index=False).agg(max_us=("us", "max"))
+
+    parts = (
+        ds.map_batches(p1, batch_format="pandas")
+        .groupby(["event_type", "shard"])
+        .aggregate(Max("max_us", alias_name="max_us"))
+        .to_pandas()
+    )
+    # bounded driver prefix-scan: one row per (type, shard)
+    parts = parts.sort_values(["event_type", "shard"], kind="mergesort")
+    incoming: dict = {}
+    for et, g in parts.groupby("event_type"):
+        run = -1
+        for shard, mx in zip(g["shard"], g["max_us"]):
+            incoming[(et, int(shard))] = run
+            run = max(run, int(mx))
+    inc_ref = ray.put(incoming)
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["shard"] = batch["event_id"].to_numpy(np.int64) // shard_width
+        return batch
+
+    def shard_audit(g: pd.DataFrame) -> pd.DataFrame:
+        # ray.get on the broadcast ref: per-node object-store hit, the
+        # prefix table is shipped once per node, not once per group
+        incoming_map = ray.get(inc_ref)
+        g = g.sort_values("event_id", kind="mergesort")
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        inc = incoming_map.get(
+            (g["event_type"].iloc[0], int(g["shard"].iloc[0])), -1
+        )
+        run = np.maximum.accumulate(us)
+        prevmax = np.empty(len(us), dtype=np.int64)
+        prevmax[0] = inc
+        prevmax[1:] = np.maximum(run[:-1], inc)
+        late = (prevmax >= 0) & (us < prevmax)
+        skew = np.where(late, prevmax - us, 0)
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "day": g["ts"].dt.floor("D").to_numpy(),
+                "n_events": 1,
+                "n_late": late.astype(np.int64),
+                "max_skew_us": skew,
+            }
+        )
+        return out.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"),
+            n_late=("n_late", "sum"),
+            max_skew_us=("max_skew_us", "max"),
+        )
+
+    audited = (
+        ds.map_batches(add_shard, batch_format="pandas")
+        .groupby(["event_type", "shard"])
+        .map_groups(shard_audit, batch_format="pandas")
+    )
+    merged = (
+        audited.groupby(["event_type", "day"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_late", alias_name="n_late"),
+            Max("max_skew_us", alias_name="max_skew_us"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_events", "n_late", "max_skew_us"):
+        merged[c] = merged[c].astype("int64")
+    return merged
+
+
+OUT_OF_ORDER_SQL = """
+WITH o AS (
+  SELECT event_type, ts, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prevmax
+  FROM events
+)
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prevmax IS NOT NULL AND us < prevmax
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(CASE WHEN prevmax IS NOT NULL AND us < prevmax
+                     THEN prevmax - us ELSE 0 END) AS BIGINT) AS max_skew_us
+FROM o GROUP BY 1, 2
+"""

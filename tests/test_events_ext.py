@@ -280,3 +280,18 @@ class TestDauWau:
         assert got["dau"].tolist() == [2, 0, 0, 0, 0, 0, 0, 1]
         assert got["wau"].tolist() == [2, 2, 2, 2, 2, 2, 2, 1]
         assert got.iloc[0]["stickiness"] == 1.0 and got.iloc[1]["stickiness"] == 0.0
+
+
+class TestOutOfOrderAudit:
+    def test_vs_sql(self, ray_session):
+        got = _canon(_run(events.out_of_order_audit))
+        want = _canon(_duck(events.OUT_OF_ORDER_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        assert (got["n_late"] <= got["n_events"]).all()
+        assert ((got["n_late"] > 0) <= (got["max_skew_us"] > 0)).all()
+
+    def test_shard_width_invariance(self, ray_session):
+        # the distributed prefix must not depend on the shard width
+        a = _canon(events.out_of_order_audit(SF, shard_width=7))
+        b = _canon(events.out_of_order_audit(SF, shard_width=4096))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
