@@ -1287,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_interarrival": events.user_interarrival_stats,
         "events_dau_wau_stickiness": events.dau_wau_stickiness,
         "events_out_of_order_audit": events.out_of_order_audit,
+        "events_hourly_median_bands": events.hourly_median_bands,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1411,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_interarrival": events.USER_INTERARRIVAL_SQL,
         "events_dau_wau_stickiness": events.DAU_WAU_SQL,
         "events_out_of_order_audit": events.OUT_OF_ORDER_SQL,
+        "events_hourly_median_bands": events.HOURLY_MEDIAN_BANDS_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

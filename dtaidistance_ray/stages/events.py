@@ -2075,3 +2075,80 @@ SELECT event_type, date_trunc('day', ts) AS day,
                      THEN prevmax - us ELSE 0 END) AS BIGINT) AS max_skew_us
 FROM o GROUP BY 1, 2
 """
+
+
+def hourly_median_bands(sf_dir: str, window: int = 24, k: float = 1.5):
+    """Rolling median + IQR (Tukey) anomaly bands over the gap-filled
+    hourly grid: per event_type and hour, the trailing-24h median, q1,
+    q3 and an outlier flag for counts outside [q1 - 1.5*IQR,
+    q3 + 1.5*IQR]. Robust to the single spikes that wreck mean/std
+    bands.
+
+    Exactness: counts are small exact ints; quantile_cont's linear
+    interpolation a + (b-a)*frac with frac in {0, .25, .5, .75} is an
+    exact binary operation on exactly-representable ints, and numpy's
+    'linear' percentile computes the identical expression — so med/q1/
+    q3 and the flag are bit-equal with no rounding games.
+
+    Scale shape: the grid is calendar-bounded per type; the per-type
+    pass builds all full windows in one strided view (head windows,
+    <24 rows, in a bounded loop)."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def bands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        x = g["n_events"].to_numpy(np.float64)
+        n = len(x)
+        med = np.empty(n)
+        q1 = np.empty(n)
+        q3 = np.empty(n)
+        head = min(window - 1, n)
+        for i in range(head):
+            w = x[: i + 1]
+            q1[i], med[i], q3[i] = np.percentile(w, [25, 50, 75], method="linear")
+        if n >= window:
+            sw = np.lib.stride_tricks.sliding_window_view(x, window)
+            qq = np.percentile(sw, [25, 50, 75], axis=1, method="linear")
+            q1[window - 1 :], med[window - 1 :], q3[window - 1 :] = qq[0], qq[1], qq[2]
+        iqr = q3 - q1
+        out = g[["event_type", "bucket", "n_events"]].copy()
+        out["med"] = med
+        out["q1"] = q1
+        out["q3"] = q3
+        out["is_outlier"] = (
+            (x < q1 - k * iqr) | (x > q3 + k * iqr)
+        ).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return hourly.groupby("event_type").map_groups(bands, batch_format="pandas")
+
+
+HOURLY_MEDIAN_BANDS_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type, g.bucket,
+         CAST(coalesce(h.n_events, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.bucket = h.bucket
+), q AS (
+  SELECT event_type, bucket, x,
+         median(x) OVER w AS med,
+         quantile_cont(x, 0.25) OVER w AS q1,
+         quantile_cont(x, 0.75) OVER w AS q3
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket, x AS n_events, med, q1, q3,
+       CAST(x < q1 - 1.5 * (q3 - q1) OR x > q3 + 1.5 * (q3 - q1) AS BIGINT)
+         AS is_outlier
+FROM q
+"""

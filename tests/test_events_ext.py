@@ -295,3 +295,16 @@ class TestOutOfOrderAudit:
         a = _canon(events.out_of_order_audit(SF, shard_width=7))
         b = _canon(events.out_of_order_audit(SF, shard_width=4096))
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+class TestMedianBands:
+    def test_vs_sql(self, ray_session):
+        got = _canon(_run(events.hourly_median_bands))
+        want = _canon(_duck(events.HOURLY_MEDIAN_BANDS_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        assert (got["q1"] <= got["med"]).all() and (got["med"] <= got["q3"]).all()
+        # inliers sit inside the Tukey fences
+        inl = got[got["is_outlier"] == 0]
+        iqr = inl["q3"] - inl["q1"]
+        assert (inl["n_events"] >= inl["q1"] - 1.5 * iqr).all()
+        assert (inl["n_events"] <= inl["q3"] + 1.5 * iqr).all()
