@@ -211,3 +211,92 @@ def hll_distinct_users_per_type(sf_dir: str, p: int = 14) -> pd.DataFrame:
             "rel_std_err": rse,
         }
     )
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): d x w int64
+    counters; point queries are min over rows — one-sided error
+    (never an undercount), overcount <= eps*N with prob 1-delta for
+    w = ceil(e/eps), d = ceil(ln 1/delta). Merge is elementwise add
+    (associative, order-free), so per-block partials tree-merge into
+    a bit-identical sketch under ANY partitioning — the fixed-state
+    frequency path when the exact vocab table would not fit."""
+
+    def __init__(self, depth: int = 4, width: int = 1 << 12):
+        self.depth = depth
+        self.width = width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        # row salts: splitmix64 of the row index (public-domain mix)
+        self.salts = _mix64(np.arange(1, depth + 1, dtype=np.uint64))
+
+    def _cols(self, values: np.ndarray) -> np.ndarray:
+        h = _mix64(np.asarray(values, dtype=np.uint64))
+        return np.stack(
+            [(_mix64(h ^ s) % np.uint64(self.width)).astype(np.int64) for s in self.salts]
+        )
+
+    def add_ints(self, values: np.ndarray, counts: np.ndarray = None) -> "CountMinSketch":
+        if len(values) == 0:
+            return self
+        cols = self._cols(values)
+        c = np.ones(len(values), dtype=np.int64) if counts is None else counts.astype(np.int64)
+        for r in range(self.depth):
+            np.add.at(self.table[r], cols[r], c)
+        return self
+
+    def query_ints(self, values: np.ndarray) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._cols(values)
+        est = self.table[np.arange(self.depth)[:, None], cols]
+        return est.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
+
+    def pack(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def unpack(cls, blob: bytes, depth: int = 4, width: int = 1 << 12) -> "CountMinSketch":
+        s = cls(depth, width)
+        s.table = np.frombuffer(blob, dtype=np.int64).reshape(depth, width).copy()
+        return s
+
+
+def cms_token_counts(tok_path: str, probe_tokens: np.ndarray,
+                     depth: int = 4, width: int = 1 << 12) -> pd.DataFrame:
+    """CMS frequency estimates for the probe tokens over the token
+    table: per-block sketches (map-only, vectorized bincount feed),
+    fan-in tree merge of fixed-size byte blobs, point queries on the
+    merged sketch. Returns (token, est_count) with the one-sided CMS
+    guarantee est >= true."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(tok_path, columns=["tokens"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"key": pd.Series(dtype=object), "blob": pd.Series(dtype=object)})
+        flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in batch["tokens"]]) \
+            if len(batch) else np.zeros(0, np.int64)
+        # bincount-compress first: one add per DISTINCT token per block
+        uniq, cnt = np.unique(flat, return_counts=True)
+        s = CountMinSketch(depth, width).add_ints(uniq, cnt)
+        return pd.DataFrame({"key": ["cms"], "blob": [s.pack()]})
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"key": pd.Series(dtype=object), "blob": pd.Series(dtype=object)})
+        s = CountMinSketch.unpack(batch["blob"].iloc[0], depth, width)
+        for b in batch["blob"].iloc[1:]:
+            s.merge(CountMinSketch.unpack(b, depth, width))
+        return pd.DataFrame({"key": ["cms"], "blob": [s.pack()]})
+
+    from .vocab import _tree_reduce_keyed
+
+    packed = _tree_reduce_keyed(ds.map_batches(partial, batch_format="pandas"), merge, key="key")
+    s = CountMinSketch.unpack(packed["blob"].iloc[0], depth, width)
+    probe = np.asarray(probe_tokens, dtype=np.int64)
+    return pd.DataFrame({"token": probe, "est_count": s.query_ints(probe)})

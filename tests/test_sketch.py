@@ -84,3 +84,59 @@ class TestHll:
         t = HllSketch.unpack(s.pack(), 8)
         assert np.array_equal(s.registers, t.registers)
         assert s.estimate() == t.estimate()
+
+
+class TestCountMin:
+    def test_one_sided_and_bound(self):
+        from dtaidistance_ray.stages.sketch import CountMinSketch
+
+        rng = np.random.default_rng(2)
+        # zipf-ish stream over a 50k-token vocab
+        vals = (rng.zipf(1.3, 200_000) % 50_000).astype(np.int64)
+        s = CountMinSketch(depth=4, width=1 << 12).add_ints(
+            *np.unique(vals, return_counts=True)
+        )
+        uniq, true = np.unique(vals, return_counts=True)
+        est = s.query_ints(uniq)
+        assert (est >= true).all()  # CMS never undercounts
+        eps = np.e / (1 << 12)
+        # Markov bound per row, amplified by depth=4: generous 10x slack
+        assert (est - true <= 10 * eps * len(vals)).all()
+
+    def test_merge_partition_invariance(self):
+        from dtaidistance_ray.stages.sketch import CountMinSketch
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 1 << 20, 60_000)
+        whole = CountMinSketch(2, 1 << 10).add_ints(vals)
+        a = CountMinSketch(2, 1 << 10).add_ints(vals[:13_000])
+        b = CountMinSketch(2, 1 << 10).add_ints(vals[13_000:40_111])
+        c = CountMinSketch(2, 1 << 10).add_ints(vals[40_111:])
+        merged = CountMinSketch.unpack(a.pack(), 2, 1 << 10).merge(b).merge(c)
+        assert np.array_equal(merged.table, whole.table)
+        # counted adds equal single adds
+        u, cnt = np.unique(vals, return_counts=True)
+        counted = CountMinSketch(2, 1 << 10).add_ints(u, cnt)
+        assert np.array_equal(counted.table, whole.table)
+
+    def test_distributed_matches_exact_heavy_hitters(self, ray_session):
+        import __ray_entry__ as E
+        from dtaidistance_ray.stages.sketch import cms_token_counts
+
+        sf = "/root/testdata/sf0.001"
+        path = E._ensure_token_parquet(sf)
+        import duckdb
+
+        exact = duckdb.sql(
+            f"""SELECT t AS token, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(tokens) AS t FROM read_parquet('{path}'))
+                GROUP BY 1 ORDER BY c DESC LIMIT 20"""
+        ).df()
+        got = cms_token_counts(path, exact["token"].to_numpy())
+        j = exact.merge(got, on="token")
+        assert (j["est_count"] >= j["c"]).all()
+        # heavy hitters are far above the eps*N noise floor: estimates tight
+        n_total = duckdb.sql(
+            f"SELECT sum(n_tok) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        assert (j["est_count"] - j["c"] <= np.e / (1 << 12) * n_total * 10).all()
