@@ -685,6 +685,170 @@ def _q_tokens_incremental_refresh(sf_dir: str):
     return refreshed.map_batches(project, batch_format="pandas")
 
 
+def _q_tokens_source_coactivity(sf_dir: str):
+    """Cross-source co-activity: Pearson correlation between every
+    pair of sources' hourly ingest-count series over the GLOBAL hour
+    grid (absent hours count 0) — which sources spike together, the
+    signal behind shared-fate partitioning / co-location decisions.
+
+    Exactness: all five moments (n, Sx, Sy, Sxx, Syy, Sxy) are exact
+    int64 sums over the aligned grid; r is evaluated float-last in the
+    identical operation order as the SQL (cast numerator, cast each
+    variance factor, multiply, sqrt) and rounded at 6 on both sides.
+
+    Scale shape: the aligned matrix is (sources x calendar hours) —
+    bounded by key-space, not row count; moments come from one integer
+    matmul over it. (At extreme per-hour counts the int64 variance
+    factors would need object-int promotion; documented, not hit at
+    any tested scale.)"""
+    import numpy as np
+    import pandas as pd
+
+    tiers = _build_tiers_cached(sf_dir)
+    t0 = tiers[0].to_pandas()[["source", "bucket", "agg_count"]]
+    t0["bucket"] = t0["bucket"].astype("int64")
+    lo, hi = int(t0["bucket"].min()), int(t0["bucket"].max())
+    srcs = sorted(t0["source"].unique())
+    grid_n = hi - lo + 1
+    X = np.zeros((len(srcs), grid_n), dtype=np.int64)
+    si = {s: i for i, s in enumerate(srcs)}
+    X[
+        t0["source"].map(si).to_numpy(np.int64),
+        t0["bucket"].to_numpy(np.int64) - lo,
+    ] = t0["agg_count"].to_numpy(np.int64)
+    S = X.sum(axis=1)
+    G = X @ X.T  # exact int64 Gram: Sxy for every pair, Sxx on the diagonal
+    rows = []
+    n = np.int64(grid_n)
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            f1 = n * G[i, i] - S[i] * S[i]
+            f2 = n * G[j, j] - S[j] * S[j]
+            num = np.float64(n * G[i, j] - S[i] * S[j])
+            den = np.sqrt(np.float64(f1) * np.float64(f2))
+            r = round(float(num / den), 6) if den > 0 else 0.0
+            rows.append((srcs[i], srcs[j], int(n), r))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "n_hours", "r"])
+
+
+def _sql_tokens_source_coactivity(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH t0 AS (
+  SELECT source, CAST(ts // 3600 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), bounds AS (
+  SELECT min(b) AS lo, max(b) AS hi FROM t0
+), grid AS (
+  SELECT unnest(generate_series(lo, hi)) AS b FROM bounds
+), srcs AS (
+  SELECT DISTINCT source FROM t0
+), filled AS (
+  SELECT s.source, g.b, CAST(coalesce(t0.c, 0) AS BIGINT) AS x
+  FROM srcs s CROSS JOIN grid g
+  LEFT JOIN t0 ON t0.source = s.source AND t0.b = g.b
+), mom AS (
+  SELECT f1.source AS source_a, f2.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(f1.x) AS BIGINT) AS sx, CAST(sum(f2.x) AS BIGINT) AS sy,
+         CAST(sum(f1.x * f1.x) AS BIGINT) AS sxx,
+         CAST(sum(f2.x * f2.x) AS BIGINT) AS syy,
+         CAST(sum(f1.x * f2.x) AS BIGINT) AS sxy
+  FROM filled f1 JOIN filled f2 ON f1.b = f2.b AND f1.source < f2.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n AS n_hours,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS r
+FROM mom
+"""
+
+
+def _q_tokens_source_mix_shift(sf_dir: str):
+    """Daily source-mix shift: the L1 distance between consecutive
+    days' source-share vectors — the drift alarm for a training-data
+    mixture. Shares are rationals n_s/T, so the L1 sum is computed as
+    the EXACT integer numerator sum_s |n_s*T' - n'_s*T| over the
+    common denominator T*T'; only the final ratio is one f64 division
+    (rounded at 6 on both sides). No float summation order to disagree
+    about.
+
+    Scale shape: per-block (source, day) count partials inside
+    map_batches, merged by a distributed groupby-sum over a key-space
+    bounded by sources x calendar days; the driver holds only that
+    bounded table for the vectorized consecutive-day pass."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = _ensure_token_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["source", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "source": batch["source"],
+                "day": batch["ts"].to_numpy(np.int64) // 86400,
+            }
+        )
+        out = b.groupby(["source", "day"], as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "day"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    piv = counts.pivot_table(index="source", columns="day", values="c",
+                             aggfunc="sum", fill_value=0).astype(np.int64)
+    days = np.array(sorted(piv.columns), dtype=np.int64)
+    M = piv[days].to_numpy(np.int64)
+    T = M.sum(axis=0)
+    rows = []
+    for k in range(1, len(days)):
+        if days[k] != days[k - 1] + 1 or T[k] == 0 or T[k - 1] == 0:
+            continue
+        num = int(np.abs(M[:, k] * T[k - 1] - M[:, k - 1] * T[k]).sum())
+        den = int(T[k]) * int(T[k - 1])
+        rows.append((int(days[k]), num, den, round(float(np.float64(num) / np.float64(den)), 6)))
+    return pd.DataFrame(rows, columns=["day", "l1_num", "denom", "mix_shift"])
+
+
+def _sql_tokens_source_mix_shift(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH d AS (
+  SELECT source, CAST(ts // 86400 AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), tot AS (
+  SELECT day, CAST(sum(c) AS BIGINT) AS t FROM d GROUP BY 1
+), srcs AS (
+  SELECT DISTINCT source FROM d
+), pairs AS (
+  SELECT s.source, cur.day,
+         CAST(coalesce(dc.c, 0) AS BIGINT) AS c_cur,
+         CAST(coalesce(dp.c, 0) AS BIGINT) AS c_prev,
+         cur.t AS t_cur, prev.t AS t_prev
+  FROM srcs s
+  CROSS JOIN tot cur
+  JOIN tot prev ON prev.day = cur.day - 1
+  LEFT JOIN d dc ON dc.source = s.source AND dc.day = cur.day
+  LEFT JOIN d dp ON dp.source = s.source AND dp.day = cur.day - 1
+)
+SELECT day,
+       CAST(sum(abs(c_cur * t_prev - c_prev * t_cur)) AS BIGINT) AS l1_num,
+       CAST(max(t_cur) * max(t_prev) AS BIGINT) AS denom,
+       round(CAST(sum(abs(c_cur * t_prev - c_prev * t_cur)) AS DOUBLE)
+             / (max(t_cur) * max(t_prev)), 6) AS mix_shift
+FROM pairs GROUP BY day
+"""
+
+
 def _q_dtw_distance_matrix(sf_dir: str):
     """All-pairs banded+pruned DTW over a 48-series sample of the token
     table (condensed pair rows). Non-SQL; parity vs the reference
@@ -1331,6 +1495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_downsample_fidelity": _q_tokens_downsample_fidelity,
         "tokens_source_skew": _q_tokens_source_skew,
         "tokens_incremental_refresh": _q_tokens_incremental_refresh,
+        "tokens_source_coactivity": _q_tokens_source_coactivity,
+        "tokens_source_mix_shift": _q_tokens_source_mix_shift,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1439,6 +1605,8 @@ def oracle_sql() -> dict[str, str]:
         "tokens_downsample_fidelity": _sql_tokens_downsample_fidelity(sf),
         "tokens_source_skew": _sql_tokens_source_skew(sf),
         "tokens_incremental_refresh": _sql_tokens_rollup_tier0(sf),
+        "tokens_source_coactivity": _sql_tokens_source_coactivity(sf),
+        "tokens_source_mix_shift": _sql_tokens_source_mix_shift(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),

@@ -430,3 +430,27 @@ class TestIncrementalRefresh:
                 dk, on=["source", "bucket"], how="left", indicator=True
             ).query("_merge == 'left_only'")
         )
+
+
+class TestSourceAnalytics:
+    def test_coactivity_bounds(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_source_coactivity"](sf)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        assert (df["r"].abs() <= 1.0 + 1e-9).all()
+        # every unordered pair exactly once
+        assert (df["source_a"] < df["source_b"]).all()
+        assert not df.duplicated(["source_a", "source_b"]).any()
+
+    def test_mix_shift_exactness(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_source_mix_shift"](sf)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        # L1 of two probability vectors is in [0, 2]
+        assert (df["l1_num"] >= 0).all()
+        assert (df["l1_num"] <= 2 * df["denom"]).all()
+        assert np.allclose(df["mix_shift"], (df["l1_num"] / df["denom"]).round(6))
