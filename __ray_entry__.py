@@ -1452,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau_stickiness": events.dau_wau_stickiness,
         "events_out_of_order_audit": events.out_of_order_audit,
         "events_hourly_median_bands": events.hourly_median_bands,
+        "events_last_touch_attribution": events.last_touch_attribution,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1579,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dau_wau_stickiness": events.DAU_WAU_SQL,
         "events_out_of_order_audit": events.OUT_OF_ORDER_SQL,
         "events_hourly_median_bands": events.HOURLY_MEDIAN_BANDS_SQL,
+        "events_last_touch_attribution": events.LAST_TOUCH_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

@@ -2152,3 +2152,84 @@ SELECT event_type, bucket, x AS n_events, med, q1, q3,
          AS is_outlier
 FROM q
 """
+
+
+def last_touch_attribution(sf_dir: str, window_s: int = 3600, n_buckets: int = 64):
+    """Last-touch attribution: each purchase is credited to the most
+    recent view-or-click by the same user within the trailing hour
+    (lexicographic (ts, event_id) precedence; 'none' when no touch
+    qualifies). Reports purchases per (day, attributed_type).
+
+    Scale shape: bucketed user co-partitioning; within a bucket the
+    latest-preceding-touch is one vectorized grouped cummax over the
+    (user, ts, event_id) sort — no per-purchase scan. Partial counts
+    merge through a distributed groupby-sum over the bounded
+    (day x type) key-space.
+
+    Exactness: the window test is pure int64 microseconds; counts are
+    integers under any partitioning."""
+    from ray.data.aggregate import Sum
+
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "event_type"])
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
+        return batch
+
+    win_us = window_s * 1_000_000
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        et = g["event_type"].to_numpy()
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        touch = (et == "view") | (et == "click")
+        idx = pd.Series(np.where(touch, np.arange(len(g)), -1))
+        last = idx.groupby(g["user_id"].to_numpy()).cummax().to_numpy()
+        purch = et == "purchase"
+        cand = last[purch]
+        pus = us[purch]
+        valid = (cand >= 0) & (pus - us[np.clip(cand, 0, None)] <= win_us)
+        att = np.where(valid, et[np.clip(cand, 0, None)], "none")
+        out = pd.DataFrame(
+            {
+                "day": g.loc[purch, "ts"].dt.floor("D").to_numpy(),
+                "attributed_type": att,
+                "n_purchases": 1,
+            }
+        )
+        return out.groupby(["day", "attributed_type"], as_index=False).agg(
+            n_purchases=("n_purchases", "sum")
+        )
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("user_bucket")
+        .map_groups(attribute, batch_format="pandas")
+    )
+    merged = (
+        parts.groupby(["day", "attributed_type"])
+        .aggregate(Sum("n_purchases", alias_name="n_purchases"))
+        .to_pandas()
+    )
+    merged["n_purchases"] = merged["n_purchases"].astype("int64")
+    return merged
+
+
+LAST_TOUCH_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), att AS (
+  SELECT p.event_id, date_trunc('day', p.ts) AS day,
+         coalesce((
+           SELECT t.event_type FROM events t
+           WHERE t.user_id = p.user_id
+             AND t.event_type IN ('view', 'click')
+             AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+             AND epoch_us(p.ts) - epoch_us(t.ts) <= 3600000000
+           ORDER BY t.ts DESC, t.event_id DESC LIMIT 1
+         ), 'none') AS attributed_type
+  FROM p
+)
+SELECT day, attributed_type, CAST(count(*) AS BIGINT) AS n_purchases
+FROM att GROUP BY 1, 2
+"""

@@ -308,3 +308,45 @@ class TestMedianBands:
         iqr = inl["q3"] - inl["q1"]
         assert (inl["n_events"] >= inl["q1"] - 1.5 * iqr).all()
         assert (inl["n_events"] <= inl["q3"] + 1.5 * iqr).all()
+
+
+class TestLastTouchAttribution:
+    def test_vs_sql(self, ray_session):
+        got = _canon(_run(events.last_touch_attribution))
+        want = _canon(_duck(events.LAST_TOUCH_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # total attributed purchases equals total purchase events
+        n = _duck("SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE event_type='purchase'")
+        assert got["n_purchases"].sum() == n["n"].iloc[0]
+        assert set(got["attributed_type"]) <= {"view", "click", "none"}
+
+    def test_hand_built(self, ray_session, tmp_path):
+        base = pd.Timestamp("2024-01-01 12:00:00")
+        rows = [
+            # u1: view at t, purchase at t+30min -> attributed to view
+            (0, base, 1, "view"),
+            (1, base + pd.Timedelta(minutes=30), 1, "purchase"),
+            # u2: click at t, view at t+1min, purchase at t+2min -> view (latest)
+            (2, base, 2, "click"),
+            (3, base + pd.Timedelta(minutes=1), 2, "view"),
+            (4, base + pd.Timedelta(minutes=2), 2, "purchase"),
+            # u3: view 2h before purchase -> outside window -> none
+            (5, base - pd.Timedelta(hours=2), 3, "view"),
+            (6, base, 3, "purchase"),
+            # u4: purchase with no touches -> none
+            (7, base, 4, "purchase"),
+        ]
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+        df["value"] = 1.0
+        df["props"] = ""
+        df.to_parquet(tmp_path / "events.parquet")
+        got = events.last_touch_attribution(str(tmp_path))
+        got = got.sort_values("attributed_type").reset_index(drop=True)
+        want = pd.DataFrame(
+            {
+                "day": [pd.Timestamp("2024-01-01")] * 2,
+                "attributed_type": ["none", "view"],
+                "n_purchases": [2, 2],
+            }
+        )
+        pd.testing.assert_frame_equal(got[["day", "attributed_type", "n_purchases"]], want, check_dtype=False)
