@@ -849,6 +849,150 @@ FROM pairs GROUP BY day
 """
 
 
+def _q_tokens_source_availability(sf_dir: str):
+    """Availability / gaps-and-islands report per source: over the
+    source's own hourly [min, max] range — hours present, hours
+    missing, the number of distinct outage islands, the longest
+    island, and the availability ratio (one f64 division of exact
+    ints, rounded at 6).
+
+    Scale shape: a vectorized run-length pass over each source's
+    bounded bucket list from the cached tier-0 table; no raw re-read."""
+    import numpy as np
+    import pandas as pd
+
+    tiers = _build_tiers_cached(sf_dir)
+    t0 = tiers[0].to_pandas()[["source", "bucket"]]
+    t0["bucket"] = t0["bucket"].astype("int64")
+    rows = []
+    for s, g in t0.groupby("source"):
+        b = np.sort(g["bucket"].to_numpy(np.int64))
+        span = int(b[-1] - b[0] + 1)
+        present = len(b)
+        missing = span - present
+        d = np.diff(b)
+        holes = d[d > 1] - 1
+        rows.append(
+            (
+                s,
+                span,
+                present,
+                missing,
+                int(len(holes)),
+                int(holes.max()) if len(holes) else 0,
+                round(float(np.float64(present) / np.float64(span)), 6),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "source",
+            "span_hours",
+            "present_hours",
+            "missing_hours",
+            "n_gaps",
+            "longest_gap_hours",
+            "availability",
+        ],
+    )
+
+
+def _sql_tokens_source_availability(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH t0 AS (
+  SELECT DISTINCT source, CAST(ts // 3600 AS BIGINT) AS b
+  FROM read_parquet('{tok}')
+), isl AS (
+  -- islands of consecutive present hours: bucket - dense row number
+  SELECT source, b, b - row_number() OVER (PARTITION BY source ORDER BY b) AS grp
+  FROM t0
+), islands AS (
+  SELECT source, min(b) AS lo, max(b) AS hi
+  FROM isl GROUP BY source, grp
+), gaps AS (
+  -- a gap sits between consecutive islands
+  SELECT source,
+         lead(lo) OVER (PARTITION BY source ORDER BY lo) - hi - 1 AS gap_len
+  FROM islands
+), agg AS (
+  SELECT source,
+         CAST(max(b) - min(b) + 1 AS BIGINT) AS span_hours,
+         CAST(count(*) AS BIGINT) AS present_hours
+  FROM t0 GROUP BY source
+), gagg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(coalesce(max(gap_len), 0) AS BIGINT) AS longest_gap_hours
+  FROM gaps WHERE gap_len IS NOT NULL AND gap_len > 0 GROUP BY source
+)
+SELECT a.source, a.span_hours, a.present_hours,
+       a.span_hours - a.present_hours AS missing_hours,
+       CAST(coalesce(g.n_gaps, 0) AS BIGINT) AS n_gaps,
+       CAST(coalesce(g.longest_gap_hours, 0) AS BIGINT) AS longest_gap_hours,
+       round(CAST(a.present_hours AS DOUBLE) / a.span_hours, 6) AS availability
+FROM agg a LEFT JOIN gagg g USING (source)
+"""
+
+
+def _q_tokens_source_hhi(sf_dir: str):
+    """Daily source-concentration (Herfindahl-Hirschman index): per
+    day, sum of squared source shares — an exact rational sum(n_s^2) /
+    T^2 with integer numerator and denominator; the index itself is
+    one f64 division rounded at 6. 1/n_sources (perfect balance) ..
+    1.0 (single source)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = _ensure_token_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["source", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {"source": batch["source"], "day": batch["ts"].to_numpy(np.int64) // 86400}
+        )
+        return b.groupby(["source", "day"], as_index=False).size().rename(columns={"size": "c"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "day"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    counts["c"] = counts["c"].astype("int64")
+    out = counts.groupby("day", as_index=False).agg(
+        n_sources=("source", "size"),
+        hhi_num=("c", lambda x: int((x.to_numpy(np.int64) ** 2).sum())),
+        total=("c", "sum"),
+    )
+    out["day"] = out["day"].astype("int64")
+    out["n_sources"] = out["n_sources"].astype("int64")
+    out["hhi_num"] = out["hhi_num"].astype("int64")
+    out["denom"] = (out["total"].astype("int64") ** 2).astype("int64")
+    out["hhi"] = np.round(
+        out["hhi_num"].to_numpy(np.float64) / out["denom"].to_numpy(np.float64), 6
+    )
+    return out[["day", "n_sources", "hhi_num", "denom", "hhi"]]
+
+
+def _sql_tokens_source_hhi(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH d AS (
+  SELECT source, CAST(ts // 86400 AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(c * c) AS BIGINT) AS hhi_num,
+       CAST(sum(c) * sum(c) AS BIGINT) AS denom,
+       round(CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)), 6) AS hhi
+FROM d GROUP BY day
+"""
+
+
 def _q_dtw_distance_matrix(sf_dir: str):
     """All-pairs banded+pruned DTW over a 48-series sample of the token
     table (condensed pair rows). Non-SQL; parity vs the reference
@@ -1498,6 +1642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_incremental_refresh": _q_tokens_incremental_refresh,
         "tokens_source_coactivity": _q_tokens_source_coactivity,
         "tokens_source_mix_shift": _q_tokens_source_mix_shift,
+        "tokens_source_availability": _q_tokens_source_availability,
+        "tokens_source_hhi": _q_tokens_source_hhi,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1609,6 +1755,8 @@ def oracle_sql() -> dict[str, str]:
         "tokens_incremental_refresh": _sql_tokens_rollup_tier0(sf),
         "tokens_source_coactivity": _sql_tokens_source_coactivity(sf),
         "tokens_source_mix_shift": _sql_tokens_source_mix_shift(sf),
+        "tokens_source_availability": _sql_tokens_source_availability(sf),
+        "tokens_source_hhi": _sql_tokens_source_hhi(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),

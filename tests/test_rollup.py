@@ -454,3 +454,27 @@ class TestSourceAnalytics:
         assert (df["l1_num"] >= 0).all()
         assert (df["l1_num"] <= 2 * df["denom"]).all()
         assert np.allclose(df["mix_shift"], (df["l1_num"] / df["denom"]).round(6))
+
+
+class TestAvailabilityAndHhi:
+    def test_availability(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_source_availability"](sf)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        assert (df["present_hours"] + df["missing_hours"] == df["span_hours"]).all()
+        assert (df["longest_gap_hours"] <= df["missing_hours"]).all()
+        assert ((df["n_gaps"] == 0) == (df["missing_hours"] == 0)).all()
+        assert (df["availability"] <= 1.0).all() and (df["availability"] > 0).all()
+
+    def test_hhi(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_source_hhi"](sf)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        # HHI bounds: [1/n, 1]
+        assert (df["hhi"] <= 1.0).all()
+        assert (df["hhi"] * df["n_sources"] >= 1.0 - 1e-5 * df["n_sources"]).all()
+        assert (df["hhi_num"] <= df["denom"]).all()
