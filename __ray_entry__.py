@@ -993,6 +993,93 @@ FROM d GROUP BY day
 """
 
 
+_ACF_LAGS = (1, 24)
+
+
+def _q_tokens_source_acf(sf_dir: str):
+    """Ingest-rate autocorrelation per source at lags 1h and 24h over
+    the zero-filled hourly grid — lag-1 measures burst persistence,
+    lag-24 daily seasonality strength. Pearson over the overlap window
+    from exact int64 moments, float-last in the oracle's operation
+    order, rounded at 6. Degenerate (zero-variance) overlaps report
+    r = 0.0 on both sides.
+
+    Scale shape: per-source bounded grid from the cached tier-0 table;
+    one vectorized dot per (source, lag)."""
+    import numpy as np
+    import pandas as pd
+
+    tiers = _build_tiers_cached(sf_dir)
+    t0 = tiers[0].to_pandas()[["source", "bucket", "agg_count"]]
+    t0["bucket"] = t0["bucket"].astype("int64")
+    rows = []
+    for s, g in t0.groupby("source"):
+        b = g["bucket"].to_numpy(np.int64)
+        lo, hi = int(b.min()), int(b.max())
+        x = np.zeros(hi - lo + 1, dtype=np.int64)
+        x[b - lo] = g["agg_count"].to_numpy(np.int64)
+        for lag in _ACF_LAGS:
+            if len(x) <= lag:
+                continue
+            a, c = x[:-lag], x[lag:]
+            n = np.int64(len(a))
+            sx, sy = a.sum(), c.sum()
+            sxx = (a * a).sum()
+            syy = (c * c).sum()
+            sxy = (a * c).sum()
+            f1 = n * sxx - sx * sx
+            f2 = n * syy - sy * sy
+            if f1 > 0 and f2 > 0:
+                r = round(
+                    float(
+                        np.float64(n * sxy - sx * sy)
+                        / np.sqrt(np.float64(f1) * np.float64(f2))
+                    ),
+                    6,
+                )
+            else:
+                r = 0.0
+            rows.append((s, lag, int(n), r))
+    return pd.DataFrame(rows, columns=["source", "lag", "n_pairs", "r"])
+
+
+def _sql_tokens_source_acf(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH t0 AS (
+  SELECT source, CAST(ts // 3600 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), bounds AS (
+  SELECT source, min(b) AS lo, max(b) AS hi FROM t0 GROUP BY 1
+), grid AS (
+  SELECT bo.source, unnest(generate_series(bo.lo, bo.hi)) AS b FROM bounds bo
+), filled AS (
+  SELECT g.source, g.b, CAST(coalesce(t0.c, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN t0 ON t0.source = g.source AND t0.b = g.b
+), lags AS (
+  SELECT unnest([1, 24]) AS lag
+), mom AS (
+  SELECT f1.source, l.lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(f1.x) AS BIGINT) AS sx, CAST(sum(f2.x) AS BIGINT) AS sy,
+         CAST(sum(f1.x * f1.x) AS BIGINT) AS sxx,
+         CAST(sum(f2.x * f2.x) AS BIGINT) AS syy,
+         CAST(sum(f1.x * f2.x) AS BIGINT) AS sxy
+  FROM lags l
+  JOIN filled f1 ON TRUE
+  JOIN filled f2 ON f2.source = f1.source AND f2.b = f1.b + l.lag
+  GROUP BY 1, 2
+)
+SELECT source, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS r
+FROM mom
+"""
+
+
 def _q_dtw_distance_matrix(sf_dir: str):
     """All-pairs banded+pruned DTW over a 48-series sample of the token
     table (condensed pair rows). Non-SQL; parity vs the reference
@@ -1644,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_source_mix_shift": _q_tokens_source_mix_shift,
         "tokens_source_availability": _q_tokens_source_availability,
         "tokens_source_hhi": _q_tokens_source_hhi,
+        "tokens_source_acf": _q_tokens_source_acf,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1757,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_source_mix_shift": _sql_tokens_source_mix_shift(sf),
         "tokens_source_availability": _sql_tokens_source_availability(sf),
         "tokens_source_hhi": _sql_tokens_source_hhi(sf),
+        "tokens_source_acf": _sql_tokens_source_acf(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),

@@ -478,3 +478,25 @@ class TestAvailabilityAndHhi:
         assert (df["hhi"] <= 1.0).all()
         assert (df["hhi"] * df["n_sources"] >= 1.0 - 1e-5 * df["n_sources"]).all()
         assert (df["hhi_num"] <= df["denom"]).all()
+
+
+class TestSourceAcf:
+    def test_bounds_and_kernel(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_source_acf"](sf)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        assert (df["r"].abs() <= 1.0 + 1e-9).all()
+        assert set(df["lag"]) <= {1, 24}
+        # kernel cross-check on a hand series: acf of perfect period-2
+        # alternation at lag 1 is -1
+        x = np.array([5, 0] * 20, dtype=np.int64)
+        a, c = x[:-1], x[1:]
+        n = len(a)
+        num = n * (a * c).sum() - a.sum() * c.sum()
+        den = np.sqrt(
+            float(n * (a * a).sum() - a.sum() ** 2)
+            * float(n * (c * c).sum() - c.sum() ** 2)
+        )
+        assert round(num / den, 6) == -1.0
