@@ -25,6 +25,14 @@ def main(argv=None) -> int:
     ap.add_argument("--num-shards", type=int, default=16)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None, help="local ray.init num_cpus (omit: auto)")
+    ap.add_argument(
+        "--expire",
+        action="store_true",
+        help="after the run, apply the retention policy to --out "
+        "(tier-0 keeps --keep0 buckets, tier-1 --keep1; tier-2 forever)",
+    )
+    ap.add_argument("--keep0", type=int, default=48, help="tier-0 TTL in 1h buckets")
+    ap.add_argument("--keep1", type=int, default=42, help="tier-1 TTL in 4h buckets")
     args = ap.parse_args(argv)
 
     import ray
@@ -51,6 +59,10 @@ def main(argv=None) -> int:
         resume=not args.no_resume,
         input_path=args.input,
     )
+    if args.expire and args.out:
+        from dtaidistance_ray.state.checkpoint import expire_checkpoint
+
+        metrics["retention"] = expire_checkpoint(args.out, keeps=(args.keep0, args.keep1, None))
     print(json.dumps(metrics, default=str))
     ray.shutdown()
     return 0

@@ -118,3 +118,80 @@ def completed_shards(
         ):
             done.add(shard)
     return done
+
+
+def expire_checkpoint(
+    out_dir: str,
+    keeps=(48, 42, None),
+    widths=(3600, 14400, 86400),
+) -> Dict:
+    """Retention sweep over a checkpointed rollup store: per tier,
+    rewrite every shard keeping only buckets newer than the tier's TTL
+    (tier cutoffs derive exactly from the global tier-0 max bucket,
+    since widths are integer multiples; a ``None`` keep means forever).
+
+    Each rewrite is atomic (tmp dir + rename, same as the writer) and
+    the manifest keeps its lineage fields — a resumed run still
+    validates and skips the shard — while gaining a ``retention``
+    record (cutoff bucket, rows dropped, sweep time) so the expiry is
+    itself auditable lineage.
+
+    Shard rewrites are independent; the loop below is driver-side
+    because shard count is a CONFIG bound (num_shards), not a data
+    bound — at very large shard counts wrap the body in ray.remote
+    tasks unchanged."""
+    import glob as _glob
+
+    import pyarrow.compute as _pc
+
+    tier0_files = sorted(_glob.glob(os.path.join(out_dir, "tier=0", "shard=*", "*.parquet")))
+    if not tier0_files:
+        return {"expired": {}, "max_bucket0": None}
+    mb0 = None
+    for f in tier0_files:
+        col = pq.read_table(f, columns=["bucket"])["bucket"]
+        if col.length():
+            m = _pc.max(col).as_py()
+            mb0 = m if mb0 is None else max(mb0, m)
+    metrics: Dict = {"expired": {}, "max_bucket0": mb0}
+    if mb0 is None:
+        return metrics
+    for t, keep in enumerate(keeps):
+        if keep is None:
+            continue
+        w_ratio = widths[t] // widths[0]
+        cut = mb0 // w_ratio - keep
+        dropped_total = 0
+        tier_dir = os.path.join(out_dir, f"tier={t}")
+        if not os.path.isdir(tier_dir):
+            continue
+        for name in sorted(os.listdir(tier_dir)):
+            if not name.startswith("shard=") or ".tmp-" in name:
+                continue  # .tmp- dirs: a crashed sweep's leftovers
+            shard = int(name.split("=", 1)[1])
+            m = read_manifest(out_dir, t, shard)
+            if not m:
+                continue
+            final = shard_dir(out_dir, t, shard)
+            fpath = os.path.join(final, m["file"])
+            table = pq.read_table(fpath)
+            mask = _pc.greater(table["bucket"], cut)
+            kept = table.filter(mask)
+            dropped = table.num_rows - kept.num_rows
+            if dropped == 0:
+                continue
+            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(kept, os.path.join(tmp, m["file"]))
+            m2 = dict(m)
+            m2["num_rows"] = kept.num_rows
+            m2.setdefault("retention", []).append(
+                {"cutoff_bucket": int(cut), "rows_dropped": int(dropped), "swept_at": time.time()}
+            )
+            with open(os.path.join(tmp, "_manifest.json"), "w") as fh:
+                json.dump(m2, fh, sort_keys=True)
+            shutil.rmtree(final)
+            os.rename(tmp, final)
+            dropped_total += dropped
+        metrics["expired"][t] = {"cutoff_bucket": int(cut), "rows_dropped": int(dropped_total)}
+    return metrics

@@ -500,3 +500,49 @@ class TestSourceAcf:
             * float(n * (c * c).sum() - c.sum() ** 2)
         )
         assert round(num / den, 6) == -1.0
+
+
+class TestExpireCheckpoint:
+    def test_retention_sweep(self, ray_session, tmp_path):
+        from dtaidistance_ray.state.checkpoint import (
+            completed_shards,
+            expire_checkpoint,
+            read_manifest,
+        )
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "store")
+        spec = TokenTableSpec(num_rows=400, num_sources=4, max_len=24, ts_span=96 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 14400, 86400), dba_max_it=1)
+        run_flagship(spec, cfg, out_dir=out, num_shards=4)
+        shash = cfg.settings_hash()
+        fp = f"synth:{spec.num_rows}:{spec.seed}:{spec.num_sources}:{spec.vocab}"
+        valid_before = completed_shards(out, 0, shash, fp)
+        assert valid_before  # sources hash into a subset of the 4 shards
+
+        # sweep: keep last 10 hourly buckets, last 4 four-hour buckets
+        m = expire_checkpoint(out, keeps=(10, 4, None))
+        mb0 = m["max_bucket0"]
+        assert m["expired"][0]["rows_dropped"] > 0
+        for f in glob.glob(f"{out}/tier=0/shard=*/part-0.parquet"):
+            b = pq.read_table(f, columns=["bucket"])["bucket"].to_pylist()
+            assert all(x > mb0 - 10 for x in b)
+        for f in glob.glob(f"{out}/tier=1/shard=*/part-0.parquet"):
+            b = pq.read_table(f, columns=["bucket"])["bucket"].to_pylist()
+            assert all(x > mb0 // 4 - 4 for x in b)
+        # tier-2 untouched, manifests still validate (resume-safe) and
+        # carry the retention lineage on swept shards
+        assert 2 not in m["expired"]
+        assert completed_shards(out, 0, shash, fp) == valid_before
+        swept = [read_manifest(out, 0, s) for s in valid_before]
+        assert any(mm and "retention" in mm for mm in swept)
+        # manifest row counts match the files
+        for s in valid_before:
+            mm = read_manifest(out, 0, s)
+            f = f"{out}/tier=0/shard={s}/{mm['file']}"
+            assert mm["num_rows"] == pq.read_table(f).num_rows
+        # idempotent: second sweep with the same policy drops nothing
+        m2 = expire_checkpoint(out, keeps=(10, 4, None))
+        assert m2["expired"].get(0, {"rows_dropped": 0})["rows_dropped"] == 0
