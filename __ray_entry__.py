@@ -1080,6 +1080,69 @@ FROM mom
 """
 
 
+def _q_tokens_repr_drift(sf_dir: str):
+    """Representative drift: banded+pruned DTW distance between each
+    source's CONSECUTIVE daily (tier-2) DBA representatives — how much
+    a source's shape changed day over day, computed on the rolled-up
+    product instead of the raw corpus (the whole point of keeping
+    representatives). Non-SQL (DTW); golden verified against the
+    reference library's dtw.distance over the single-process oracle's
+    tier-2 representatives.
+
+    Scale shape: the pair list is bounded by (source x days); the DTW
+    work is distributed via map_batches over the pair rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dtaidistance_ray.kernels.elastic import distance as dtw_distance
+    from dtaidistance_ray.settings import DTWSettings
+
+    tiers = _build_tiers_cached(sf_dir)
+    t2 = tiers[2].to_pandas()[["source", "bucket", "repr_series"]]
+    t2["bucket"] = t2["bucket"].astype("int64")
+    rows = []
+    for s, g in t2.groupby("source"):
+        g = g.sort_values("bucket", kind="mergesort")
+        reprs = list(g["repr_series"])
+        buckets = g["bucket"].tolist()
+        for k in range(1, len(buckets)):
+            rows.append((s, buckets[k - 1], buckets[k], reprs[k - 1], reprs[k]))
+    pairs = pd.DataFrame(rows, columns=["source", "prev_bucket", "bucket", "a", "b"])
+
+    settings = DTWSettings(window=32, use_pruning=True)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        d = [
+            round(
+                float(
+                    dtw_distance(
+                        np.asarray(a, dtype=np.float64),
+                        np.asarray(b, dtype=np.float64),
+                        settings,
+                    )
+                ),
+                6,
+            )
+            for a, b in zip(batch["a"], batch["b"])
+        ]
+        out = batch[["source", "prev_bucket", "bucket"]].copy()
+        out["len_prev"] = [len(a) for a in batch["a"]]
+        out["len_cur"] = [len(b) for b in batch["b"]]
+        out["d"] = d
+        for c in ("prev_bucket", "bucket", "len_prev", "len_cur"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    if not len(pairs):
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            columns=["source", "prev_bucket", "bucket", "len_prev", "len_cur", "d"]
+        )
+    return rd.from_pandas(pairs).map_batches(score, batch_format="pandas")
+
+
 def _q_dtw_distance_matrix(sf_dir: str):
     """All-pairs banded+pruned DTW over a 48-series sample of the token
     table (condensed pair rows). Non-SQL; parity vs the reference
@@ -1637,6 +1700,7 @@ GOLDEN_QUERIES = (
     "tokens_rollup_tier2_full",
     "tokens_rollup_time_index",
     "embedding_pca_top",
+    "tokens_repr_drift",
 )
 
 
@@ -1732,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_source_availability": _q_tokens_source_availability,
         "tokens_source_hhi": _q_tokens_source_hhi,
         "tokens_source_acf": _q_tokens_source_acf,
+        "tokens_repr_drift": _q_tokens_repr_drift,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,

@@ -546,3 +546,19 @@ class TestExpireCheckpoint:
         # idempotent: second sweep with the same policy drops nothing
         m2 = expire_checkpoint(out, keeps=(10, 4, None))
         assert m2["expired"].get(0, {"rows_dropped": 0})["rows_dropped"] == 0
+
+
+class TestReprDrift:
+    def test_drift_semantics(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        df = E.queries()["tokens_repr_drift"](sf)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        t2 = E.queries()["tokens_rollup_tier2_full"](sf).to_pandas()
+        real = t2[t2["gap_filled"] == 0]
+        # one drift row per consecutive pair of REAL tier-2 buckets
+        want_pairs = sum(max(0, len(g) - 1) for _, g in real.groupby("source"))
+        assert len(df) == want_pairs
+        assert (df["d"] >= 0).all()
+        assert (df["prev_bucket"] < df["bucket"]).all()

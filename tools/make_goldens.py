@@ -616,7 +616,37 @@ def check_ann_pq_topk(got: pd.DataFrame):
     return "driver-side numpy recompute of PQ train/encode/ADC from raw parquet"
 
 
+def check_repr_drift(got: pd.DataFrame):
+    from dtaidistance import dtw as ref_dtw
+
+    import __ray_entry__ as E
+    from dtaidistance_ray.pipelines.flagship import rollup_oracle
+    from dtaidistance_ray.stages.rollup import RollupConfig
+
+    spec = E._token_spec(SF_DIR)
+    t2 = rollup_oracle(spec, RollupConfig())[2]
+    t2 = t2[~t2["gap_filled"]]
+    want = {}
+    for src_name, g in t2.groupby("source"):
+        g = g.sort_values("bucket")
+        reps = [np.asarray(r, dtype=np.float64) for r in g["repr_series"]]
+        bks = g["bucket"].astype(int).tolist()
+        for k in range(1, len(bks)):
+            want[(src_name, bks[k])] = ref_dtw.distance(
+                reps[k - 1], reps[k], window=32, use_pruning=True
+            )
+    assert len(want) == len(got)
+    for src_name, bkt, d in zip(got["source"], got["bucket"].astype(int), got["d"]):
+        ref = want[(src_name, bkt)]
+        assert abs(d - ref) < 5e-6 or (np.isinf(d) and np.isinf(ref)), (src_name, bkt, d, ref)
+    return (
+        "reference dtw.distance(window=32, use_pruning) over the single-process "
+        "rollup_oracle's tier-2 representatives"
+    )
+
+
 CHECKS = {
+    "tokens_repr_drift": check_repr_drift,
     "ann_pq_topk": check_ann_pq_topk,
     "tokens_rollup_payload_crc": check_payload_crc,
     "embedding_pca_top": check_embedding_pca,
