@@ -1080,6 +1080,40 @@ FROM mom
 """
 
 
+def _q_tokens_rollup_tier3_aggs(sf_dir: str):
+    """Ad-hoc continuous-aggregate promotion PAST the configured
+    tiers: weekly (7-day) aggregates promoted from the daily tier-2
+    via the same associative rollup_next_tier path — sums of sums stay
+    exact integers, so the promoted week equals a direct groupby of
+    the raw table (the SQL oracle)."""
+    import pandas as pd
+
+    from dtaidistance_ray.stages.rollup import RollupConfig, rollup_next_tier
+
+    cfg = RollupConfig()
+    tiers = _build_tiers_cached(sf_dir)
+    t3 = rollup_next_tier(tiers[2], cfg.tier_widths[2], 7 * 86400, cfg)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]].copy()
+        for c in ("bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return t3.map_batches(project, batch_format="pandas")
+
+
+def _sql_tokens_rollup_tier3(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+SELECT source, CAST(ts // 604800 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS agg_count,
+       CAST(sum(n_tok) AS BIGINT) AS agg_n_tok_sum,
+       CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS agg_token_sum
+FROM read_parquet('{tok}') GROUP BY 1, 2
+"""
+
+
 def _q_tokens_repr_drift(sf_dir: str):
     """Representative drift: banded+pruned DTW distance between each
     source's CONSECUTIVE daily (tier-2) DBA representatives — how much
@@ -1797,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_source_hhi": _q_tokens_source_hhi,
         "tokens_source_acf": _q_tokens_source_acf,
         "tokens_repr_drift": _q_tokens_repr_drift,
+        "tokens_rollup_tier3_aggs": _q_tokens_rollup_tier3_aggs,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1911,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_source_availability": _sql_tokens_source_availability(sf),
         "tokens_source_hhi": _sql_tokens_source_hhi(sf),
         "tokens_source_acf": _sql_tokens_source_acf(sf),
+        "tokens_rollup_tier3_aggs": _sql_tokens_rollup_tier3(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),

@@ -562,3 +562,17 @@ class TestReprDrift:
         assert len(df) == want_pairs
         assert (df["d"] >= 0).all()
         assert (df["prev_bucket"] < df["bucket"]).all()
+
+
+class TestTier3Promotion:
+    def test_weekly_promotion_conserves(self, ray_session):
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        t3 = E.queries()["tokens_rollup_tier3_aggs"](sf).to_pandas()
+        t2 = E.queries()["tokens_rollup_tier0_aggs"](sf).to_pandas()
+        # conservation: weekly sums equal the sums of the hourly tier
+        assert t3["agg_count"].sum() == t2["agg_count"].sum()
+        assert t3["agg_token_sum"].sum() == t2["agg_token_sum"].sum()
+        # weekly buckets are the hourly buckets / 168
+        assert set(t3["bucket"]) == set(t2["bucket"] // 168)
