@@ -1782,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_out_of_order_audit": events.out_of_order_audit,
         "events_hourly_median_bands": events.hourly_median_bands,
         "events_last_touch_attribution": events.last_touch_attribution,
+        "events_props_extract": events.props_extract_rollup,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -1915,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "events_out_of_order_audit": events.OUT_OF_ORDER_SQL,
         "events_hourly_median_bands": events.HOURLY_MEDIAN_BANDS_SQL,
         "events_last_touch_attribution": events.LAST_TOUCH_SQL,
+        "events_props_extract": events.PROPS_EXTRACT_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

@@ -2233,3 +2233,68 @@ WITH p AS (
 SELECT day, attributed_type, CAST(count(*) AS BIGINT) AS n_purchases
 FROM att GROUP BY 1, 2
 """
+
+
+def props_extract_rollup(sf_dir: str):
+    """Semi-structured payload rollup: parse the JSON ``props`` column
+    (``{"k": int}``) and aggregate per (event_type, k-decile) — the
+    log-analytics shape where a free-form properties blob feeds a
+    typed rollup. Extraction is a single vectorized regex over the
+    batch (no per-row json.loads); rows without a parseable k are
+    dropped on both sides.
+
+    Exactness: k is integer, all aggregates are exact ints merged by a
+    distributed groupby-sum/min/max over the bounded (type x decile)
+    key-space."""
+    import re
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_events(sf_dir, columns=["event_type", "props"])
+    pat = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(pat, expand=False)
+        ok = k.notna()
+        b = pd.DataFrame(
+            {
+                "event_type": batch.loc[ok, "event_type"],
+                "k": k[ok].astype("int64"),
+            }
+        )
+        b["k_decile"] = b["k"] // 10
+        out = b.groupby(["event_type", "k_decile"], as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max")
+        )
+        return out
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "k_decile"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+        .to_pandas()
+    )
+    for c in ("k_decile", "n", "sum_k", "min_k", "max_k"):
+        merged[c] = merged[c].astype("int64")
+    return merged
+
+
+PROPS_EXTRACT_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE json_valid(props) AND json_extract(props, '$.k') IS NOT NULL
+)
+SELECT event_type, CAST(k // 10 AS BIGINT) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x GROUP BY 1, 2
+"""

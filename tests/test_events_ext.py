@@ -350,3 +350,15 @@ class TestLastTouchAttribution:
             }
         )
         pd.testing.assert_frame_equal(got[["day", "attributed_type", "n_purchases"]], want, check_dtype=False)
+
+
+class TestPropsExtract:
+    def test_vs_sql(self, ray_session):
+        got = _canon(_run(events.props_extract_rollup))
+        want = _canon(_duck(events.PROPS_EXTRACT_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        assert (got["min_k"] <= got["max_k"]).all()
+        assert (got["min_k"] >= got["k_decile"] * 10).all()
+        assert (got["max_k"] < (got["k_decile"] + 1) * 10).all()
+        assert (got["sum_k"] >= got["n"] * got["min_k"]).all()
+        assert (got["sum_k"] <= got["n"] * got["max_k"]).all()
