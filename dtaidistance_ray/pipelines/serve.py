@@ -1,0 +1,81 @@
+"""Query-time serve path over the checkpointed tiered store.
+
+The read side of the retention engine: a caller asks for a source's
+aggregates over an hour range; each hour is answered by the FINEST
+tier that still holds a bucket covering it (tier-0 for the recent
+window its TTL retains, tier-1 behind that, tier-2 forever) — the
+classic downsampling-database read path (RRDtool / Gorilla / M3DB
+semantics).
+
+Scale shape: a source maps to exactly one shard file per tier
+(source-hash sharding), so a serve touches at most #tiers parquet
+files and reads only the bucket+aggregate columns of the one source's
+rows — independent of store size. Driver-side by design: this is the
+point-read path, not a scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+_AGG_COLS = ["bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]
+
+
+def _tier_rows(out_dir: str, tier: int, source: str) -> pd.DataFrame:
+    """The one source's rows in one tier (source-hash sharding means a
+    single shard dir; we glob rather than recompute the hash so the
+    serve path has no dependency on the writer's shard count)."""
+    frames = []
+    for f in glob.glob(os.path.join(out_dir, f"tier={tier}", "shard=*", "*.parquet")):
+        t = pq.read_table(f, columns=["source"] + _AGG_COLS)
+        mask = np.asarray(t["source"].to_pylist(), dtype=object) == source
+        if mask.any():
+            frames.append(t.to_pandas()[mask])
+    if not frames:
+        return pd.DataFrame(columns=["source"] + _AGG_COLS)
+    return pd.concat(frames, ignore_index=True)
+
+
+def serve_range(
+    out_dir: str,
+    source: str,
+    lo_hour: int,
+    hi_hour: int,
+    widths: Sequence[int] = (3600, 14400, 86400),
+) -> pd.DataFrame:
+    """Serve [lo_hour, hi_hour) (tier-0 bucket units, i.e. ts//3600)
+    for one source: per hour, the finest tier holding a covering
+    bucket, with that bucket's exact aggregates. Hours no tier covers
+    (expired past tier-2's range, or gaps) come back served_tier=-1
+    with zero aggregates, so the response grid is always complete."""
+    hours = np.arange(lo_hour, hi_hour, dtype=np.int64)
+    served_tier = np.full(len(hours), -1, dtype=np.int64)
+    out_aggs = {c: np.zeros(len(hours), dtype=np.int64) for c in _AGG_COLS[1:]}
+    out_bucket = np.full(len(hours), -1, dtype=np.int64)
+    for tier in range(len(widths) - 1, -1, -1):
+        # coarse to fine: finer tiers overwrite, so finest wins
+        ratio = widths[tier] // widths[0]
+        rows = _tier_rows(out_dir, tier, source)
+        if not len(rows):
+            continue
+        by_bucket = rows.drop_duplicates("bucket").set_index("bucket")
+        want = hours // ratio
+        present = np.isin(want, by_bucket.index.to_numpy())
+        if not present.any():
+            continue
+        sel = by_bucket.loc[want[present]]
+        served_tier[present] = tier
+        out_bucket[present] = want[present]
+        for c in _AGG_COLS[1:]:
+            out_aggs[c][present] = sel[c].to_numpy(np.int64)
+    res = pd.DataFrame({"hour": hours, "served_tier": served_tier, "bucket": out_bucket})
+    for c in _AGG_COLS[1:]:
+        res[c] = out_aggs[c]
+    return res

@@ -576,3 +576,44 @@ class TestTier3Promotion:
         assert t3["agg_token_sum"].sum() == t2["agg_token_sum"].sum()
         # weekly buckets are the hourly buckets / 168
         assert set(t3["bucket"]) == set(t2["bucket"] // 168)
+
+
+class TestServeRange:
+    def test_tiered_read_path(self, ray_session, tmp_path):
+        from dtaidistance_ray.pipelines.serve import serve_range
+        from dtaidistance_ray.state.checkpoint import expire_checkpoint
+
+        out = str(tmp_path / "store")
+        spec = TokenTableSpec(num_rows=600, num_sources=3, max_len=24, ts_span=120 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 14400, 86400), dba_max_it=1)
+        run_flagship(spec, cfg, out_dir=out, num_shards=4)
+        m = expire_checkpoint(out, keeps=(12, 12, None))
+        mb0 = m["max_bucket0"]
+
+        import glob
+
+        import pyarrow.parquet as pq
+
+        srcs = set()
+        for f in glob.glob(f"{out}/tier=2/shard=*/*.parquet"):
+            srcs |= set(pq.read_table(f, columns=["source"])["source"].to_pylist())
+        src = sorted(srcs)[0]
+
+        res = serve_range(out, src, mb0 - 60, mb0 + 1)
+        assert len(res) == 61
+        # the recent window is served by tier 0, older hours by coarser tiers
+        recent = res[res["hour"] > mb0 - 12]
+        assert (recent[recent["served_tier"] >= 0]["served_tier"] <= 1).any()
+        old = res[res["hour"] <= mb0 - 50]
+        assert (old["served_tier"] != 0).all()  # tier-0 TTL expired there
+        assert set(res["served_tier"]) <= {-1, 0, 1, 2}
+        # served values equal the store's rows for that tier/bucket
+        hit = res[res["served_tier"] == 2].head(1)
+        if len(hit):
+            b = int(hit["bucket"].iloc[0])
+            rows = []
+            for f in glob.glob(f"{out}/tier=2/shard=*/*.parquet"):
+                df = pq.read_table(f).to_pandas()
+                rows.append(df[(df["source"] == src) & (df["bucket"] == b)])
+            want = pd.concat(rows)
+            assert int(hit["agg_count"].iloc[0]) == int(want["agg_count"].iloc[0])
