@@ -1114,6 +1114,101 @@ FROM read_parquet('{tok}') GROUP BY 1, 2
 """
 
 
+def _q_tokens_serve_range(sf_dir: str):
+    """End-to-end gate proof of the storage engine's full loop: build
+    the checkpointed tiered store (run_flagship), apply the retention
+    sweep (expire_checkpoint, tier-0 keeps 48h / tier-1 42x4h), then
+    SERVE the last 73 hours for every source through the tiered read
+    path — per hour, the finest retained tier and its exact
+    aggregates. The oracle re-derives the same picture from the raw
+    table and the TTL rules alone, so a bug anywhere in write, sweep,
+    or read breaks the hash."""
+    import json as _json
+
+    import pandas as pd
+
+    from dtaidistance_ray.pipelines.flagship import run_flagship
+    from dtaidistance_ray.pipelines.serve import serve_range
+    from dtaidistance_ray.state.checkpoint import expire_checkpoint
+
+    tok = _ensure_token_parquet(sf_dir)
+    out = os.path.join("/tmp/dtair_store", f"sf{_sf_of(sf_dir)}")
+    marker = os.path.join(out, "_swept.json")
+    if not os.path.exists(marker):
+        run_flagship(_token_spec(sf_dir), out_dir=out, num_shards=8, input_path=tok)
+        m = expire_checkpoint(out, keeps=(48, 42, None))
+        with open(marker, "w") as f:
+            _json.dump(m, f)
+    with open(marker) as f:
+        mb0 = int(_json.load(f)["max_bucket0"])
+
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    srcs = set()
+    for fp in _glob.glob(f"{out}/tier=2/shard=*/*.parquet"):
+        srcs |= set(_pq.read_table(fp, columns=["source"])["source"].to_pylist())
+    frames = []
+    for s in sorted(srcs):
+        r = serve_range(out, s, mb0 - 72, mb0 + 1)
+        r.insert(0, "source", s)
+        frames.append(r[["source", "hour", "served_tier", "agg_count", "agg_n_tok_sum", "agg_token_sum"]])
+    res = pd.concat(frames, ignore_index=True)
+    for c in ("hour", "served_tier", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def _sql_tokens_serve_range(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH mx AS (
+  SELECT CAST(max(ts) // 3600 AS BIGINT) AS mb0 FROM read_parquet('{tok}')
+), spans AS (
+  SELECT source, CAST(min(ts) AS BIGINT) AS mnts, CAST(max(ts) AS BIGINT) AS mxts
+  FROM read_parquet('{tok}') GROUP BY 1
+), grid AS (
+  SELECT s.source, unnest(generate_series(mx.mb0 - 72, mx.mb0)) AS hour,
+         s.mnts, s.mxts, mx.mb0
+  FROM spans s, mx
+), a0 AS (
+  SELECT source, CAST(ts // 3600 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(n_tok) AS BIGINT) AS nt,
+         CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS tk
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), a1 AS (
+  SELECT source, CAST(ts // 14400 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(n_tok) AS BIGINT) AS nt,
+         CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS tk
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), a2 AS (
+  SELECT source, CAST(ts // 86400 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(n_tok) AS BIGINT) AS nt,
+         CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) AS tk
+  FROM read_parquet('{tok}') GROUP BY 1, 2
+), pick AS (
+  SELECT g.source, g.hour,
+         CASE WHEN g.hour BETWEEN g.mnts // 3600 AND g.mxts // 3600
+                   AND g.hour > g.mb0 - 48 THEN 0
+              WHEN g.hour // 4 BETWEEN g.mnts // 14400 AND g.mxts // 14400
+                   AND g.hour // 4 > g.mb0 // 4 - 42 THEN 1
+              WHEN g.hour // 24 BETWEEN g.mnts // 86400 AND g.mxts // 86400 THEN 2
+              ELSE -1 END AS served_tier
+  FROM grid g
+)
+SELECT p.source, CAST(p.hour AS BIGINT) AS hour,
+       CAST(p.served_tier AS BIGINT) AS served_tier,
+       CAST(coalesce(a0.c, a1.c, a2.c, 0) AS BIGINT) AS agg_count,
+       CAST(coalesce(a0.nt, a1.nt, a2.nt, 0) AS BIGINT) AS agg_n_tok_sum,
+       CAST(coalesce(a0.tk, a1.tk, a2.tk, 0) AS BIGINT) AS agg_token_sum
+FROM pick p
+LEFT JOIN a0 ON p.served_tier = 0 AND a0.source = p.source AND a0.b = p.hour
+LEFT JOIN a1 ON p.served_tier = 1 AND a1.source = p.source AND a1.b = p.hour // 4
+LEFT JOIN a2 ON p.served_tier = 2 AND a2.source = p.source AND a2.b = p.hour // 24
+"""
+
+
 def _q_tokens_repr_drift(sf_dir: str):
     """Representative drift: banded+pruned DTW distance between each
     source's CONSECUTIVE daily (tier-2) DBA representatives — how much
@@ -1833,6 +1928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_source_acf": _q_tokens_source_acf,
         "tokens_repr_drift": _q_tokens_repr_drift,
         "tokens_rollup_tier3_aggs": _q_tokens_rollup_tier3_aggs,
+        "tokens_serve_range": _q_tokens_serve_range,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1949,6 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_source_hhi": _sql_tokens_source_hhi(sf),
         "tokens_source_acf": _sql_tokens_source_acf(sf),
         "tokens_rollup_tier3_aggs": _sql_tokens_rollup_tier3(sf),
+        "tokens_serve_range": _sql_tokens_serve_range(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),
