@@ -542,3 +542,82 @@ WITH flat AS (
 SELECT doc_id, CAST(i AS BIGINT) AS wpos, CAST(j AS BIGINT) AS nn_pos, d AS nn_dist
 FROM ranked WHERE rk = 1
 """
+
+
+def tokens_positional_stats(spec):
+    """Positional token statistics: mean token value by (source, position)
+    across the whole corpus — the curriculum/format signal a training-data
+    pipeline uses to spot position-dependent drift (e.g. headers, BOS
+    artifacts).
+
+    100-TB shape: the (source, pos) key space is bounded by
+    num_sources x max_len regardless of row count, so the heavy work is a
+    per-block partial reduction (one bincount over the flattened token
+    buffer — zero-copy Arrow list offsets/values, no per-row loop) and the
+    shuffle moves only key-space-sized partial rows into a tiny groupby
+    sum. Sums are exact int64; the final mean is a single IEEE int/int
+    division, bit-deterministic across engines.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ds = _token_ds(spec)
+    maxlen = int(spec.max_len)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tok = batch.column("tokens")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        offs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tok.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        # source_%03d -> int code, vectorized
+        src = batch.column("source").to_pandas().str.slice(7).astype(np.int64).to_numpy()
+        flat_src = np.repeat(src, lens)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        key = flat_src * maxlen + pos
+        size = (int(src.max()) + 1) * maxlen if len(src) else 0
+        cnt = np.bincount(key, minlength=size)
+        # per-block sums stay far below 2^53, so the float64 weighted
+        # bincount is exact; cast back to int64 for the exact global sum
+        ssum = np.bincount(key, weights=vals.astype(np.float64), minlength=size)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "source": pa.array([f"source_{k // maxlen:03d}" for k in nz]),
+                "pos": pa.array(nz % maxlen + 1, type=pa.int64()),
+                "tok_sum": pa.array(ssum[nz].astype(np.int64)),
+                "n_cover": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "pos"])
+        .aggregate(Sum("tok_sum", alias_name="tok_sum"), Sum("n_cover", alias_name="n_cover"))
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["tok_sum"] = batch["tok_sum"].astype("int64")
+        batch["n_cover"] = batch["n_cover"].astype("int64")
+        batch["mean_val"] = batch["tok_sum"] / batch["n_cover"]
+        return batch
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def tokens_positional_stats_sql(tok_path: str) -> str:
+    return f"""
+WITH flat AS (
+  SELECT source,
+         unnest(generate_series(1, len(tokens))) AS pos,
+         unnest(CAST(tokens AS BIGINT[])) AS val
+  FROM read_parquet('{tok_path}')
+)
+SELECT source, CAST(pos AS BIGINT) AS pos,
+       CAST(sum(val) AS BIGINT) AS tok_sum,
+       CAST(count(*) AS BIGINT) AS n_cover,
+       CAST(sum(val) AS DOUBLE) / count(*) AS mean_val
+FROM flat
+GROUP BY source, pos
+"""

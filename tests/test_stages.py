@@ -820,3 +820,39 @@ class TestMatrixProfile:
         assert len(got) > 0
         assert got["r2"].between(0, 1).all()
         assert np.isfinite(got["slope"]).all()
+
+
+class TestPositionalStats:
+    def test_vs_sql_and_invariants(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["tokens_positional_stats"](sf)
+            .to_pandas()
+            .sort_values(["source", "pos"])
+            .reset_index(drop=True)
+        )
+        sql = E.oracle_sql()["tokens_positional_stats"].replace(
+            "sf0.01.parquet", "sf0.001.parquet"
+        )
+        want = (
+            duckdb.connect().execute(sql).df()
+            .sort_values(["source", "pos"])
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # coverage at pos p is monotone non-increasing per source
+        for _, g in got.groupby("source"):
+            n = g.sort_values("pos")["n_cover"].to_numpy()
+            assert (np.diff(n) <= 0).all()
+        # every sequence covers pos 1..min_len, so n_cover at pos 1
+        # equals the source's row count and min pos is 1
+        assert got["pos"].min() == 1
+        # mean is the exact ratio
+        assert np.array_equal(
+            got["mean_val"].to_numpy(), got["tok_sum"].to_numpy() / got["n_cover"].to_numpy()
+        )
