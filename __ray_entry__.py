@@ -1160,6 +1160,146 @@ def _q_tokens_serve_range(sf_dir: str):
     return res
 
 
+def _q_tokens_store_compaction(sf_dir: str):
+    """Gate proof of store compaction: take the swept tiered store,
+    COMPACT every tier's shards into 3 (atomic tier-dir swap, lineage
+    manifests with a compaction record), then serve the same 73-hour
+    grid per source through the compacted layout. The oracle is the
+    SAME raw-table TTL-rule re-derivation as tokens_serve_range — so
+    compaction must preserve every served aggregate byte-for-byte or
+    the hash breaks."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from dtaidistance_ray.pipelines.flagship import run_flagship
+    from dtaidistance_ray.pipelines.serve import serve_range
+    from dtaidistance_ray.state.checkpoint import compact_store, expire_checkpoint
+
+    tok = _ensure_token_parquet(sf_dir)
+    src_store = os.path.join("/tmp/dtair_store", f"sf{_sf_of(sf_dir)}")
+    marker = os.path.join(src_store, "_swept.json")
+    if not os.path.exists(marker):
+        run_flagship(_token_spec(sf_dir), out_dir=src_store, num_shards=8, input_path=tok)
+        m = expire_checkpoint(src_store, keeps=(48, 42, None))
+        with open(marker, "w") as f:
+            _json.dump(m, f)
+    with open(marker) as f:
+        mb0 = int(_json.load(f)["max_bucket0"])
+
+    out = os.path.join("/tmp/dtair_store_compact", f"sf{_sf_of(sf_dir)}")
+    cmarker = os.path.join(out, "_compacted.json")
+    if not os.path.exists(cmarker):
+        if os.path.isdir(out):
+            _shutil.rmtree(out)
+        _shutil.copytree(src_store, out)
+        os.remove(os.path.join(out, "_swept.json"))
+        metrics = compact_store(out, target_shards=3)
+        with open(cmarker, "w") as f:
+            _json.dump(metrics, f)
+
+    srcs = set()
+    for fp in _glob.glob(f"{out}/tier=2/shard=*/*.parquet"):
+        srcs |= set(_pq.read_table(fp, columns=["source"])["source"].to_pylist())
+    frames = []
+    for s in sorted(srcs):
+        r = serve_range(out, s, mb0 - 72, mb0 + 1)
+        r.insert(0, "source", s)
+        frames.append(
+            r[["source", "hour", "served_tier", "agg_count", "agg_n_tok_sum", "agg_token_sum"]]
+        )
+    res = pd.concat(frames, ignore_index=True)
+    for c in ("hour", "served_tier", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def _q_tokens_store_stats(sf_dir: str):
+    """Store-integrity gate: per-tier row count and bucket span of the
+    SWEPT tiered store, cross-checked against the manifests (a manifest
+    whose num_rows disagrees with its parquet fails loudly here). The
+    oracle re-derives each tier's surviving (source, bucket) group count
+    and span from the raw table + TTL rules alone."""
+    import glob as _glob
+    import json as _json
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from dtaidistance_ray.pipelines.flagship import run_flagship
+    from dtaidistance_ray.state.checkpoint import expire_checkpoint, read_manifest
+
+    tok = _ensure_token_parquet(sf_dir)
+    out = os.path.join("/tmp/dtair_store", f"sf{_sf_of(sf_dir)}")
+    marker = os.path.join(out, "_swept.json")
+    if not os.path.exists(marker):
+        run_flagship(_token_spec(sf_dir), out_dir=out, num_shards=8, input_path=tok)
+        m = expire_checkpoint(out, keeps=(48, 42, None))
+        with open(marker, "w") as f:
+            _json.dump(m, f)
+
+    rows = []
+    for t in (0, 1, 2):
+        n = 0
+        man_n = 0
+        mn, mx = None, None
+        for sd in sorted(_glob.glob(f"{out}/tier={t}/shard=*")):
+            shard = int(os.path.basename(sd).split("=", 1)[1])
+            man = read_manifest(out, t, shard)
+            man_n += int(man["num_rows"]) if man else 0
+            for fp in _glob.glob(os.path.join(sd, "*.parquet")):
+                tb = _pq.read_table(fp, columns=["bucket"])
+                n += tb.num_rows
+                if tb.num_rows:
+                    b = tb["bucket"].to_pandas()
+                    mn = int(b.min()) if mn is None else min(mn, int(b.min()))
+                    mx = int(b.max()) if mx is None else max(mx, int(b.max()))
+        if man_n != n:
+            raise AssertionError(f"tier {t}: manifests say {man_n} rows, parquet has {n}")
+        rows.append(
+            {"tier": t, "n_rows": n, "min_bucket": mn, "max_bucket": mx}
+        )
+    res = pd.DataFrame(rows)
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def _sql_tokens_store_stats(sf: str) -> str:
+    # store tiers are GAP-FILLED per source span (gap_fill_tier), so the
+    # surviving row count per (source, tier) is the clipped span length:
+    # [max(lo, cutoff+1), hi], cutoff = mb0//ratio - keep
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH mx AS (
+  SELECT CAST(max(ts) // 3600 AS BIGINT) AS mb0 FROM read_parquet('{tok}')
+), spans AS (
+  SELECT source, CAST(min(ts) // 3600 AS BIGINT) AS lo0,
+         CAST(max(ts) // 3600 AS BIGINT) AS hi0
+  FROM read_parquet('{tok}') GROUP BY source
+), tiers AS (
+  SELECT 0 AS tier, 1 AS ratio, 48 AS keep UNION ALL
+  SELECT 1, 4, 42 UNION ALL
+  SELECT 2, 24, NULL
+), per AS (
+  SELECT t.tier,
+         CASE WHEN t.keep IS NULL THEN s.lo0 // t.ratio
+              ELSE greatest(s.lo0 // t.ratio, mx.mb0 // t.ratio - t.keep + 1)
+         END AS lo,
+         s.hi0 // t.ratio AS hi
+  FROM spans s, tiers t, mx
+)
+SELECT CAST(tier AS BIGINT) AS tier,
+       CAST(sum(greatest(hi - lo + 1, 0)) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN hi >= lo THEN lo END) AS BIGINT) AS min_bucket,
+       CAST(max(CASE WHEN hi >= lo THEN hi END) AS BIGINT) AS max_bucket
+FROM per GROUP BY tier
+"""
+
+
 def _sql_tokens_serve_range(sf: str) -> str:
     tok = f"{_TOK_DIR}/sf{sf}.parquet"
     return f"""
@@ -1929,6 +2069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_repr_drift": _q_tokens_repr_drift,
         "tokens_rollup_tier3_aggs": _q_tokens_rollup_tier3_aggs,
         "tokens_serve_range": _q_tokens_serve_range,
+        "tokens_store_compaction": _q_tokens_store_compaction,
+        "tokens_store_stats": _q_tokens_store_stats,
         "tokens_rollup_tier0_full": _q_tokens_rollup_tier0_full,
         "tokens_rollup_time_index": _q_tokens_rollup_time_index,
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
@@ -1943,6 +2085,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subsequence_knn": _q_subsequence_knn,
         # vocabulary analytics (corpus-scale text ops)
         "token_heavy_hitters": _q_token_heavy_hitters,
+        "vocab_coverage_curve": _q_vocab_coverage,
+        "distinct_tokens_daily": _q_distinct_tokens_daily,
         "token_percentiles": _q_token_percentiles,
         "token_doc_frequency": _q_token_doc_frequency,
         "bigram_collocations": _q_bigram_collocations,
@@ -2047,7 +2191,11 @@ def oracle_sql() -> dict[str, str]:
         "tokens_source_acf": _sql_tokens_source_acf(sf),
         "tokens_rollup_tier3_aggs": _sql_tokens_rollup_tier3(sf),
         "tokens_serve_range": _sql_tokens_serve_range(sf),
+        "tokens_store_compaction": _sql_tokens_serve_range(sf),
+        "tokens_store_stats": _sql_tokens_store_stats(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
+        "vocab_coverage_curve": _sql_vocab_coverage(sf),
+        "distinct_tokens_daily": _sql_distinct_tokens_daily(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),
         "bigram_collocations": _sql_bigram_collocations(sf),
@@ -2071,6 +2219,35 @@ def _q_token_heavy_hitters(sf_dir: str):
 
     _ensure_token_parquet(sf_dir)
     return vocab.heavy_hitters(token_table(_token_spec(sf_dir)))
+
+
+def _q_vocab_coverage(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages import vocab
+
+    _ensure_token_parquet(sf_dir)
+    return vocab.vocab_coverage(token_table(_token_spec(sf_dir)))
+
+
+def _sql_vocab_coverage(sf: str) -> str:
+    from dtaidistance_ray.stages.vocab import vocab_coverage_sql
+
+    return vocab_coverage_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_distinct_tokens_daily(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages import vocab
+
+    _ensure_token_parquet(sf_dir)
+    spec = _token_spec(sf_dir)
+    return vocab.distinct_tokens_daily(token_table(spec), spec)
+
+
+def _sql_distinct_tokens_daily(sf: str) -> str:
+    from dtaidistance_ray.stages.vocab import distinct_tokens_daily_sql
+
+    return distinct_tokens_daily_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _q_token_percentiles(sf_dir: str):

@@ -33,6 +33,14 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--keep0", type=int, default=48, help="tier-0 TTL in 1h buckets")
     ap.add_argument("--keep1", type=int, default=42, help="tier-1 TTL in 4h buckets")
+    ap.add_argument(
+        "--compact",
+        type=int,
+        default=None,
+        metavar="N",
+        help="after the run (and any --expire sweep), compact every tier "
+        "of --out into N shards (atomic tier swap, lineage manifests)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -63,6 +71,10 @@ def main(argv=None) -> int:
         from dtaidistance_ray.state.checkpoint import expire_checkpoint
 
         metrics["retention"] = expire_checkpoint(args.out, keeps=(args.keep0, args.keep1, None))
+    if args.compact and args.out:
+        from dtaidistance_ray.state.checkpoint import compact_store
+
+        metrics["compaction"] = compact_store(args.out, target_shards=args.compact)
     print(json.dumps(metrics, default=str))
     ray.shutdown()
     return 0

@@ -565,18 +565,30 @@ def tokens_positional_stats(spec):
     maxlen = int(spec.max_len)
 
     def partials(batch: pa.Table) -> pa.Table:
-        tok = batch.column("tokens")
-        if isinstance(tok, pa.ChunkedArray):
-            tok = tok.combine_chunks()
-        offs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = tok.values.to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = np.diff(offs)
+        import pyarrow.compute as pc
+
+        tok = batch.column("tokens").combine_chunks()
+        # flatten() (not .values) so zero-copy SLICES of a list column —
+        # which keep the parent buffer but offset into it — yield exactly
+        # this batch's values (same pattern as vocab._flat_tokens)
+        lens = pc.list_value_length(tok).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tok.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         # source_%03d -> int code, vectorized
         src = batch.column("source").to_pandas().str.slice(7).astype(np.int64).to_numpy()
         flat_src = np.repeat(src, lens)
-        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        ends = np.cumsum(lens)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(ends - lens, lens)
+        if len(src) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "tok_sum": pa.array([], type=pa.int64()),
+                    "n_cover": pa.array([], type=pa.int64()),
+                }
+            )
         key = flat_src * maxlen + pos
-        size = (int(src.max()) + 1) * maxlen if len(src) else 0
+        size = (int(src.max()) + 1) * maxlen
         cnt = np.bincount(key, minlength=size)
         # per-block sums stay far below 2^53, so the float64 weighted
         # bincount is exact; cast back to int64 for the exact global sum

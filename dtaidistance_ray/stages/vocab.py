@@ -708,3 +708,149 @@ WITH h AS (
 SELECT source, ns AS n_docs, d AS ks_d, CAST(n_tok AS BIGINT) AS ks_at_len
 FROM ranked WHERE rk = 1
 """
+
+
+def vocab_coverage(ds, n_points: int = 10) -> pd.DataFrame:
+    """Vocabulary coverage curve per source: the cumulative share of all
+    token occurrences covered by the top-r tokens, sampled at decile
+    ranks r = ceil(d/n_points * n_distinct). The classic tokenizer-audit
+    curve (how head-heavy is each source's vocabulary?).
+
+    Reduces through the same vocab-bounded packed partials as
+    heavy_hitters — per-block bincount, fan-in tree merge — so the final
+    contraction sorts at most num_sources x vocab rows. Rank ties break
+    on ascending token id (matches the SQL window ORDER BY). cum/total
+    are exact int64; coverage is one IEEE int/int division.
+    """
+    cnts = _source_token_counts(ds)
+    out = []
+    for s, g in cnts.groupby("source", sort=True):
+        g = g.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        n = len(g)
+        total = int(cum[-1])
+        d = np.arange(1, n_points + 1, dtype=np.int64)
+        rnk = (d * n + n_points - 1) // n_points  # ceil(d*n/n_points), exact ints
+        out.append(
+            pd.DataFrame(
+                {
+                    "source": s,
+                    "decile": d,
+                    "rnk": rnk,
+                    "cum_cnt": cum[rnk - 1],
+                    "total_cnt": np.int64(total),
+                    "coverage": cum[rnk - 1] / total,
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {"source": [], "decile": [], "rnk": [], "cum_cnt": [], "total_cnt": [], "coverage": []}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def vocab_coverage_sql(parquet_path: str, n_points: int = 10) -> str:
+    return f"""
+WITH c AS (
+    SELECT source, token, count(*) AS cnt
+    FROM (SELECT source, unnest(tokens) AS token
+          FROM read_parquet('{parquet_path}'))
+    GROUP BY source, token
+), r AS (
+    SELECT source,
+           CAST(row_number() OVER w AS BIGINT) AS rnk,
+           CAST(sum(cnt) OVER w AS BIGINT) AS cum_cnt,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_distinct,
+           CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total_cnt
+    FROM c
+    WINDOW w AS (PARTITION BY source ORDER BY cnt DESC, token)
+), d AS (
+    SELECT CAST(unnest(generate_series(1, {n_points})) AS BIGINT) AS decile
+)
+SELECT r.source, d.decile, r.rnk, r.cum_cnt, r.total_cnt,
+       CAST(r.cum_cnt AS DOUBLE) / r.total_cnt AS coverage
+FROM r JOIN d
+  ON r.rnk = (d.decile * r.n_distinct + {n_points} - 1) // {n_points}
+"""
+
+
+def _empty_bitmap() -> pd.DataFrame:
+    return pd.DataFrame({"gkey": pd.Series(dtype=object), "bm": pd.Series(dtype=object)})
+
+
+def _merge_bitmaps(batch: pd.DataFrame) -> pd.DataFrame:
+    """Associative OR-merge of fixed-size bitmap rows per group key."""
+    if not len(batch):
+        return _empty_bitmap()
+    rows = {"gkey": [], "bm": []}
+    for k, g in batch.groupby("gkey", sort=True):
+        acc = np.frombuffer(g["bm"].iloc[0], np.uint8).copy()
+        for b in g["bm"].iloc[1:]:
+            acc |= np.frombuffer(b, np.uint8)
+        rows["gkey"].append(k)
+        rows["bm"].append(acc.tobytes())
+    return pd.DataFrame(rows)
+
+
+def distinct_tokens_daily(ds, spec) -> pd.DataFrame:
+    """Exact distinct-token continuous aggregate per (source, day):
+    how much of the vocabulary each source exercises each day — the
+    canonical "distinct count inside a rollup tier" problem.
+
+    100-TB shape: distinct state must be MERGEABLE, not enumerable —
+    per block each (source, day) group collapses to ONE fixed-size
+    bitmap (vocab/8 bytes, ~4 KB at 32k vocab; exact because the token
+    domain is bounded), bitmaps merge by elementwise OR in keyed fan-in
+    tree rounds, and the driver folds only the bounded remainder
+    (sources x days groups, row-count-independent). For unbounded
+    domains the HLL path (stages/sketch.py) is the same shape with
+    fixed registers instead of bitmaps.
+    """
+    from ..sources.synth import derive_ts
+
+    nbytes = (spec.vocab + 7) // 8
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        src, vals, lens = _flat_tokens(batch)
+        if len(src) == 0:
+            return _empty_bitmap()
+        ids = batch.column("doc_id").to_pandas().str.slice(1).astype(np.int64).to_numpy()
+        day = derive_ts(ids, spec) // 86400
+        gkey = np.char.add(np.char.add(src.astype(str), "|"), day.astype(str))
+        flat_key = np.repeat(gkey, lens)
+        rows = {"gkey": [], "bm": []}
+        order = np.argsort(flat_key, kind="mergesort")
+        fk, fv = flat_key[order], vals[order]
+        bounds = np.flatnonzero(np.r_[True, fk[1:] != fk[:-1], True])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            bits = np.zeros(nbytes * 8, dtype=np.uint8)
+            bits[fv[a:b]] = 1
+            rows["gkey"].append(fk[a])
+            rows["bm"].append(np.packbits(bits).tobytes())
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    packed = _tree_reduce_keyed(parts, _merge_bitmaps, key="gkey")
+    if not len(packed):
+        return pd.DataFrame({"source": [], "day": [], "n_distinct": []})
+    src_day = packed["gkey"].str.split("|", expand=True)
+    return pd.DataFrame(
+        {
+            "source": src_day[0].to_numpy(),
+            "day": src_day[1].astype(np.int64).to_numpy(),
+            "n_distinct": [
+                int(np.unpackbits(np.frombuffer(b, np.uint8)).sum()) for b in packed["bm"]
+            ],
+        }
+    ).sort_values(["source", "day"]).reset_index(drop=True)
+
+
+def distinct_tokens_daily_sql(parquet_path: str) -> str:
+    return f"""
+SELECT source, CAST(ts // 86400 AS BIGINT) AS day,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+FROM (SELECT source, ts, unnest(tokens) AS token
+      FROM read_parquet('{parquet_path}'))
+GROUP BY source, day
+"""

@@ -195,3 +195,112 @@ def expire_checkpoint(
             dropped_total += dropped
         metrics["expired"][t] = {"cutoff_bucket": int(cut), "rows_dropped": int(dropped_total)}
     return metrics
+
+
+def compact_store(
+    out_dir: str,
+    target_shards: int = 2,
+) -> Dict:
+    """Compact each tier's shards into a bounded shard count (the LSM /
+    segment-merge maintenance pass every long-lived rollup store needs:
+    retention sweeps and incremental refreshes leave many small shard
+    files; reads want few).
+
+    Rows are preserved byte-identically — only the shard assignment
+    changes (same crc32 source-hash rule as the writer, so the
+    "one shard file per source per tier" serve invariant still holds).
+    The swap is atomic per tier: new shards are staged under a tmp tier
+    dir, the old tier dir is renamed away, the staged dir renamed in,
+    then the old tree removed — a crash at any point leaves either the
+    old layout, or the new one plus a ``.old-`` leftover that readers
+    ignore (they glob ``tier=T/shard=*``) and the next compaction
+    clears. Manifests keep their lineage fields (settings hash / input
+    fingerprint, retention records) and gain a ``compaction`` record,
+    so the merge is itself auditable lineage; shard numbering changes,
+    so a RESUME after compaction must pass the compacted shard count.
+
+    Driver-side by design: per-tier rows are key-space-bounded
+    (sources x retained buckets, row-count-independent); at extreme
+    tier sizes the same logic runs as one Ray task per output shard
+    reading the old shard files — the layout contract is unchanged.
+    """
+    import glob as _glob
+    import zlib as _zlib
+
+    metrics: Dict = {"tiers": {}}
+    # clear a crashed compaction's leftovers (readers never matched them:
+    # they glob the exact "tier=T/shard=*" path)
+    for leftover in _glob.glob(os.path.join(out_dir, "tier=*.old-*")) + _glob.glob(
+        os.path.join(out_dir, "tier=*.tmp-*")
+    ):
+        shutil.rmtree(leftover, ignore_errors=True)
+    for tier_path in sorted(_glob.glob(os.path.join(out_dir, "tier=*"))):
+        base = os.path.basename(tier_path)
+        if ".tmp-" in base or ".old-" in base:
+            continue
+        t = int(base.split("=", 1)[1])
+        shard_names = sorted(
+            n for n in os.listdir(tier_path) if n.startswith("shard=") and ".tmp-" not in n
+        )
+        tables, manifests = [], []
+        for name in shard_names:
+            shard = int(name.split("=", 1)[1])
+            m = read_manifest(out_dir, t, shard)
+            if not m:
+                continue
+            tables.append(pq.read_table(os.path.join(tier_path, name, m["file"])))
+            manifests.append(m)
+        if not tables:
+            continue
+        merged = pa.concat_tables(tables)
+        src = merged["source"].to_pylist()
+        assign = [_zlib.crc32(s.encode()) % target_shards for s in src]
+        shash = {m.get("settings_hash") for m in manifests}
+        ifp = {m.get("input_fingerprint") for m in manifests}
+        retention: List = []
+        for m in manifests:
+            retention.extend(m.get("retention", []))
+        staged = tier_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(staged, exist_ok=True)
+        comp_rec = {
+            "merged_from": len(manifests),
+            "target_shards": target_shards,
+            "compacted_at": time.time(),
+        }
+        for k in range(target_shards):
+            mask = pa.array([a == k for a in assign])
+            part = merged.filter(mask)
+            sdir = os.path.join(staged, f"shard={k}")
+            os.makedirs(sdir, exist_ok=True)
+            fname = "part-0.parquet"
+            pq.write_table(part, os.path.join(sdir, fname))
+            man = {
+                "tier": t,
+                "shard": k,
+                "num_rows": part.num_rows,
+                "settings_hash": shash.pop() if len(shash) == 1 else "mixed",
+                "input_fingerprint": ifp.pop() if len(ifp) == 1 else "mixed",
+                "sources": sorted(
+                    set(part["source"].to_pylist())
+                ) if "source" in part.column_names else [],
+                "wall_time_s": 0.0,
+                "written_at": time.time(),
+                "file": fname,
+                "compaction": comp_rec,
+            }
+            if retention:
+                man["retention"] = retention
+            shash.add(man["settings_hash"])
+            ifp.add(man["input_fingerprint"])
+            with open(os.path.join(sdir, "_manifest.json"), "w") as fh:
+                json.dump(man, fh, sort_keys=True)
+        old = tier_path + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(tier_path, old)
+        os.rename(staged, tier_path)
+        shutil.rmtree(old)
+        metrics["tiers"][t] = {
+            "shards_before": len(manifests),
+            "shards_after": target_shards,
+            "rows": merged.num_rows,
+        }
+    return metrics

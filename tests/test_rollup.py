@@ -1,6 +1,7 @@
 """Flagship rollup pipeline: tier equality vs single-process oracle,
 partitioning invariance, gap-fill semantics, checkpoint/resume."""
 
+import os
 import numpy as np
 import pandas as pd
 import pytest
@@ -617,3 +618,69 @@ class TestServeRange:
                 rows.append(df[(df["source"] == src) & (df["bucket"] == b)])
             want = pd.concat(rows)
             assert int(hit["agg_count"].iloc[0]) == int(want["agg_count"].iloc[0])
+
+
+class TestCompaction:
+    def test_compact_preserves_serves_and_layout(self, ray_session, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from dtaidistance_ray.pipelines.serve import serve_range
+        from dtaidistance_ray.state.checkpoint import compact_store, expire_checkpoint
+
+        out = str(tmp_path / "store")
+        spec = TokenTableSpec(num_rows=600, num_sources=3, max_len=24, ts_span=120 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 14400, 86400), dba_max_it=1)
+        run_flagship(spec, cfg, out_dir=out, num_shards=6)
+        m = expire_checkpoint(out, keeps=(12, 12, None))
+        mb0 = m["max_bucket0"]
+
+        srcs = set()
+        for f in glob.glob(f"{out}/tier=2/shard=*/*.parquet"):
+            srcs |= set(pq.read_table(f, columns=["source"])["source"].to_pylist())
+        before = {s: serve_range(out, s, mb0 - 60, mb0 + 1) for s in sorted(srcs)}
+        rows_before = {
+            t: sum(
+                pq.read_table(f).num_rows
+                for f in glob.glob(f"{out}/tier={t}/shard=*/*.parquet")
+            )
+            for t in (0, 1, 2)
+        }
+
+        metrics = compact_store(out, target_shards=2)
+        # layout: exactly 2 shards per tier, no .old/.tmp leftovers
+        for t in (0, 1, 2):
+            names = sorted(
+                os.path.basename(d) for d in glob.glob(f"{out}/tier={t}/shard=*")
+            )
+            assert names == ["shard=0", "shard=1"]
+            assert metrics["tiers"][t]["shards_after"] == 2
+            assert metrics["tiers"][t]["rows"] == rows_before[t]
+        assert not glob.glob(f"{out}/tier=*.old-*") and not glob.glob(f"{out}/tier=*.tmp-*")
+        # row conservation per tier
+        for t in (0, 1, 2):
+            got = sum(
+                pq.read_table(f).num_rows
+                for f in glob.glob(f"{out}/tier={t}/shard=*/*.parquet")
+            )
+            assert got == rows_before[t]
+        # every served aggregate identical after compaction
+        for s, want in before.items():
+            got = serve_range(out, s, mb0 - 60, mb0 + 1)
+            pd.testing.assert_frame_equal(got, want)
+        # manifests carry the compaction lineage record
+        import json
+
+        with open(f"{out}/tier=0/shard=0/_manifest.json") as f:
+            man = json.load(f)
+        assert man["compaction"]["merged_from"] >= 1
+        assert man["settings_hash"] != "mixed"
+        # idempotent: compacting again conserves rows and serves; a crashed
+        # compaction's leftover dirs are ignored by readers and cleared here
+        os.makedirs(f"{out}/tier=0.old-dead/shard=9", exist_ok=True)
+        os.makedirs(f"{out}/tier=1.tmp-dead", exist_ok=True)
+        compact_store(out, target_shards=2)
+        assert not glob.glob(f"{out}/tier=*.old-*") and not glob.glob(f"{out}/tier=*.tmp-*")
+        for s, want in before.items():
+            pd.testing.assert_frame_equal(serve_range(out, s, mb0 - 60, mb0 + 1), want)

@@ -55,6 +55,15 @@ class TestVocab:
         assert (got["df"] <= got["tf"]).all()
         assert (got["df"] <= SPEC.num_rows).all()
 
+    def test_vocab_coverage_vs_duckdb(self, ray_session, tok_parquet):
+        got = _canon(vocab.vocab_coverage(token_table(SPEC)))
+        want = _canon(_duck(vocab.vocab_coverage_sql(tok_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # coverage is monotone in decile and ends at exactly 1.0
+        for _, g in got.groupby("source"):
+            c = g.sort_values("decile")["coverage"].to_numpy()
+            assert (np.diff(c) >= 0).all() and c[-1] == 1.0
+
     def test_block_count_invariance(self, ray_session):
         """Partial-count combiner must be partitioning-independent."""
         a = _canon(vocab.heavy_hitters(token_table(SPEC, override_num_blocks=3)))
@@ -197,3 +206,28 @@ class TestLengthKsDrift:
         assert got["ks_d"].tolist() == [0.5, 0.5]
         assert got["ks_at_len"].tolist() == [8, 8]
         assert got["n_docs"].tolist() == [4, 4]
+
+
+class TestDistinctTokensDaily:
+    def test_vs_duckdb_and_partition_invariance(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dtaidistance_ray.sources.synth import derive_ts
+
+        spec = SPEC
+        t = token_table_arrow(spec)
+        ids = np.arange(spec.num_rows, dtype=np.int64)
+        t2 = t.append_column("ts", pa.array(derive_ts(ids, spec), type=pa.int64()))
+        path = "/tmp/dtair_test_vocab_ts.parquet"
+        pq.write_table(t2, path)
+
+        got = _canon(vocab.distinct_tokens_daily(token_table(spec), spec))
+        want = _canon(_duck(vocab.distinct_tokens_daily_sql(path)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # block-count invariance: the bitmap OR-merge is associative
+        got2 = _canon(
+            vocab.distinct_tokens_daily(token_table(spec, override_num_blocks=3), spec)
+        )
+        pd.testing.assert_frame_equal(got2, got)
