@@ -2087,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_heavy_hitters": _q_token_heavy_hitters,
         "vocab_coverage_curve": _q_vocab_coverage,
         "distinct_tokens_daily": _q_distinct_tokens_daily,
+        "source_token_entropy": _q_source_entropy,
         "token_percentiles": _q_token_percentiles,
         "token_doc_frequency": _q_token_doc_frequency,
         "bigram_collocations": _q_bigram_collocations,
@@ -2196,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "vocab_coverage_curve": _sql_vocab_coverage(sf),
         "distinct_tokens_daily": _sql_distinct_tokens_daily(sf),
+        "source_token_entropy": _sql_source_entropy(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),
         "bigram_collocations": _sql_bigram_collocations(sf),
@@ -2233,6 +2235,20 @@ def _sql_vocab_coverage(sf: str) -> str:
     from dtaidistance_ray.stages.vocab import vocab_coverage_sql
 
     return vocab_coverage_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_source_entropy(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages import vocab
+
+    _ensure_token_parquet(sf_dir)
+    return vocab.source_entropy(token_table(_token_spec(sf_dir)))
+
+
+def _sql_source_entropy(sf: str) -> str:
+    from dtaidistance_ray.stages.vocab import source_entropy_sql
+
+    return source_entropy_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _q_distinct_tokens_daily(sf_dir: str):

@@ -454,7 +454,7 @@ def source_kl_drift(ds) -> pd.DataFrame:
         qg = q.loc[g["token"]].to_numpy(np.float64)
         rows["source"].append(s)
         rows["n_tokens"].append(int(n))
-        rows["kl_to_corpus"].append(float(np.sum(p * np.log(p / qg))))
+        rows["kl_to_corpus"].append(round(float(np.sum(p * np.log(p / qg))), 9))
     out = pd.DataFrame(rows)
     out["n_tokens"] = out["n_tokens"].astype("int64")
     return out
@@ -471,7 +471,7 @@ ct AS (SELECT token, sum(c) AS cc FROM sc GROUP BY 1),
 tot AS (SELECT sum(c) AS nn FROM sc)
 SELECT s.source,
        CAST(st.n AS BIGINT) AS n_tokens,
-       sum((s.c / st.n) * ln((s.c / st.n) / (ct.cc / tot.nn))) AS kl_to_corpus
+       ROUND(sum((s.c / st.n) * ln((s.c / st.n) / (ct.cc / tot.nn))), 9) AS kl_to_corpus
 FROM sc s
 JOIN stot st USING (source)
 JOIN ct USING (token)
@@ -853,4 +853,51 @@ SELECT source, CAST(ts // 86400 AS BIGINT) AS day,
 FROM (SELECT source, ts, unnest(tokens) AS token
       FROM read_parquet('{parquet_path}'))
 GROUP BY source, day
+"""
+
+
+def source_entropy(ds) -> pd.DataFrame:
+    """Per-source unigram Shannon entropy (nats) + distinct-token count:
+    the standard corpus-diversity score behind mixture weighting (a
+    low-entropy source is templated/repetitive; a high-entropy one is
+    diverse). Same vocab-bounded packed-partial reduction as the KL
+    drift op; the entropy itself is an O(sources x vocab) driver fold
+    over the bounded counts frame."""
+    cnts = _source_token_counts(ds)
+    if not len(cnts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "n_tokens": pd.Series(dtype="int64"),
+                "n_distinct": pd.Series(dtype="int64"),
+                "entropy_nats": pd.Series(dtype="float64"),
+            }
+        )
+    rows = {"source": [], "n_tokens": [], "n_distinct": [], "entropy_nats": []}
+    for s, g in cnts.groupby("source", sort=True):
+        n = float(g["cnt"].sum())
+        p = g["cnt"].to_numpy(np.float64) / n
+        rows["source"].append(s)
+        rows["n_tokens"].append(int(n))
+        rows["n_distinct"].append(len(g))
+        rows["entropy_nats"].append(round(float(-np.sum(p * np.log(p))), 9))
+    out = pd.DataFrame(rows)
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out
+
+
+def source_entropy_sql(parquet_path: str) -> str:
+    return f"""
+WITH sc AS (
+  SELECT source, token, count(*) AS c
+  FROM (SELECT source, unnest(tokens) AS token FROM read_parquet('{parquet_path}'))
+  GROUP BY 1, 2
+), stot AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1)
+SELECT s.source,
+       CAST(st.n AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       ROUND(-sum((s.c / st.n) * ln(s.c / st.n)), 9) AS entropy_nats
+FROM sc s JOIN stot st USING (source)
+GROUP BY 1, st.n
 """

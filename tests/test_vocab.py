@@ -231,3 +231,13 @@ class TestDistinctTokensDaily:
             vocab.distinct_tokens_daily(token_table(spec, override_num_blocks=3), spec)
         )
         pd.testing.assert_frame_equal(got2, got)
+
+
+class TestSourceEntropy:
+    def test_vs_sql_and_bounds(self, ray_session, tok_parquet):
+        got = _canon(vocab.source_entropy(token_table(SPEC)))
+        want = _canon(_duck(vocab.source_entropy_sql(tok_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # 0 <= H <= ln(n_distinct), with equality iff uniform
+        assert (got["entropy_nats"] >= 0).all()
+        assert (got["entropy_nats"] <= np.log(got["n_distinct"]) + 1e-9).all()
