@@ -1830,6 +1830,58 @@ def _q_explain_pairs(sf_dir: str):
     return explain_pairs_dataset(pairs, delta_rel=1, delta_abs=2.0)
 
 
+def _q_tokens_storage_efficiency(sf_dir: str):
+    """Storage-efficiency report per (tier, source): buckets, points,
+    Gorilla payload bytes vs raw float64 bytes, compression ratio —
+    the observability surface every compressed tiered store needs.
+    Bounded key space (tiers x sources): per-block partials + tiny
+    groupby sum; golden = the single-process oracle's rows encoded
+    with the same codec and reduced the same way."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
+
+    cfg = RollupConfig()
+    tiers = _build_tiers_cached(sf_dir)
+    parts = None
+    for t in range(len(cfg.tier_widths)):
+        enc = encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t])
+
+        def pf(batch: pd.DataFrame, tier=t) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "tier": np.full(len(batch), tier, dtype=np.int64),
+                    "source": batch["source"].to_numpy(),
+                    "n_buckets": np.ones(len(batch), dtype=np.int64),
+                    "n_points": pd.array(
+                        [len(r) for r in batch["repr_series"]], dtype="int64"
+                    ),
+                    "payload_bytes": pd.array(
+                        [len(bytes(p)) for p in batch["repr_gorilla"]], dtype="int64"
+                    ),
+                }
+            )
+
+        d = enc.map_batches(pf, batch_format="pandas")
+        parts = d if parts is None else parts.union(d)
+    out = parts.groupby(["tier", "source"]).aggregate(
+        Sum("n_buckets", alias_name="n_buckets"),
+        Sum("n_points", alias_name="n_points"),
+        Sum("payload_bytes", alias_name="payload_bytes"),
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("tier", "n_buckets", "n_points", "payload_bytes"):
+            batch[c] = batch[c].astype("int64")
+        batch["raw_bytes"] = batch["n_points"] * 8
+        batch["ratio"] = (batch["payload_bytes"] / batch["raw_bytes"]).round(6)
+        return batch
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def _q_tokens_rollup_payload_crc(sf_dir: str):
     """Gorilla-encoded representative payloads of every tier, reduced
     to crc32 per (tier, source, bucket) — hash-checks the encode path
@@ -1965,6 +2017,7 @@ GOLDEN_QUERIES = (
     "ann_ivf_topk",
     "ann_pq_topk",
     "tokens_rollup_payload_crc",
+    "tokens_storage_efficiency",
     "tokens_rollup_tier0_full",
     "tokens_rollup_tier2_full",
     "tokens_rollup_time_index",
@@ -2076,6 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_rollup_tier2_full": _q_tokens_rollup_tier2_full,
         "tokens_rollup_tier0_repr": _q_tokens_rollup_tier0_repr,
         "tokens_rollup_payload_crc": _q_tokens_rollup_payload_crc,
+        "tokens_storage_efficiency": _q_tokens_storage_efficiency,
         "warping_path_lowmem_tokens": _q_warping_path_lowmem,
         "dtw_weighted_matrix": _q_dtw_weighted_matrix,
         "explain_pairs_tokens": _q_explain_pairs,
@@ -2088,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_curve": _q_vocab_coverage,
         "distinct_tokens_daily": _q_distinct_tokens_daily,
         "source_token_entropy": _q_source_entropy,
+        "source_zipf_slope": _q_zipf_slope,
         "token_percentiles": _q_token_percentiles,
         "token_doc_frequency": _q_token_doc_frequency,
         "bigram_collocations": _q_bigram_collocations,
@@ -2198,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_curve": _sql_vocab_coverage(sf),
         "distinct_tokens_daily": _sql_distinct_tokens_daily(sf),
         "source_token_entropy": _sql_source_entropy(sf),
+        "source_zipf_slope": _sql_zipf_slope(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),
         "bigram_collocations": _sql_bigram_collocations(sf),
@@ -2249,6 +2305,20 @@ def _sql_source_entropy(sf: str) -> str:
     from dtaidistance_ray.stages.vocab import source_entropy_sql
 
     return source_entropy_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_zipf_slope(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages import vocab
+
+    _ensure_token_parquet(sf_dir)
+    return vocab.zipf_slope(token_table(_token_spec(sf_dir)))
+
+
+def _sql_zipf_slope(sf: str) -> str:
+    from dtaidistance_ray.stages.vocab import zipf_slope_sql
+
+    return zipf_slope_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _q_distinct_tokens_daily(sf_dir: str):

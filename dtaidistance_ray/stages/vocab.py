@@ -901,3 +901,67 @@ SELECT s.source,
 FROM sc s JOIN stot st USING (source)
 GROUP BY 1, st.n
 """
+
+
+def zipf_slope(ds) -> pd.DataFrame:
+    """Per-source Zipf fit: OLS slope/intercept of ln(freq) on ln(rank)
+    over the full rank-frequency curve (rank ties break on ascending
+    token id, matching the SQL row_number). A natural-text source sits
+    near slope -1; templated or synthetic sources deviate — the classic
+    corpus-sanity fingerprint.
+
+    Same vocab-bounded packed-partial reduction as the other vocabulary
+    ops; the OLS is a driver fold over at most num_sources x vocab
+    counts. Both sides round to 6 decimals (ln-sum order is
+    engine-dependent at the last ulp)."""
+    cnts = _source_token_counts(ds)
+    if not len(cnts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "n_distinct": pd.Series(dtype="int64"),
+                "slope": pd.Series(dtype="float64"),
+                "intercept": pd.Series(dtype="float64"),
+            }
+        )
+    rows = {"source": [], "n_distinct": [], "slope": [], "intercept": []}
+    for s, g in cnts.groupby("source", sort=True):
+        g = g.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        n = len(g)
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(g["cnt"].to_numpy(np.float64))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxx, sxy = float((x * x).sum()), float((x * y).sum())
+        denom = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / denom
+        intercept = (sy - slope * sx) / n
+        rows["source"].append(s)
+        rows["n_distinct"].append(n)
+        rows["slope"].append(round(slope, 6))
+        rows["intercept"].append(round(intercept, 6))
+    out = pd.DataFrame(rows)
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out
+
+
+def zipf_slope_sql(parquet_path: str) -> str:
+    return f"""
+WITH sc AS (
+  SELECT source, token, count(*) AS c
+  FROM (SELECT source, unnest(tokens) AS token FROM read_parquet('{parquet_path}'))
+  GROUP BY 1, 2
+), r AS (
+  SELECT source,
+         ln(row_number() OVER (PARTITION BY source ORDER BY c DESC, token)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM sc
+), m AS (
+  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM r GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_distinct,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+FROM m
+"""

@@ -241,3 +241,12 @@ class TestSourceEntropy:
         # 0 <= H <= ln(n_distinct), with equality iff uniform
         assert (got["entropy_nats"] >= 0).all()
         assert (got["entropy_nats"] <= np.log(got["n_distinct"]) + 1e-9).all()
+
+
+class TestZipfSlope:
+    def test_vs_sql_and_sanity(self, ray_session, tok_parquet):
+        got = _canon(vocab.zipf_slope(token_table(SPEC)))
+        want = _canon(_duck(vocab.zipf_slope_sql(tok_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # frequency is non-increasing in rank, so the fit slope is <= 0
+        assert (got["slope"] <= 0).all()

@@ -645,7 +645,43 @@ def check_repr_drift(got: pd.DataFrame):
     )
 
 
+def check_storage_efficiency(got: pd.DataFrame):
+    import __ray_entry__ as E
+    from dtaidistance_ray.pipelines.flagship import rollup_oracle
+    from dtaidistance_ray.stages.rollup import RollupConfig, encode_frame
+
+    spec = E._token_spec(SF_DIR)
+    tiers = rollup_oracle(spec, RollupConfig())
+    rows = []
+    for t, frame in tiers.items():
+        enc = encode_frame(frame)
+        g = enc.assign(
+            n_points=[len(r) for r in enc["repr_series"]],
+            payload_bytes=[len(bytes(p)) for p in enc["repr_gorilla"]],
+        ).groupby("source", sort=True)
+        for src, gg in g:
+            np_, pb = int(gg["n_points"].sum()), int(gg["payload_bytes"].sum())
+            rows.append(
+                {
+                    "tier": int(t),
+                    "source": src,
+                    "n_buckets": len(gg),
+                    "n_points": np_,
+                    "payload_bytes": pb,
+                    "raw_bytes": np_ * 8,
+                    "ratio": round(pb / (np_ * 8), 6),
+                }
+            )
+    want = canon(pd.DataFrame(rows))
+    pd.testing.assert_frame_equal(canon(got.reset_index(drop=True)), want, check_dtype=False)
+    return (
+        "single-process rollup_oracle rows encoded with the same codec, "
+        "reduced per (tier, source) independently of the distributed path"
+    )
+
+
 CHECKS = {
+    "tokens_storage_efficiency": check_storage_efficiency,
     "tokens_repr_drift": check_repr_drift,
     "ann_pq_topk": check_ann_pq_topk,
     "tokens_rollup_payload_crc": check_payload_crc,
