@@ -2155,6 +2155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_znormal": _q_tokens_znormal,
         "tokens_logdomain_stats": _q_tokens_logdomain_stats,
         "tokens_positional_stats": _q_tokens_positional_stats,
+        "tokens_rollup_length_p95": _q_tokens_rollup_length_p95,
         # clustering / alignment / multimodal
         "hierarchical_clusters_tokens": _q_hierarchical_clusters,
         "kmeans_clusters_tokens": _q_kmeans_clusters,
@@ -2264,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_matrix_profile": _sql_tokens_matrix_profile(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_positional_stats": _sql_tokens_positional_stats(sf),
+        "tokens_rollup_length_p95": _sql_tokens_rollup_length_p95(sf),
         "tokens_logdomain_stats": _sql_tokens_logdomain(sf),
         "dedup_clusters": _sql_dedup_clusters(),
         "dedup_apply_survivors": _sql_dedup_apply(),
@@ -2454,6 +2456,19 @@ def _sql_tokens_sax(sf: str) -> str:
     from dtaidistance_ray.stages.series_ops import tokens_sax_sql
 
     return tokens_sax_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_tokens_rollup_length_p95(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_rollup_length_p95
+
+    _ensure_token_parquet(sf_dir)
+    return tokens_rollup_length_p95(_token_spec(sf_dir))
+
+
+def _sql_tokens_rollup_length_p95(sf: str) -> str:
+    from dtaidistance_ray.stages.series_ops import tokens_rollup_length_p95_sql
+
+    return tokens_rollup_length_p95_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _q_tokens_positional_stats(sf_dir: str):

@@ -633,3 +633,93 @@ SELECT source, CAST(pos AS BIGINT) AS pos,
 FROM flat
 GROUP BY source, pos
 """
+
+
+def tokens_rollup_length_p95(spec):
+    """Percentile continuous aggregate: exact p95 sequence length per
+    (source, hourly bucket). Percentiles don't merge as scalars, so the
+    mergeable tier state is a bounded-domain HISTOGRAM of n_tok (the
+    exact analog of the t-digest pattern: fixed-size, associative
+    merge) — per block each (source, bucket) group collapses to one
+    sparse (value, count) blob, blobs merge in keyed fan-in tree
+    rounds, and only the bounded remainder (sources x hours groups)
+    reaches the driver, where the percentile is an integer inverse-CDF
+    rank over the histogram's cumulative counts (DuckDB quantile_disc
+    semantics: value at 1-based rank ceil(p*n)).
+    """
+    import pyarrow as pa
+
+    from ..sources.synth import token_table
+    from ..stages.rollup import bucketize
+    from .vocab import _tree_reduce_keyed
+
+    ds = bucketize(token_table(spec), 3600, spec)
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return pd.DataFrame({"gkey": pd.Series(dtype=object), "hist": pd.Series(dtype=object)})
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pylist(),
+                "bucket": batch["bucket"].to_numpy(zero_copy_only=False),
+                "n_tok": batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        rows = {"gkey": [], "hist": []}
+        for (s, b), g in df.groupby(["source", "bucket"], sort=True):
+            vals, cnts = np.unique(g["n_tok"].to_numpy(), return_counts=True)
+            rows["gkey"].append(f"{s}|{b}")
+            rows["hist"].append(
+                np.concatenate([vals, cnts]).astype(np.int64).tobytes()
+            )
+        return pd.DataFrame(rows)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"gkey": pd.Series(dtype=object), "hist": pd.Series(dtype=object)})
+        rows = {"gkey": [], "hist": []}
+        for k, g in batch.groupby("gkey", sort=True):
+            vs, cs = [], []
+            for blob in g["hist"]:
+                a = np.frombuffer(blob, np.int64)
+                vs.append(a[: len(a) // 2])
+                cs.append(a[len(a) // 2 :])
+            vals = np.concatenate(vs)
+            cnts = np.concatenate(cs)
+            uv, inv = np.unique(vals, return_inverse=True)
+            acc = np.zeros(len(uv), dtype=np.int64)
+            np.add.at(acc, inv, cnts)
+            rows["gkey"].append(k)
+            rows["hist"].append(np.concatenate([uv, acc]).tobytes())
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    packed = _tree_reduce_keyed(parts, merge, key="gkey")
+    if not len(packed):
+        return pd.DataFrame({"source": [], "bucket": [], "n_seq": [], "p95_len": []})
+    out = {"source": [], "bucket": [], "n_seq": [], "p95_len": []}
+    for k, blob in zip(packed["gkey"], packed["hist"]):
+        s, b = k.rsplit("|", 1)
+        a = np.frombuffer(blob, np.int64)
+        vals, cnts = a[: len(a) // 2], a[len(a) // 2 :]
+        n = int(cnts.sum())
+        rank = int(np.ceil(np.float64(0.95) * n))
+        cum = np.cumsum(cnts)
+        out["source"].append(s)
+        out["bucket"].append(int(b))
+        out["n_seq"].append(n)
+        out["p95_len"].append(int(vals[np.searchsorted(cum, rank)]))
+    df = pd.DataFrame(out)
+    for c in ("bucket", "n_seq", "p95_len"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+
+def tokens_rollup_length_p95_sql(tok_path: str) -> str:
+    return f"""
+SELECT source, CAST(ts // 3600 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_seq,
+       CAST(quantile_disc(n_tok, 0.95) AS BIGINT) AS p95_len
+FROM read_parquet('{tok_path}')
+GROUP BY source, bucket
+"""

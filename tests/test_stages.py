@@ -856,3 +856,26 @@ class TestPositionalStats:
         assert np.array_equal(
             got["mean_val"].to_numpy(), got["tok_sum"].to_numpy() / got["n_cover"].to_numpy()
         )
+
+
+class TestRollupLengthP95:
+    def test_vs_sql_and_merge_invariance(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = E.queries()["tokens_rollup_length_p95"](sf)
+        sql = E.oracle_sql()["tokens_rollup_length_p95"].replace(
+            "sf0.01.parquet", "sf0.001.parquet"
+        )
+        want = (
+            duckdb.connect().execute(sql).df()
+            .sort_values(["source", "bucket"])
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # p95 is within the generator's length domain
+        assert got["p95_len"].between(8, 256).all()
+        assert (got["n_seq"] >= 1).all()
