@@ -2143,6 +2143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_daily": _q_distinct_tokens_daily,
         "source_token_entropy": _q_source_entropy,
         "source_zipf_slope": _q_zipf_slope,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "token_percentiles": _q_token_percentiles,
         "token_doc_frequency": _q_token_doc_frequency,
         "bigram_collocations": _q_bigram_collocations,
@@ -2255,6 +2256,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_tokens_daily": _sql_distinct_tokens_daily(sf),
         "source_token_entropy": _sql_source_entropy(sf),
         "source_zipf_slope": _sql_zipf_slope(sf),
+        "source_vocab_overlap": _sql_source_vocab_overlap(sf),
         "token_percentiles": _sql_token_percentiles(sf),
         "token_doc_frequency": _sql_token_doc_frequency(sf),
         "bigram_collocations": _sql_bigram_collocations(sf),
@@ -2321,6 +2323,21 @@ def _sql_zipf_slope(sf: str) -> str:
     from dtaidistance_ray.stages.vocab import zipf_slope_sql
 
     return zipf_slope_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_source_vocab_overlap(sf_dir: str):
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages import vocab
+
+    _ensure_token_parquet(sf_dir)
+    spec = _token_spec(sf_dir)
+    return vocab.source_vocab_overlap(token_table(spec), spec)
+
+
+def _sql_source_vocab_overlap(sf: str) -> str:
+    from dtaidistance_ray.stages.vocab import source_vocab_overlap_sql
+
+    return source_vocab_overlap_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _q_distinct_tokens_daily(sf_dir: str):

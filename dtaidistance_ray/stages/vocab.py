@@ -965,3 +965,83 @@ SELECT source, CAST(n AS BIGINT) AS n_distinct,
        ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
 FROM m
 """
+
+
+def source_vocab_overlap(ds, spec) -> pd.DataFrame:
+    """Pairwise vocabulary overlap between sources: |A∩B|, |A∪B| and
+    exact Jaccard over each source's distinct-token SET — the
+    set-similarity matrix behind source grouping / near-duplicate
+    source detection.
+
+    Distributed shape: each block collapses to at most num_sources
+    fixed-size bitmaps (vocab/8 bytes), bitmaps OR-merge in keyed
+    fan-in rounds, and the pairwise AND/popcount runs on the driver
+    over num_sources bitmaps only — never over token occurrences.
+    (For unbounded vocab this becomes a theta/HLL intersection sketch;
+    the bounded-domain bitmap is its exact analog.)"""
+    nbytes = (spec.vocab + 7) // 8
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        src, vals, lens = _flat_tokens(batch)
+        if len(src) == 0:
+            return _empty_bitmap()
+        flat_src = np.repeat(src, lens)
+        rows = {"gkey": [], "bm": []}
+        order = np.argsort(flat_src, kind="mergesort")
+        fs, fv = flat_src[order], vals[order]
+        bounds = np.flatnonzero(np.r_[True, fs[1:] != fs[:-1], True])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            bits = np.zeros(nbytes * 8, dtype=np.uint8)
+            bits[fv[a:b]] = 1
+            rows["gkey"].append(fs[a])
+            rows["bm"].append(np.packbits(bits).tobytes())
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    packed = _tree_reduce_keyed(parts, _merge_bitmaps, key="gkey")
+    if not len(packed):
+        return pd.DataFrame(
+            {"source_a": [], "source_b": [], "n_inter": [], "n_union": [], "jaccard": []}
+        )
+    packed = packed.sort_values("gkey").reset_index(drop=True)
+    names = packed["gkey"].tolist()
+    bms = [np.frombuffer(b, np.uint8) for b in packed["bm"]]
+    pops = [int(np.unpackbits(b).sum()) for b in bms]
+    out = {"source_a": [], "source_b": [], "n_inter": [], "n_union": [], "jaccard": []}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            inter = int(np.unpackbits(bms[i] & bms[j]).sum())
+            if inter == 0:
+                continue  # mirror the SQL inner join (no zero-overlap rows)
+            union = pops[i] + pops[j] - inter
+            out["source_a"].append(names[i])
+            out["source_b"].append(names[j])
+            out["n_inter"].append(inter)
+            out["n_union"].append(union)
+            out["jaccard"].append(inter / union)
+    df = pd.DataFrame(out)
+    for c in ("n_inter", "n_union"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def source_vocab_overlap_sql(parquet_path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT DISTINCT source, token
+  FROM (SELECT source, unnest(tokens) AS token FROM read_parquet('{parquet_path}'))
+), sizes AS (
+  SELECT source, count(*) AS n FROM s GROUP BY 1
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+  FROM s a JOIN s b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""

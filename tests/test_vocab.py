@@ -250,3 +250,13 @@ class TestZipfSlope:
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         # frequency is non-increasing in rank, so the fit slope is <= 0
         assert (got["slope"] <= 0).all()
+
+
+class TestSourceVocabOverlap:
+    def test_vs_duckdb_and_set_identities(self, ray_session, tok_parquet):
+        got = _canon(vocab.source_vocab_overlap(token_table(SPEC), SPEC))
+        want = _canon(_duck(vocab.source_vocab_overlap_sql(tok_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # set identities: 0 < inter <= union, 0 < jaccard <= 1
+        assert (got["n_inter"] > 0).all() and (got["n_inter"] <= got["n_union"]).all()
+        assert (got["jaccard"] > 0).all() and (got["jaccard"] <= 1).all()
