@@ -444,3 +444,89 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                   ELSE 0.0 END, 6) AS rep_ratio
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+DUPWIN_N = 8
+
+
+def dup_window_ratio(sf_dir: str):
+    """Cross-document duplicated-window ratio: the fraction of each
+    document's 8-word windows that occur anywhere else in the corpus —
+    the C4/RefinedWeb-style boilerplate signal (near-identical intros,
+    templates, quoted chunks) that intra-doc repetition scoring misses.
+
+    Distributed shape: explode windows -> corpus-wide count (hash
+    shuffle on the window key; nothing driver-side) -> partitioned hash
+    join back to (doc, window) -> per-doc combiner partials -> tiny
+    groupby sum. Windows travel as strings here so the DuckDB oracle
+    can mirror the keys exactly; at 100 TB you hash each window to a
+    uint64 first (same multiply-shift path as the MinHash shingles,
+    dedup.py) and the shuffle carries 8 bytes per window instead of
+    ~50. dup_ratio is one IEEE int/int division."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def windows(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_d, rows_w = [], []
+        for did, t in zip(batch["doc_id"], batch["text"]):
+            ws = t.lower().split()
+            for i in range(len(ws) - DUPWIN_N + 1):
+                rows_d.append(did)
+                rows_w.append(" ".join(ws[i : i + DUPWIN_N]))
+        return pd.DataFrame({"doc_id": pd.array(rows_d, dtype="int64"), "win": rows_w})
+
+    w = docs.map_batches(windows, batch_format="pandas")
+    counts = w.groupby("win").aggregate(Count(alias_name="c"))
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    joined = w.join(
+        counts, join_type="inner", num_partitions=max(2, min(32, ncpu)), on=("win",)
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("doc_id", as_index=False).agg(
+            n_win=("c", "size"), dup_win=("c", lambda s: int((s > 1).sum()))
+        )
+        return g
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n_win", alias_name="n_win"), Sum("dup_win", alias_name="dup_win"))
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("doc_id", "n_win", "dup_win"):
+            batch[c] = batch[c].astype("int64")
+        batch["dup_ratio"] = batch["dup_win"] / batch["n_win"]
+        return batch
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+DUPWIN_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - {DUPWIN_N - 1}, 0))) AS i
+  FROM d
+), w AS (
+  SELECT doc_id, array_to_string(ws[i:i + {DUPWIN_N - 1}], ' ') AS win FROM idx
+), c AS (
+  SELECT win, count(*) AS c FROM w GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_win,
+       CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_win,
+       CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+FROM w JOIN c USING (win)
+GROUP BY w.doc_id
+"""

@@ -879,3 +879,31 @@ class TestRollupLengthP95:
         # p95 is within the generator's length domain
         assert got["p95_len"].between(8, 256).all()
         assert (got["n_seq"] >= 1).all()
+
+
+class TestDupWindowRatio:
+    def test_vs_sql_and_bounds(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["doc_dup_window_ratio"](sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = (
+            con.execute(E.oracle_sql()["doc_dup_window_ratio"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        assert (got["dup_win"] <= got["n_win"]).all()
+        assert got["dup_ratio"].between(0, 1).all()
