@@ -1223,14 +1223,12 @@ def _q_tokens_store_stats(sf_dir: str):
     whose num_rows disagrees with its parquet fails loudly here). The
     oracle re-derives each tier's surviving (source, bucket) group count
     and span from the raw table + TTL rules alone."""
-    import glob as _glob
     import json as _json
 
     import pandas as pd
-    import pyarrow.parquet as _pq
 
     from dtaidistance_ray.pipelines.flagship import run_flagship
-    from dtaidistance_ray.state.checkpoint import expire_checkpoint, read_manifest
+    from dtaidistance_ray.state.checkpoint import expire_checkpoint, store_stats
 
     tok = _ensure_token_parquet(sf_dir)
     out = os.path.join("/tmp/dtair_store", f"sf{_sf_of(sf_dir)}")
@@ -1241,28 +1239,7 @@ def _q_tokens_store_stats(sf_dir: str):
         with open(marker, "w") as f:
             _json.dump(m, f)
 
-    rows = []
-    for t in (0, 1, 2):
-        n = 0
-        man_n = 0
-        mn, mx = None, None
-        for sd in sorted(_glob.glob(f"{out}/tier={t}/shard=*")):
-            shard = int(os.path.basename(sd).split("=", 1)[1])
-            man = read_manifest(out, t, shard)
-            man_n += int(man["num_rows"]) if man else 0
-            for fp in _glob.glob(os.path.join(sd, "*.parquet")):
-                tb = _pq.read_table(fp, columns=["bucket"])
-                n += tb.num_rows
-                if tb.num_rows:
-                    b = tb["bucket"].to_pandas()
-                    mn = int(b.min()) if mn is None else min(mn, int(b.min()))
-                    mx = int(b.max()) if mx is None else max(mx, int(b.max()))
-        if man_n != n:
-            raise AssertionError(f"tier {t}: manifests say {man_n} rows, parquet has {n}")
-        rows.append(
-            {"tier": t, "n_rows": n, "min_bucket": mn, "max_bucket": mx}
-        )
-    res = pd.DataFrame(rows)
+    res = pd.DataFrame(store_stats(out))
     for c in res.columns:
         res[c] = res[c].astype("int64")
     return res
@@ -1347,6 +1324,102 @@ LEFT JOIN a0 ON p.served_tier = 0 AND a0.source = p.source AND a0.b = p.hour
 LEFT JOIN a1 ON p.served_tier = 1 AND a1.source = p.source AND a1.b = p.hour // 4
 LEFT JOIN a2 ON p.served_tier = 2 AND a2.source = p.source AND a2.b = p.hour // 24
 """
+
+
+def _q_tokens_source_freshness(sf_dir: str):
+    """Freshness/staleness alert view: per source, the last ingested
+    hourly bucket, hours stale relative to the global max, and the
+    alert flag (stale > 24h) — the ops surface a rollup pipeline pages
+    on. Map-side per-block max partials -> tiny groupby max; the global
+    max is a second bounded reduction, not a driver scan."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig, bucketize
+
+    spec = _token_spec(sf_dir)
+    _ensure_token_parquet(sf_dir)
+    ds = bucketize(token_table(spec), RollupConfig().tier_widths[0], spec)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("source", as_index=False).agg(last_bucket=("bucket", "max"))
+
+    per_src = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Max("last_bucket", alias_name="last_bucket"))
+        .to_pandas()
+    )
+    per_src["last_bucket"] = per_src["last_bucket"].astype("int64")
+    gmax = int(per_src["last_bucket"].max())
+    per_src["hours_stale"] = (gmax - per_src["last_bucket"]).astype("int64")
+    per_src["alert"] = per_src["hours_stale"] > 24
+    return per_src.sort_values("source").reset_index(drop=True)
+
+
+def _sql_tokens_source_freshness(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+WITH s AS (
+  SELECT source, CAST(max(ts) // 3600 AS BIGINT) AS last_bucket
+  FROM read_parquet('{tok}') GROUP BY source
+), mx AS (SELECT max(last_bucket) AS g FROM s)
+SELECT s.source, s.last_bucket,
+       CAST(mx.g - s.last_bucket AS BIGINT) AS hours_stale,
+       (mx.g - s.last_bucket) > 24 AS alert
+FROM s, mx
+"""
+
+
+def _q_tokens_repr_fidelity(sf_dir: str):
+    """Rollup fidelity audit: banded DTW distance from each MEMBER
+    sequence to its bucket's tier-0 DBA representative, over a
+    deterministic sample of (source, bucket) groups — the quality
+    metric that justifies serving representatives instead of raw
+    members. Non-SQL (DTW); golden verified against the reference
+    library's dtw.distance to the single-process oracle's
+    representatives (independent of the distributed scan).
+
+    Scale shape: the sampled reprs broadcast as a small dict; members
+    filter map-side and score per batch with the engine's kernel —
+    the raw corpus never leaves the map stage."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.kernels.elastic import distance as dtw_distance
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig, bucketize
+
+    cfg = RollupConfig()
+    tiers = _build_tiers_cached(sf_dir)
+    t0 = tiers[0].to_pandas()[["source", "bucket", "repr_series"]]
+    t0["bucket"] = t0["bucket"].astype("int64")
+    sample = {}
+    for s in ("source_000", "source_001", "source_002"):
+        g = t0[t0["source"] == s].sort_values("bucket").head(5)
+        for _, r in g.iterrows():
+            sample[(s, int(r["bucket"]))] = np.asarray(r["repr_series"], dtype=np.float64)
+
+    spec = _token_spec(sf_dir)
+    ds = bucketize(token_table(spec), cfg.tier_widths[0], spec)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, toks, src, bkt in zip(
+            batch["doc_id"], batch["tokens"], batch["source"], batch["bucket"]
+        ):
+            key = (src, int(bkt))
+            rep = sample.get(key)
+            if rep is None:
+                continue
+            d = dtw_distance(np.asarray(toks, dtype=np.float64), rep, cfg.dtw)
+            rows.append((did, src, int(bkt), round(float(d), 6)))
+        return pd.DataFrame(rows, columns=["doc_id", "source", "bucket", "dist_to_repr"])
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out["bucket"] = out["bucket"].astype("int64")
+    return out.sort_values(["source", "bucket", "doc_id"]).reset_index(drop=True)
 
 
 def _q_tokens_repr_drift(sf_dir: str):
@@ -2023,6 +2096,7 @@ GOLDEN_QUERIES = (
     "tokens_rollup_time_index",
     "embedding_pca_top",
     "tokens_repr_drift",
+    "tokens_repr_fidelity",
 )
 
 
@@ -2121,6 +2195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_source_hhi": _q_tokens_source_hhi,
         "tokens_source_acf": _q_tokens_source_acf,
         "tokens_repr_drift": _q_tokens_repr_drift,
+        "tokens_repr_fidelity": _q_tokens_repr_fidelity,
+        "tokens_source_freshness": _q_tokens_source_freshness,
         "tokens_rollup_tier3_aggs": _q_tokens_rollup_tier3_aggs,
         "tokens_serve_range": _q_tokens_serve_range,
         "tokens_store_compaction": _q_tokens_store_compaction,
@@ -2253,6 +2329,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_serve_range": _sql_tokens_serve_range(sf),
         "tokens_store_compaction": _sql_tokens_serve_range(sf),
         "tokens_store_stats": _sql_tokens_store_stats(sf),
+        "tokens_source_freshness": _sql_tokens_source_freshness(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "vocab_coverage_curve": _sql_vocab_coverage(sf),
         "distinct_tokens_daily": _sql_distinct_tokens_daily(sf),

@@ -304,3 +304,35 @@ def compact_store(
             "rows": merged.num_rows,
         }
     return metrics
+
+
+def store_stats(out_dir: str, tiers=(0, 1, 2)):
+    """Per-tier integrity stats of a tiered store: row count and bucket
+    span from the parquet files, CROSS-CHECKED against the manifests —
+    a manifest whose num_rows disagrees with its shard's parquet raises
+    (torn write, manual tampering, or a compaction bug). Returns a list
+    of {tier, n_rows, min_bucket, max_bucket} dicts."""
+    import glob as _glob
+
+    rows = []
+    for t in tiers:
+        n = 0
+        man_n = 0
+        mn = mx = None
+        for sd in sorted(_glob.glob(os.path.join(out_dir, f"tier={t}", "shard=*"))):
+            if ".tmp-" in os.path.basename(sd):
+                continue
+            shard = int(os.path.basename(sd).split("=", 1)[1])
+            m = read_manifest(out_dir, t, shard)
+            man_n += int(m["num_rows"]) if m else 0
+            for fp in _glob.glob(os.path.join(sd, "*.parquet")):
+                tb = pq.read_table(fp, columns=["bucket"])
+                n += tb.num_rows
+                if tb.num_rows:
+                    b = tb["bucket"].to_pandas()
+                    mn = int(b.min()) if mn is None else min(mn, int(b.min()))
+                    mx = int(b.max()) if mx is None else max(mx, int(b.max()))
+        if man_n != n:
+            raise AssertionError(f"tier {t}: manifests say {man_n} rows, parquet has {n}")
+        rows.append({"tier": t, "n_rows": n, "min_bucket": mn, "max_bucket": mx})
+    return rows

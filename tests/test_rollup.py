@@ -684,3 +684,26 @@ class TestCompaction:
         assert not glob.glob(f"{out}/tier=*.old-*") and not glob.glob(f"{out}/tier=*.tmp-*")
         for s, want in before.items():
             pd.testing.assert_frame_equal(serve_range(out, s, mb0 - 60, mb0 + 1), want)
+
+
+class TestStoreStats:
+    def test_integrity_and_fault_injection(self, ray_session, tmp_path):
+        import glob
+        import json
+
+        from dtaidistance_ray.state.checkpoint import store_stats
+
+        out = str(tmp_path / "store")
+        spec = TokenTableSpec(num_rows=400, num_sources=3, max_len=24, ts_span=48 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 14400, 86400), dba_max_it=1)
+        run_flagship(spec, cfg, out_dir=out, num_shards=4)
+        rows = store_stats(out)
+        assert [r["tier"] for r in rows] == [0, 1, 2]
+        assert all(r["n_rows"] > 0 and r["min_bucket"] <= r["max_bucket"] for r in rows)
+        # fault injection: doctor one manifest's num_rows -> loud failure
+        mp = sorted(glob.glob(f"{out}/tier=0/shard=*/_manifest.json"))[0]
+        m = json.load(open(mp))
+        m["num_rows"] += 1
+        json.dump(m, open(mp, "w"))
+        with pytest.raises(AssertionError, match="tier 0"):
+            store_stats(out)

@@ -645,6 +645,45 @@ def check_repr_drift(got: pd.DataFrame):
     )
 
 
+def check_repr_fidelity(got: pd.DataFrame):
+    """Reference recompute: dtw.distance(member, oracle repr, window=16)
+    for every member of the sampled groups, with members re-derived
+    driver-side from the deterministic generator."""
+    from dtaidistance import dtw as ref_dtw
+
+    import __ray_entry__ as E
+    from dtaidistance_ray.pipelines.flagship import rollup_oracle
+    from dtaidistance_ray.sources.synth import derive_ts, token_table_arrow
+    from dtaidistance_ray.stages.rollup import RollupConfig
+
+    spec = E._token_spec(SF_DIR)
+    cfg = RollupConfig()
+    t0 = rollup_oracle(spec, cfg)[0]
+    t0 = t0[~t0["gap_filled"]]
+    sample = {}
+    for s in ("source_000", "source_001", "source_002"):
+        g = t0[t0["source"] == s].sort_values("bucket").head(5)
+        for _, r in g.iterrows():
+            sample[(s, int(r["bucket"]))] = np.asarray(r["repr_series"], dtype=np.float64)
+
+    tab = token_table_arrow(spec).to_pandas()
+    ids = tab["doc_id"].str.slice(1).astype(np.int64).to_numpy()
+    tab["bucket"] = derive_ts(ids, spec) // cfg.tier_widths[0]
+    want = {}
+    for did, toks, src, bkt in zip(tab["doc_id"], tab["tokens"], tab["source"], tab["bucket"]):
+        rep = sample.get((src, int(bkt)))
+        if rep is None:
+            continue
+        want[did] = ref_dtw.distance(np.asarray(toks, dtype=np.float64), rep, window=16)
+    assert len(want) == len(got), (len(want), len(got))
+    for did, d in zip(got["doc_id"], got["dist_to_repr"]):
+        assert abs(d - want[did]) < 5e-6, (did, d, want[did])
+    return (
+        "reference dtw.distance(window=16) from each regenerated member to the "
+        "single-process rollup_oracle's tier-0 representative (sampled groups)"
+    )
+
+
 def check_storage_efficiency(got: pd.DataFrame):
     import __ray_entry__ as E
     from dtaidistance_ray.pipelines.flagship import rollup_oracle
@@ -681,6 +720,7 @@ def check_storage_efficiency(got: pd.DataFrame):
 
 
 CHECKS = {
+    "tokens_repr_fidelity": check_repr_fidelity,
     "tokens_storage_efficiency": check_storage_efficiency,
     "tokens_repr_drift": check_repr_drift,
     "ann_pq_topk": check_ann_pq_topk,
