@@ -260,3 +260,46 @@ class TestSourceVocabOverlap:
         # set identities: 0 < inter <= union, 0 < jaccard <= 1
         assert (got["n_inter"] > 0).all() and (got["n_inter"] <= got["n_union"]).all()
         assert (got["jaccard"] > 0).all() and (got["jaccard"] <= 1).all()
+
+
+class TestZeroLengthRows:
+    """Zero-length token rows (min_len=0 spec) through the newest ops —
+    the repo's historical bite-point (reduceat gaps, empty flattens)."""
+
+    SPEC0 = TokenTableSpec(num_rows=500, min_len=0, max_len=24, vocab=100)
+
+    @pytest.fixture(scope="class")
+    def tok0_parquet(self):
+        import pyarrow.parquet as pq
+
+        path = "/tmp/dtair_test_vocab_zero.parquet"
+        pq.write_table(token_table_arrow(self.SPEC0), path)
+        return path
+
+    def test_positional_stats(self, ray_session, tok0_parquet):
+        from dtaidistance_ray.stages.series_ops import (
+            tokens_positional_stats,
+            tokens_positional_stats_sql,
+        )
+
+        got = _canon(tokens_positional_stats(self.SPEC0).to_pandas())
+        want = _canon(_duck(tokens_positional_stats_sql(tok0_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_vocab_coverage(self, ray_session, tok0_parquet):
+        got = _canon(vocab.vocab_coverage(token_table(self.SPEC0)))
+        want = _canon(_duck(vocab.vocab_coverage_sql(tok0_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_entropy_and_zipf(self, ray_session, tok0_parquet):
+        got = _canon(vocab.source_entropy(token_table(self.SPEC0)))
+        want = _canon(_duck(vocab.source_entropy_sql(tok0_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        got = _canon(vocab.zipf_slope(token_table(self.SPEC0)))
+        want = _canon(_duck(vocab.zipf_slope_sql(tok0_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_overlap(self, ray_session, tok0_parquet):
+        got = _canon(vocab.source_vocab_overlap(token_table(self.SPEC0), self.SPEC0))
+        want = _canon(_duck(vocab.source_vocab_overlap_sql(tok0_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
