@@ -2145,6 +2145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_median_bands": events.hourly_median_bands,
         "events_last_touch_attribution": events.last_touch_attribution,
         "events_props_extract": events.props_extract_rollup,
+        "events_user_rfm": events.user_rfm_segments,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -2293,6 +2294,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_median_bands": events.HOURLY_MEDIAN_BANDS_SQL,
         "events_last_touch_attribution": events.LAST_TOUCH_SQL,
         "events_props_extract": events.PROPS_EXTRACT_SQL,
+        "events_user_rfm": events.RFM_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

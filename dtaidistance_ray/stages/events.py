@@ -2298,3 +2298,131 @@ SELECT event_type, CAST(k // 10 AS BIGINT) AS k_decile,
        CAST(max(k) AS BIGINT) AS max_k
 FROM x GROUP BY 1, 2
 """
+
+
+def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int = 256):
+    """Exact global ntile(k) over an UNBOUNDED row set, no global sort:
+    rows range-shard by value ((v - vmin) // width), pass 1 collects
+    per-shard counts (bounded rows), the driver prefix-scans them into
+    a per-shard rank offset (broadcast once), and pass 2 co-partitions
+    by shard and ranks locally — global_rank = offset + local index,
+    tile = ((rank-1)*k)//n + 1 (the SQL ntile distribution: the first
+    n mod k tiles get the extra row). Ordering is (value, user_id), so
+    ties are deterministic. A skewed value can make one shard hot;
+    sub-split hot shards on (value, user_id hash) if that bites."""
+    import ray
+    from ray.data.aggregate import Max as AMax
+    from ray.data.aggregate import Min as AMin
+    from ray.data.aggregate import Sum as ASum
+
+    mm = users_ds.aggregate(AMin(col), AMax(col))
+    vmin, vmax = int(mm[f"min({col})"]), int(mm[f"max({col})"])
+    width = max(1, (vmax - vmin + 1) // nshards)
+
+    def p1(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = (batch[col].to_numpy(np.int64) - vmin) // width
+        out = pd.DataFrame({"shard": sh}).groupby("shard", as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    parts = (
+        users_ds.map_batches(p1, batch_format="pandas")
+        .groupby("shard")
+        .aggregate(ASum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("shard", kind="mergesort")
+    )
+    n = int(parts["cnt"].sum())
+    offs = {}
+    run = 0
+    for s, c in zip(parts["shard"], parts["cnt"]):
+        offs[int(s)] = run
+        run += int(c)
+    offs_ref = ray.put(offs)
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_shard"] = (batch[col].to_numpy(np.int64) - vmin) // width
+        return batch
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offs_ref)[int(g["_shard"].iloc[0])]
+        g = g.sort_values([col, "user_id"], kind="mergesort").reset_index(drop=True)
+        r = off + np.arange(1, len(g) + 1, dtype=np.int64)
+        g[out_col] = ((r - 1) * k) // n + 1
+        return g.drop(columns=["_shard"])
+
+    return (
+        users_ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+def user_rfm_segments(sf_dir: str):
+    """User RFM segmentation: recency (hours since the user's last
+    event, vs the global max), frequency (event count), monetary (exact
+    int-cents value sum), each labeled with its exact global quintile —
+    the classic user-lifecycle rollup.
+
+    Scale shape: per-user aggregates are combiner partials + one
+    groupby (the unavoidable shuffle on the unbounded user key); each
+    quintile is the range-sharded global-ntile above — three orderings,
+    three co-partitions, no global sort and no driver user table."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _add_cents(batch)
+        batch["us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+        return batch.groupby("user_id", as_index=False).agg(
+            last_us=("us", "max"), f_cnt=("us", "size"), m_cents=("value_cents", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("f_cnt", alias_name="f_cnt"),
+            Sum("m_cents", alias_name="m_cents"),
+        )
+    )
+    gmax = int(agg.aggregate(Max("last_us"))["max(last_us)"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("user_id", "last_us", "f_cnt", "m_cents"):
+            batch[c] = batch[c].astype("int64")
+        batch["r_hours"] = (gmax - batch["last_us"]) // 3_600_000_000
+        return batch[["user_id", "r_hours", "f_cnt", "m_cents"]]
+
+    users = agg.map_batches(finish, batch_format="pandas")
+    for col, out in (("r_hours", "r_q"), ("f_cnt", "f_q"), ("m_cents", "m_q")):
+        users = _add_global_ntile(users, col, out)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["m_value"] = batch["m_cents"] / 100.0
+        for c in ("r_q", "f_q", "m_q"):
+            batch[c] = batch[c].astype("int64")
+        return batch[["user_id", "r_hours", "f_cnt", "m_value", "r_q", "f_q", "m_q"]]
+
+    return users.map_batches(finalize, batch_format="pandas")
+
+
+RFM_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS f_cnt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM events GROUP BY user_id
+), mx AS (SELECT max(last_us) AS g FROM u)
+SELECT u.user_id,
+       CAST((mx.g - u.last_us) // 3600000000 AS BIGINT) AS r_hours,
+       u.f_cnt,
+       u.m_cents / 100.0 AS m_value,
+       CAST(ntile(5) OVER (ORDER BY (mx.g - u.last_us) // 3600000000, u.user_id)
+            AS BIGINT) AS r_q,
+       CAST(ntile(5) OVER (ORDER BY u.f_cnt, u.user_id) AS BIGINT) AS f_q,
+       CAST(ntile(5) OVER (ORDER BY u.m_cents, u.user_id) AS BIGINT) AS m_q
+FROM u, mx
+"""
