@@ -2231,6 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_lttb_downsample": _q_tokens_lttb,
         "tokens_sax_symbols": _q_tokens_sax,
         "tokens_matrix_profile": _q_tokens_matrix_profile,
+        "tokens_motifs_discords": _q_tokens_motifs_discords,
         "tokens_znormal": _q_tokens_znormal,
         "tokens_logdomain_stats": _q_tokens_logdomain_stats,
         "tokens_positional_stats": _q_tokens_positional_stats,
@@ -2346,6 +2347,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_lttb_downsample": _sql_tokens_lttb(sf),
         "tokens_sax_symbols": _sql_tokens_sax(sf),
         "tokens_matrix_profile": _sql_tokens_matrix_profile(sf),
+        "tokens_motifs_discords": _sql_tokens_motifs_discords(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_positional_stats": _sql_tokens_positional_stats(sf),
         "tokens_rollup_length_p95": _sql_tokens_rollup_length_p95(sf),
@@ -2554,6 +2556,19 @@ def _sql_tokens_sax(sf: str) -> str:
     from dtaidistance_ray.stages.series_ops import tokens_sax_sql
 
     return tokens_sax_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_tokens_motifs_discords(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_motifs_discords
+
+    _ensure_token_parquet(sf_dir)
+    return tokens_motifs_discords(_token_spec(sf_dir))
+
+
+def _sql_tokens_motifs_discords(sf: str) -> str:
+    from dtaidistance_ray.stages.series_ops import tokens_motifs_discords_sql
+
+    return tokens_motifs_discords_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _q_tokens_rollup_length_p95(sf_dir: str):

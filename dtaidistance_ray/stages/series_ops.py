@@ -723,3 +723,56 @@ SELECT source, CAST(ts // 3600 AS BIGINT) AS bucket,
 FROM read_parquet('{tok_path}')
 GROUP BY source, bucket
 """
+
+
+def tokens_motifs_discords(spec, k: int = 25, m: int = 16, limit_docs: int = 40):
+    """Top-k motifs (smallest matrix-profile distance: the most
+    conserved repeated window shapes) and top-k discords (largest:
+    the most anomalous windows) over the corpus — the two standard
+    consumers of a matrix profile.
+
+    Distributed top-k shape on both ends: per-block pre-top-k (k rows
+    per block survive) then global sort.limit(k) — the profile itself
+    never leaves the cluster. All distances are the bit-deterministic
+    exact-integer closed form of tokens_matrix_profile, so ranking and
+    ties (doc_id, wpos asc) match the SQL oracle exactly."""
+    mp = tokens_matrix_profile(spec, m=m, limit_docs=limit_docs)
+
+    def picks(descending: bool, kind: str):
+        def pre(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.sort_values(
+                ["nn_dist", "doc_id", "wpos"],
+                ascending=[not descending, True, True],
+                kind="mergesort",
+            ).head(k)
+
+        top = (
+            mp.map_batches(pre, batch_format="pandas")
+            .sort(["nn_dist", "doc_id", "wpos"], descending=[descending, False, False])
+            .limit(k)
+            .to_pandas()
+        )
+        top.insert(0, "kind", kind)
+        top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return top
+
+    out = pd.concat([picks(False, "motif"), picks(True, "discord")], ignore_index=True)
+    return out
+
+
+def tokens_motifs_discords_sql(tok_path: str, k: int = 25, m: int = 16, limit_docs: int = 40) -> str:
+    mp = tokens_matrix_profile_sql(tok_path, m=m, limit_docs=limit_docs)
+    return f"""
+WITH mp AS ({mp})
+SELECT * FROM (
+  SELECT 'motif' AS kind, doc_id, wpos, nn_pos, nn_dist,
+         CAST(row_number() OVER (ORDER BY nn_dist, doc_id, wpos) AS BIGINT) AS rnk
+  FROM mp ORDER BY nn_dist, doc_id, wpos LIMIT {k}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'discord' AS kind, doc_id, wpos, nn_pos, nn_dist,
+         CAST(row_number() OVER (ORDER BY nn_dist DESC, doc_id, wpos) AS BIGINT) AS rnk
+  FROM mp ORDER BY nn_dist DESC, doc_id, wpos LIMIT {k}
+)
+"""

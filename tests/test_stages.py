@@ -907,3 +907,33 @@ class TestDupWindowRatio:
         assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
         assert (got["dup_win"] <= got["n_win"]).all()
         assert got["dup_ratio"].between(0, 1).all()
+
+
+class TestMotifsDiscords:
+    def test_vs_sql_and_ordering(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["tokens_motifs_discords"](sf)
+            .sort_values(["kind", "rnk"])
+            .reset_index(drop=True)
+        )
+        sql = E.oracle_sql()["tokens_motifs_discords"].replace(
+            "sf0.01.parquet", "sf0.001.parquet"
+        )
+        want = (
+            duckdb.connect().execute(sql).df()
+            .sort_values(["kind", "rnk"])
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # motifs ascend, discords descend, ranks are 1..k
+        mo = got[got["kind"] == "motif"]["nn_dist"].to_numpy()
+        di = got[got["kind"] == "discord"]["nn_dist"].to_numpy()
+        import numpy as np
+
+        assert (np.diff(mo) >= 0).all() and (np.diff(di) <= 0).all()
+        assert mo.max() <= di.min()
