@@ -31,13 +31,31 @@ _AGG_COLS = ["bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]
 def _tier_rows(out_dir: str, tier: int, source: str) -> pd.DataFrame:
     """The one source's rows in one tier (source-hash sharding means a
     single shard dir; we glob rather than recompute the hash so the
-    serve path has no dependency on the writer's shard count)."""
+    serve path has no dependency on the writer's shard count).
+
+    Zone-map pruning: every shard manifest carries its ``sources``
+    list, so shards that cannot contain this source are skipped without
+    opening their parquet at all — a serve touches one file per tier,
+    not one per shard. Shards without a readable manifest (foreign
+    layouts) fall back to read-and-filter."""
     frames = []
-    for f in glob.glob(os.path.join(out_dir, f"tier={tier}", "shard=*", "*.parquet")):
-        t = pq.read_table(f, columns=["source"] + _AGG_COLS)
-        mask = np.asarray(t["source"].to_pylist(), dtype=object) == source
-        if mask.any():
-            frames.append(t.to_pandas()[mask])
+    for d in glob.glob(os.path.join(out_dir, f"tier={tier}", "shard=*")):
+        mpath = os.path.join(d, "_manifest.json")
+        if os.path.exists(mpath):
+            try:
+                import json as _json
+
+                with open(mpath) as fh:
+                    srcs = _json.load(fh).get("sources")
+                if srcs is not None and source not in srcs:
+                    continue
+            except (ValueError, OSError):
+                pass
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            t = pq.read_table(f, columns=["source"] + _AGG_COLS)
+            mask = np.asarray(t["source"].to_pylist(), dtype=object) == source
+            if mask.any():
+                frames.append(t.to_pandas()[mask])
     if not frames:
         return pd.DataFrame(columns=["source"] + _AGG_COLS)
     return pd.concat(frames, ignore_index=True)

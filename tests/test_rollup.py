@@ -707,3 +707,43 @@ class TestStoreStats:
         json.dump(m, open(mp, "w"))
         with pytest.raises(AssertionError, match="tier 0"):
             store_stats(out)
+
+
+class TestServePruning:
+    def test_manifest_zone_map_prunes_reads(self, ray_session, tmp_path, monkeypatch):
+        import glob
+
+        import pyarrow.parquet as real_pq
+
+        from dtaidistance_ray.pipelines import serve as serve_mod
+        from dtaidistance_ray.pipelines.serve import serve_range
+
+        out = str(tmp_path / "store")
+        spec = TokenTableSpec(num_rows=600, num_sources=4, max_len=24, ts_span=96 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 14400, 86400), dba_max_it=1)
+        run_flagship(spec, cfg, out_dir=out, num_shards=8)
+        mb0 = max(
+            int(real_pq.read_table(f, columns=["bucket"])["bucket"].to_pandas().max())
+            for f in glob.glob(f"{out}/tier=0/shard=*/*.parquet")
+        )
+
+        opened = []
+
+        class CountingPq:
+            @staticmethod
+            def read_table(path, **kw):
+                opened.append(path)
+                return real_pq.read_table(path, **kw)
+
+        monkeypatch.setattr(serve_mod, "pq", CountingPq)
+        res = serve_range(out, "source_000", mb0 - 24, mb0 + 1)
+        assert len(res) == 25
+        # zone-map pruning: at most one parquet opened per tier (the
+        # shard whose manifest lists the source), not one per shard
+        assert len(opened) <= 3, opened
+        # served values still correct: identical to the unpruned filter path
+        monkeypatch.setattr(serve_mod, "pq", real_pq)
+        for d in glob.glob(f"{out}/tier=*/shard=*/_manifest.json"):
+            os.rename(d, d + ".hidden")
+        want = serve_range(out, "source_000", mb0 - 24, mb0 + 1)
+        pd.testing.assert_frame_equal(res, want)
