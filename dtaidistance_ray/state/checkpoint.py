@@ -197,9 +197,60 @@ def expire_checkpoint(
     return metrics
 
 
+def _compact_build_shard(
+    input_files: List[str],
+    tier: int,
+    k: int,
+    target_shards: int,
+    staged: str,
+    settings_hash: str,
+    input_fingerprint: str,
+    retention: List,
+    comp_rec: Dict,
+) -> int:
+    """Build ONE compacted output shard: read the tier's input shard
+    files, keep rows whose crc32(source) lands on k, write the staged
+    shard dir + manifest. Pure function of its arguments (module-level
+    so it runs as a ray.remote task unchanged); reading all inputs per
+    output shard is a deliberate target_shards-x read amplification —
+    inputs are columnar and tier rows key-space-bounded; at extreme
+    tier sizes swap this for a Dataset hash shuffle."""
+    import zlib as _zlib
+
+    tables = [pq.read_table(f) for f in input_files]
+    merged = pa.concat_tables(tables)
+    src = merged["source"].to_pylist()
+    mask = pa.array([_zlib.crc32(x.encode()) % target_shards == k for x in src])
+    part = merged.filter(mask)
+    sdir = os.path.join(staged, f"shard={k}")
+    os.makedirs(sdir, exist_ok=True)
+    fname = "part-0.parquet"
+    pq.write_table(part, os.path.join(sdir, fname))
+    man = {
+        "tier": tier,
+        "shard": k,
+        "num_rows": part.num_rows,
+        "settings_hash": settings_hash,
+        "input_fingerprint": input_fingerprint,
+        "sources": sorted(set(part["source"].to_pylist()))
+        if "source" in part.column_names
+        else [],
+        "wall_time_s": 0.0,
+        "written_at": time.time(),
+        "file": fname,
+        "compaction": comp_rec,
+    }
+    if retention:
+        man["retention"] = retention
+    with open(os.path.join(sdir, "_manifest.json"), "w") as fh:
+        json.dump(man, fh, sort_keys=True)
+    return part.num_rows
+
+
 def compact_store(
     out_dir: str,
     target_shards: int = 2,
+    parallel: Optional[bool] = None,
 ) -> Dict:
     """Compact each tier's shards into a bounded shard count (the LSM /
     segment-merge maintenance pass every long-lived rollup store needs:
@@ -219,13 +270,12 @@ def compact_store(
     so the merge is itself auditable lineage; shard numbering changes,
     so a RESUME after compaction must pass the compacted shard count.
 
-    Driver-side by design: per-tier rows are key-space-bounded
-    (sources x retained buckets, row-count-independent); at extreme
-    tier sizes the same logic runs as one Ray task per output shard
-    reading the old shard files — the layout contract is unchanged.
-    """
+    Output shards build in PARALLEL as one ray.remote task each when a
+    Ray session is up (parallel=None autodetects; the store must be on
+    storage all workers see, same contract as the writer); the swap
+    stays driver-side and atomic. Sequential fallback is the same
+    function called inline."""
     import glob as _glob
-    import zlib as _zlib
 
     metrics: Dict = {"tiers": {}}
     # clear a crashed compaction's leftovers (readers never matched them:
@@ -234,6 +284,14 @@ def compact_store(
         os.path.join(out_dir, "tier=*.tmp-*")
     ):
         shutil.rmtree(leftover, ignore_errors=True)
+    if parallel is None:
+        try:
+            import ray
+
+            parallel = ray.is_initialized()
+        except ImportError:
+            parallel = False
+    pending = []  # (tier, tier_path, staged, old_suffix, n_inputs, futures/rows)
     for tier_path in sorted(_glob.glob(os.path.join(out_dir, "tier=*"))):
         base = os.path.basename(tier_path)
         if ".tmp-" in base or ".old-" in base:
@@ -242,19 +300,16 @@ def compact_store(
         shard_names = sorted(
             n for n in os.listdir(tier_path) if n.startswith("shard=") and ".tmp-" not in n
         )
-        tables, manifests = [], []
+        input_files, manifests = [], []
         for name in shard_names:
             shard = int(name.split("=", 1)[1])
             m = read_manifest(out_dir, t, shard)
             if not m:
                 continue
-            tables.append(pq.read_table(os.path.join(tier_path, name, m["file"])))
+            input_files.append(os.path.join(tier_path, name, m["file"]))
             manifests.append(m)
-        if not tables:
+        if not input_files:
             continue
-        merged = pa.concat_tables(tables)
-        src = merged["source"].to_pylist()
-        assign = [_zlib.crc32(s.encode()) % target_shards for s in src]
         shash = {m.get("settings_hash") for m in manifests}
         ifp = {m.get("input_fingerprint") for m in manifests}
         retention: List = []
@@ -267,41 +322,44 @@ def compact_store(
             "target_shards": target_shards,
             "compacted_at": time.time(),
         }
-        for k in range(target_shards):
-            mask = pa.array([a == k for a in assign])
-            part = merged.filter(mask)
-            sdir = os.path.join(staged, f"shard={k}")
-            os.makedirs(sdir, exist_ok=True)
-            fname = "part-0.parquet"
-            pq.write_table(part, os.path.join(sdir, fname))
-            man = {
-                "tier": t,
-                "shard": k,
-                "num_rows": part.num_rows,
-                "settings_hash": shash.pop() if len(shash) == 1 else "mixed",
-                "input_fingerprint": ifp.pop() if len(ifp) == 1 else "mixed",
-                "sources": sorted(
-                    set(part["source"].to_pylist())
-                ) if "source" in part.column_names else [],
-                "wall_time_s": 0.0,
-                "written_at": time.time(),
-                "file": fname,
-                "compaction": comp_rec,
-            }
-            if retention:
-                man["retention"] = retention
-            shash.add(man["settings_hash"])
-            ifp.add(man["input_fingerprint"])
-            with open(os.path.join(sdir, "_manifest.json"), "w") as fh:
-                json.dump(man, fh, sort_keys=True)
+        args_per_k = [
+            (
+                input_files,
+                t,
+                k,
+                target_shards,
+                staged,
+                shash.copy().pop() if len(shash) == 1 else "mixed",
+                ifp.copy().pop() if len(ifp) == 1 else "mixed",
+                retention,
+                comp_rec,
+            )
+            for k in range(target_shards)
+        ]
+        if parallel:
+            import ray
+
+            fn = ray.remote(_compact_build_shard)
+            futures = [fn.remote(*a) for a in args_per_k]
+        else:
+            futures = [_compact_build_shard(*a) for a in args_per_k]
+        pending.append((t, tier_path, staged, len(manifests), futures))
+
+    for t, tier_path, staged, n_inputs, futures in pending:
+        if parallel:
+            import ray
+
+            rows = ray.get(futures)
+        else:
+            rows = futures
         old = tier_path + f".old-{uuid.uuid4().hex[:8]}"
         os.rename(tier_path, old)
         os.rename(staged, tier_path)
         shutil.rmtree(old)
         metrics["tiers"][t] = {
-            "shards_before": len(manifests),
+            "shards_before": n_inputs,
             "shards_after": target_shards,
-            "rows": merged.num_rows,
+            "rows": int(sum(rows)),
         }
     return metrics
 

@@ -680,7 +680,9 @@ class TestCompaction:
         # compaction's leftover dirs are ignored by readers and cleared here
         os.makedirs(f"{out}/tier=0.old-dead/shard=9", exist_ok=True)
         os.makedirs(f"{out}/tier=1.tmp-dead", exist_ok=True)
-        compact_store(out, target_shards=2)
+        # second pass goes through the SEQUENTIAL path (first used the
+        # parallel ray.remote path, Ray being up) — both must serve equal
+        compact_store(out, target_shards=2, parallel=False)
         assert not glob.glob(f"{out}/tier=*.old-*") and not glob.glob(f"{out}/tier=*.tmp-*")
         for s, want in before.items():
             pd.testing.assert_frame_equal(serve_range(out, s, mb0 - 60, mb0 + 1), want)
