@@ -136,10 +136,10 @@ def expire_checkpoint(
     record (cutoff bucket, rows dropped, sweep time) so the expiry is
     itself auditable lineage.
 
-    Shard rewrites are independent; the loop below is driver-side
-    because shard count is a CONFIG bound (num_shards), not a data
-    bound — at very large shard counts wrap the body in ray.remote
-    tasks unchanged."""
+    Shard rewrites are independent: when a Ray session is up each one
+    runs as its own ray.remote task (same shared-storage contract as
+    the writer); the sequential fallback calls the same function
+    inline."""
     import glob as _glob
 
     import pyarrow.compute as _pc
@@ -156,45 +156,69 @@ def expire_checkpoint(
     metrics: Dict = {"expired": {}, "max_bucket0": mb0}
     if mb0 is None:
         return metrics
+    try:
+        import ray
+
+        parallel = ray.is_initialized()
+    except ImportError:
+        parallel = False
     for t, keep in enumerate(keeps):
         if keep is None:
             continue
         w_ratio = widths[t] // widths[0]
         cut = mb0 // w_ratio - keep
-        dropped_total = 0
         tier_dir = os.path.join(out_dir, f"tier={t}")
         if not os.path.isdir(tier_dir):
             continue
+        jobs = []
         for name in sorted(os.listdir(tier_dir)):
             if not name.startswith("shard=") or ".tmp-" in name:
                 continue  # .tmp- dirs: a crashed sweep's leftovers
             shard = int(name.split("=", 1)[1])
-            m = read_manifest(out_dir, t, shard)
-            if not m:
-                continue
-            final = shard_dir(out_dir, t, shard)
-            fpath = os.path.join(final, m["file"])
-            table = pq.read_table(fpath)
-            mask = _pc.greater(table["bucket"], cut)
-            kept = table.filter(mask)
-            dropped = table.num_rows - kept.num_rows
-            if dropped == 0:
-                continue
-            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(kept, os.path.join(tmp, m["file"]))
-            m2 = dict(m)
-            m2["num_rows"] = kept.num_rows
-            m2.setdefault("retention", []).append(
-                {"cutoff_bucket": int(cut), "rows_dropped": int(dropped), "swept_at": time.time()}
-            )
-            with open(os.path.join(tmp, "_manifest.json"), "w") as fh:
-                json.dump(m2, fh, sort_keys=True)
-            shutil.rmtree(final)
-            os.rename(tmp, final)
-            dropped_total += dropped
-        metrics["expired"][t] = {"cutoff_bucket": int(cut), "rows_dropped": int(dropped_total)}
+            if read_manifest(out_dir, t, shard):
+                jobs.append((out_dir, t, shard, int(cut)))
+        if parallel:
+            import ray
+
+            fn = ray.remote(_expire_rewrite_shard)
+            dropped = ray.get([fn.remote(*j) for j in jobs])
+        else:
+            dropped = [_expire_rewrite_shard(*j) for j in jobs]
+        metrics["expired"][t] = {
+            "cutoff_bucket": int(cut),
+            "rows_dropped": int(sum(dropped)),
+        }
     return metrics
+
+
+def _expire_rewrite_shard(out_dir: str, t: int, shard: int, cut: int) -> int:
+    """Atomically rewrite ONE shard keeping buckets newer than the TTL
+    cutoff; returns rows dropped. Module-level pure function of its
+    arguments so it runs as a ray.remote task unchanged."""
+    import pyarrow.compute as _pc
+
+    m = read_manifest(out_dir, t, shard)
+    if not m:
+        return 0
+    final = shard_dir(out_dir, t, shard)
+    table = pq.read_table(os.path.join(final, m["file"]))
+    kept = table.filter(_pc.greater(table["bucket"], cut))
+    dropped = table.num_rows - kept.num_rows
+    if dropped == 0:
+        return 0
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(kept, os.path.join(tmp, m["file"]))
+    m2 = dict(m)
+    m2["num_rows"] = kept.num_rows
+    m2.setdefault("retention", []).append(
+        {"cutoff_bucket": int(cut), "rows_dropped": int(dropped), "swept_at": time.time()}
+    )
+    with open(os.path.join(tmp, "_manifest.json"), "w") as fh:
+        json.dump(m2, fh, sort_keys=True)
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    return int(dropped)
 
 
 def _compact_build_shard(
