@@ -2161,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_decontaminate": text.decontaminate,
         "doc_repetition_scores": text.repetition_scores,
         "doc_dup_window_ratio": text.dup_window_ratio,
+        "doc_curriculum_deciles": text.curriculum_deciles,
         # near-dup suite
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -2304,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_decontaminate": text.DECONTAMINATE_SQL,
         "doc_repetition_scores": text.REPETITION_SQL,
         "doc_dup_window_ratio": text.DUPWIN_SQL,
+        "doc_curriculum_deciles": text.CURRICULUM_SQL,
         "doc_token_counts": text.TOKEN_COUNTS_SQL,
         "doc_quality_scores": text.QUALITY_SQL,
         "documents_stratified_sample": text.STRATIFIED_SAMPLE_SQL,

@@ -2300,14 +2300,14 @@ FROM x GROUP BY 1, 2
 """
 
 
-def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int = 256):
+def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int = 256, tie_col: str = "user_id"):
     """Exact global ntile(k) over an UNBOUNDED row set, no global sort:
     rows range-shard by value ((v - vmin) // width), pass 1 collects
     per-shard counts (bounded rows), the driver prefix-scans them into
     a per-shard rank offset (broadcast once), and pass 2 co-partitions
     by shard and ranks locally — global_rank = offset + local index,
     tile = ((rank-1)*k)//n + 1 (the SQL ntile distribution: the first
-    n mod k tiles get the extra row). Ordering is (value, user_id), so
+    n mod k tiles get the extra row). Ordering is (value, tie_col), so
     ties are deterministic. A skewed value can make one shard hot;
     sub-split hot shards on (value, user_id hash) if that bites."""
     import ray
@@ -2345,7 +2345,7 @@ def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(offs_ref)[int(g["_shard"].iloc[0])]
-        g = g.sort_values([col, "user_id"], kind="mergesort").reset_index(drop=True)
+        g = g.sort_values([col, tie_col], kind="mergesort").reset_index(drop=True)
         r = off + np.arange(1, len(g) + 1, dtype=np.int64)
         g[out_col] = ((r - 1) * k) // n + 1
         return g.drop(columns=["_shard"])

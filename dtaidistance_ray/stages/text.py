@@ -530,3 +530,59 @@ SELECT w.doc_id,
 FROM w JOIN c USING (win)
 GROUP BY w.doc_id
 """
+
+
+def curriculum_deciles(sf_dir: str):
+    """Curriculum binning: every document labeled with its exact global
+    DECILE of stopword ratio (the cheap fluency proxy) — the difficulty
+    schedule a curriculum-ordered training run samples from.
+
+    Reuses the range-sharded global-ntile stage (events._add_global_ntile:
+    per-shard counts -> broadcast prefix offsets -> co-partitioned local
+    rank) — no global sort, no driver doc table. The ratio is already
+    rounded to 6 decimals by the quality scorer, so the integer sort key
+    round(r * 1e6) is an exact monotone transform and ties break on
+    doc_id exactly as the SQL ntile ordering does."""
+    from .events import _add_global_ntile
+
+    scored = quality_scores(sf_dir)
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[["doc_id", "n_words", "stopword_ratio"]].copy()
+        batch["doc_id"] = batch["doc_id"].astype("int64")
+        batch["srs_key"] = (
+            np.round(batch["stopword_ratio"].to_numpy() * 1e6).astype(np.int64)
+        )
+        return batch
+
+    keyed = scored.map_batches(key, batch_format="pandas")
+    ranked = _add_global_ntile(
+        keyed, "srs_key", "difficulty_decile", k=10, tie_col="doc_id"
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("doc_id", "n_words", "difficulty_decile"):
+            batch[c] = batch[c].astype("int64")
+        return batch[["doc_id", "n_words", "stopword_ratio", "difficulty_decile"]]
+
+    return ranked.map_batches(finalize, batch_format="pandas")
+
+
+CURRICULUM_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> x IN ('the','and','of','a','to','in','is','that','for','it'))) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) END AS stopword_ratio
+  FROM w
+)
+SELECT doc_id, n_words, stopword_ratio,
+       CAST(ntile(10) OVER (ORDER BY stopword_ratio, doc_id) AS BIGINT)
+           AS difficulty_decile
+FROM q
+"""

@@ -937,3 +937,34 @@ class TestMotifsDiscords:
 
         assert (np.diff(mo) >= 0).all() and (np.diff(di) <= 0).all()
         assert mo.max() <= di.min()
+
+
+class TestCurriculumDeciles:
+    def test_vs_sql_and_distribution(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["doc_curriculum_deciles"](sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = (
+            con.execute(E.oracle_sql()["doc_curriculum_deciles"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # deciles are 1..10 and near-balanced (ntile invariant)
+        cnt = got["difficulty_decile"].value_counts()
+        assert set(cnt.index) == set(range(1, 11))
+        assert cnt.max() - cnt.min() <= 1
