@@ -1326,6 +1326,60 @@ LEFT JOIN a2 ON p.served_tier = 2 AND a2.source = p.source AND a2.b = p.hour // 
 """
 
 
+def _q_tokens_busy_hours(sf_dir: str):
+    """Global top-20 busiest ingest hours (rows + token volume): the
+    capacity-planning view. Bounded-key bincount partials per block ->
+    tiny groupby sum -> per-block pre-top-k -> sort.limit(k): the
+    distributed top-k shape even though hours are key-bounded here."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from dtaidistance_ray.sources.synth import token_table
+    from dtaidistance_ray.stages.rollup import RollupConfig, bucketize
+
+    k = 20
+    spec = _token_spec(sf_dir)
+    _ensure_token_parquet(sf_dir)
+    ds = bucketize(token_table(spec), RollupConfig().tier_widths[0], spec)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("bucket", as_index=False).agg(
+            n_docs=("bucket", "size"), n_tokens=("n_tok", "sum")
+        )
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+    )
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("bucket", "n_docs", "n_tokens"):
+            batch[c] = batch[c].astype("int64")
+        return batch.sort_values(
+            ["n_docs", "bucket"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return (
+        agg.map_batches(pre, batch_format="pandas")
+        .sort(["n_docs", "bucket"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _sql_tokens_busy_hours(sf: str) -> str:
+    tok = f"{_TOK_DIR}/sf{sf}.parquet"
+    return f"""
+SELECT CAST(ts // 3600 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM read_parquet('{tok}')
+GROUP BY bucket
+ORDER BY n_docs DESC, bucket LIMIT 20
+"""
+
+
 def _q_tokens_source_freshness(sf_dir: str):
     """Freshness/staleness alert view: per source, the last ingested
     hourly bucket, hours stale relative to the global max, and the
@@ -2199,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_repr_drift": _q_tokens_repr_drift,
         "tokens_repr_fidelity": _q_tokens_repr_fidelity,
         "tokens_source_freshness": _q_tokens_source_freshness,
+        "tokens_busy_hours": _q_tokens_busy_hours,
         "tokens_rollup_tier3_aggs": _q_tokens_rollup_tier3_aggs,
         "tokens_serve_range": _q_tokens_serve_range,
         "tokens_store_compaction": _q_tokens_store_compaction,
@@ -2335,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_store_compaction": _sql_tokens_serve_range(sf),
         "tokens_store_stats": _sql_tokens_store_stats(sf),
         "tokens_source_freshness": _sql_tokens_source_freshness(sf),
+        "tokens_busy_hours": _sql_tokens_busy_hours(sf),
         "token_heavy_hitters": _sql_token_heavy_hitters(sf),
         "vocab_coverage_curve": _sql_vocab_coverage(sf),
         "distinct_tokens_daily": _sql_distinct_tokens_daily(sf),
