@@ -2288,6 +2288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_sax_symbols": _q_tokens_sax,
         "tokens_matrix_profile": _q_tokens_matrix_profile,
         "tokens_motifs_discords": _q_tokens_motifs_discords,
+        "tokens_ngram_novelty": _q_tokens_ngram_novelty,
         "tokens_znormal": _q_tokens_znormal,
         "tokens_logdomain_stats": _q_tokens_logdomain_stats,
         "tokens_positional_stats": _q_tokens_positional_stats,
@@ -2406,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_sax_symbols": _sql_tokens_sax(sf),
         "tokens_matrix_profile": _sql_tokens_matrix_profile(sf),
         "tokens_motifs_discords": _sql_tokens_motifs_discords(sf),
+        "tokens_ngram_novelty": _sql_tokens_ngram_novelty(sf),
         "tokens_znormal": _sql_tokens_znormal(sf),
         "tokens_positional_stats": _sql_tokens_positional_stats(sf),
         "tokens_rollup_length_p95": _sql_tokens_rollup_length_p95(sf),
@@ -2614,6 +2616,19 @@ def _sql_tokens_sax(sf: str) -> str:
     from dtaidistance_ray.stages.series_ops import tokens_sax_sql
 
     return tokens_sax_sql(f"{_TOK_DIR}/sf{sf}.parquet")
+
+
+def _q_tokens_ngram_novelty(sf_dir: str):
+    from dtaidistance_ray.stages.series_ops import tokens_ngram_novelty
+
+    _ensure_token_parquet(sf_dir)
+    return tokens_ngram_novelty(_token_spec(sf_dir))
+
+
+def _sql_tokens_ngram_novelty(sf: str) -> str:
+    from dtaidistance_ray.stages.series_ops import tokens_ngram_novelty_sql
+
+    return tokens_ngram_novelty_sql(f"{_TOK_DIR}/sf{sf}.parquet")
 
 
 def _q_tokens_motifs_discords(sf_dir: str):

@@ -776,3 +776,99 @@ SELECT * FROM (
   FROM mp ORDER BY nn_dist DESC, doc_id, wpos LIMIT {k}
 )
 """
+
+
+def tokens_ngram_novelty(spec, n: int = 8, limit_docs: int = 2000):
+    """Corpus freshness over time: per day, the number of distinct
+    token n-gram shingles appearing that day and the fraction of them
+    appearing for the FIRST time (global first-seen day == that day) —
+    the curve that says when a stream stops contributing new content.
+
+    Novelty is estimated over a DETERMINISTIC 1/16 shingle sample
+    (first token % 16 == 0) — the standard scale answer: the estimate's
+    key space shrinks 16x while staying exactly reproducible (and
+    SQL-mirrorable; a hash-based sampler would be the 100-TB variant).
+    Distributed shape: sampled shingles explode map-side (day, shingle)
+    and dedup per block; one groupby co-partitions each shingle's days
+    to mark first-seen (min over its bounded day list); a final tiny
+    groupby by day counts. Shingles travel as joined-int strings so the
+    SQL oracle mirrors the keys exactly. novelty is one IEEE int/int
+    division."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..sources.synth import derive_ts
+
+    ds = _token_ds(spec)
+
+    def shingles(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series(dtype="int64"), "win": pd.Series(dtype=object)})
+        ids = df["doc_id"].str.slice(1).astype(np.int64).to_numpy()
+        keep = ids < limit_docs
+        df = df[keep]
+        days = derive_ts(ids[keep], spec) // 86400
+        rows_d, rows_w = [], []
+        for day, toks in zip(days, df["tokens"]):
+            t = np.asarray(toks)
+            for i in np.flatnonzero(t[: max(len(t) - n + 1, 0)] % 16 == 0):
+                rows_d.append(int(day))
+                rows_w.append(",".join(map(str, t[i : i + n])))
+        out = pd.DataFrame({"day": pd.array(rows_d, dtype="int64"), "win": rows_w})
+        return out.drop_duplicates()
+
+    pairs = _token_ds(spec).map_batches(shingles, batch_format="pyarrow")
+
+    def dedup_mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["day"])
+        md = int(g["day"].min())
+        g = g.copy()
+        g["is_new"] = (g["day"] == md).astype(np.int64)
+        return g[["day", "is_new"]]
+
+    marked = pairs.groupby("win").map_groups(dedup_mark, batch_format="pandas")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("day", as_index=False).agg(
+            n_windows=("is_new", "size"), n_new=("is_new", "sum")
+        )
+
+    out = (
+        marked.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_windows", alias_name="n_windows"), Sum("n_new", alias_name="n_new"))
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("day", "n_windows", "n_new"):
+            batch[c] = batch[c].astype("int64")
+        batch["novelty"] = batch["n_new"] / batch["n_windows"]
+        return batch
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def tokens_ngram_novelty_sql(tok_path: str, n: int = 8, limit_docs: int = 2000) -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(ts // 86400 AS BIGINT) AS day, tokens
+  FROM read_parquet('{tok_path}')
+  WHERE CAST(substr(doc_id, 2) AS BIGINT) < {limit_docs}
+), idx AS (
+  SELECT day, tokens,
+         unnest(generate_series(1, greatest(len(tokens) - {n - 1}, 0))) AS i
+  FROM d
+), w AS (
+  SELECT DISTINCT day, array_to_string(tokens[i:i + {n - 1}], ',') AS win
+  FROM idx WHERE tokens[i] % 16 = 0
+), m AS (
+  SELECT win, min(day) AS md FROM w GROUP BY 1
+)
+SELECT w.day,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN w.day = m.md THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN w.day = m.md THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+FROM w JOIN m USING (win)
+GROUP BY w.day
+"""
