@@ -968,3 +968,28 @@ class TestCurriculumDeciles:
         cnt = got["difficulty_decile"].value_counts()
         assert set(cnt.index) == set(range(1, 11))
         assert cnt.max() - cnt.min() <= 1
+
+
+class TestNgramNovelty:
+    def test_vs_sql_and_monotone_start(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            E.queries()["tokens_ngram_novelty"](sf)
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        sql = E.oracle_sql()["tokens_ngram_novelty"].replace(
+            "sf0.01.parquet", "sf0.001.parquet"
+        )
+        want = (
+            duckdb.connect().execute(sql).df().sort_values("day").reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+        # the first day is 100% novel by definition
+        assert got["novelty"].iloc[0] == 1.0
+        assert (got["n_new"] <= got["n_windows"]).all()
