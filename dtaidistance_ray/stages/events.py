@@ -2239,30 +2239,53 @@ def props_extract_rollup(sf_dir: str):
     """Semi-structured payload rollup: parse the JSON ``props`` column
     (``{"k": int}``) and aggregate per (event_type, k-decile) — the
     log-analytics shape where a free-form properties blob feeds a
-    typed rollup. Extraction is a single vectorized regex over the
-    batch (no per-row json.loads); rows without a parseable k are
-    dropped on both sides.
+    typed rollup. A vectorized regex PREFILTERS candidate rows (the
+    fast path — most rows either obviously lack a k or obviously have
+    one), then each HIT is validated with a real JSON parse that
+    mirrors the oracle's ``json_valid(props)`` exactly: malformed JSON
+    containing a '"k": N' substring is dropped, a nested-only k is
+    dropped (json_extract '$.k' is top-level), duplicate top-level k
+    keys take the FIRST occurrence (DuckDB/yyjson semantics — Python's
+    plain json.loads would keep the last, hence the pairs hook), and
+    non-integer k (float/bool/string) is dropped on BOTH sides (the
+    oracle requires json_type = BIGINT/UBIGINT).
 
     Exactness: k is integer, all aggregates are exact ints merged by a
     distributed groupby-sum/min/max over the bounded (type x decile)
     key-space."""
+    import json as _json
     import re
 
     from ray.data.aggregate import Max, Min, Sum
 
     ds = read_events(sf_dir, columns=["event_type", "props"])
-    pat = re.compile(r'"k"\s*:\s*(-?\d+)')
+    pat = re.compile(r'"k"\s*:\s*-?\d+')
+
+    def first_top_k(s: str):
+        # first top-level "k" whose value is a JSON integer, else None
+        try:
+            pairs = _json.loads(s, object_pairs_hook=lambda p: p)
+            for key, v in pairs:
+                if key == "k":
+                    return v if type(v) is int else None
+        except Exception:
+            return None
+        return None
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["props"].str.extract(pat, expand=False)
+        hit = batch["props"].str.contains(pat, na=False)
+        k = batch.loc[hit, "props"].map(first_top_k)
         ok = k.notna()
         b = pd.DataFrame(
             {
-                "event_type": batch.loc[ok, "event_type"],
+                "event_type": batch.loc[hit, "event_type"][ok],
                 "k": k[ok].astype("int64"),
             }
         )
-        b["k_decile"] = b["k"] // 10
+        # SQL integer division TRUNCATES toward zero (DuckDB -4//10 = 0);
+        # Python's // floors (-1) — mirror the oracle for negative k
+        kv = b["k"].to_numpy(np.int64)
+        b["k_decile"] = np.sign(kv) * (np.abs(kv) // 10)
         out = b.groupby(["event_type", "k_decile"], as_index=False).agg(
             n=("k", "size"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max")
         )
@@ -2289,7 +2312,8 @@ WITH x AS (
   SELECT event_type,
          CAST(json_extract(props, '$.k') AS BIGINT) AS k
   FROM events
-  WHERE json_valid(props) AND json_extract(props, '$.k') IS NOT NULL
+  WHERE json_valid(props)
+    AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
 )
 SELECT event_type, CAST(k // 10 AS BIGINT) AS k_decile,
        CAST(count(*) AS BIGINT) AS n,
@@ -2300,14 +2324,28 @@ FROM x GROUP BY 1, 2
 """
 
 
+def _ntile_of_rank(r0: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) tile (1-based) for 0-based global ranks ``r0`` over
+    ``n`` rows: the first ``n % k`` tiles hold ``n//k + 1`` rows each,
+    the remaining tiles ``n//k`` (front-loaded remainder — the ANSI /
+    DuckDB distribution, NOT the even-spread ((r*k)//n)+1 mapping)."""
+    big = n // k + 1
+    rem = n % k
+    cut = rem * big  # ranks below cut live in a big tile
+    small = max(1, n // k)  # n//k == 0 only when n < k, where every rank < cut
+    return np.where(r0 < cut, r0 // big + 1, rem + (r0 - cut) // small + 1).astype(np.int64)
+
+
 def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int = 256, tie_col: str = "user_id"):
     """Exact global ntile(k) over an UNBOUNDED row set, no global sort:
     rows range-shard by value ((v - vmin) // width), pass 1 collects
     per-shard counts (bounded rows), the driver prefix-scans them into
     a per-shard rank offset (broadcast once), and pass 2 co-partitions
     by shard and ranks locally — global_rank = offset + local index,
-    tile = ((rank-1)*k)//n + 1 (the SQL ntile distribution: the first
-    n mod k tiles get the extra row). Ordering is (value, tie_col), so
+    mapped to the SQL NTILE distribution — the FIRST n mod k tiles get
+    ceil(n/k) rows, the rest floor(n/k) (front-loaded remainder, per
+    DuckDB/ANSI; an even-spread ((rank-1)*k)//n+1 mapping differs
+    whenever k does not divide n). Ordering is (value, tie_col), so
     ties are deterministic. A skewed value can make one shard hot;
     sub-split hot shards on (value, user_id hash) if that bites."""
     import ray
@@ -2346,8 +2384,8 @@ def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(offs_ref)[int(g["_shard"].iloc[0])]
         g = g.sort_values([col, tie_col], kind="mergesort").reset_index(drop=True)
-        r = off + np.arange(1, len(g) + 1, dtype=np.int64)
-        g[out_col] = ((r - 1) * k) // n + 1
+        r0 = off + np.arange(0, len(g), dtype=np.int64)  # 0-based global rank
+        g[out_col] = _ntile_of_rank(r0, n, k)
         return g.drop(columns=["_shard"])
 
     return (

@@ -170,10 +170,11 @@ def expire_checkpoint(
         tier_dir = os.path.join(out_dir, f"tier={t}")
         if not os.path.isdir(tier_dir):
             continue
+        _recover_shard_leftovers(tier_dir)  # promote/restore a crashed swap first
         jobs = []
         for name in sorted(os.listdir(tier_dir)):
-            if not name.startswith("shard=") or ".tmp-" in name:
-                continue  # .tmp- dirs: a crashed sweep's leftovers
+            if not name.startswith("shard=") or ".tmp-" in name or ".old-" in name:
+                continue  # crashed-swap leftovers (cleared by the recovery pass)
             shard = int(name.split("=", 1)[1])
             if read_manifest(out_dir, t, shard):
                 jobs.append((out_dir, t, shard, int(cut)))
@@ -191,10 +192,41 @@ def expire_checkpoint(
     return metrics
 
 
+def _recover_shard_leftovers(tier_dir: str) -> None:
+    """Crash recovery for the per-shard atomic swap: a crash between the
+    swap's two renames leaves ``shard=N.old-*`` / ``shard=N.tmp-*`` with
+    no ``shard=N``. Promote an orphaned ``.tmp-`` (it holds a COMPLETE
+    rewritten shard + manifest — it is only ever renamed after being
+    fully written), else restore the ``.old-`` copy; only then delete
+    the remaining leftovers. Idempotent; safe to run before any sweep."""
+    import glob as _glob
+
+    if not os.path.isdir(tier_dir):
+        return
+    leftovers = sorted(
+        _glob.glob(os.path.join(tier_dir, "shard=*.tmp-*"))
+        + _glob.glob(os.path.join(tier_dir, "shard=*.old-*"))
+    )
+    for path in leftovers:
+        if not os.path.isdir(path):
+            continue  # already consumed by a prior promotion this pass
+        base = os.path.basename(path)
+        final = os.path.join(tier_dir, base.split(".", 1)[0])
+        complete = os.path.isfile(os.path.join(path, "_manifest.json"))
+        if not os.path.isdir(final) and complete:
+            os.rename(path, final)
+        else:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def _expire_rewrite_shard(out_dir: str, t: int, shard: int, cut: int) -> int:
     """Atomically rewrite ONE shard keeping buckets newer than the TTL
     cutoff; returns rows dropped. Module-level pure function of its
-    arguments so it runs as a ray.remote task unchanged."""
+    arguments so it runs as a ray.remote task unchanged. The swap is
+    crash-safe at every point: final -> .old-, .tmp- -> final, then
+    drop the .old- — a crash leaves either the old shard, or the new
+    one, or an orphaned complete .tmp- that _recover_shard_leftovers
+    promotes on the next sweep (never zero copies)."""
     import pyarrow.compute as _pc
 
     m = read_manifest(out_dir, t, shard)
@@ -216,8 +248,10 @@ def _expire_rewrite_shard(out_dir: str, t: int, shard: int, cut: int) -> int:
     )
     with open(os.path.join(tmp, "_manifest.json"), "w") as fh:
         json.dump(m2, fh, sort_keys=True)
-    shutil.rmtree(final)
+    old = final + f".old-{uuid.uuid4().hex[:8]}"
+    os.rename(final, old)
     os.rename(tmp, final)
+    shutil.rmtree(old)
     return int(dropped)
 
 
@@ -302,8 +336,17 @@ def compact_store(
     import glob as _glob
 
     metrics: Dict = {"tiers": {}}
-    # clear a crashed compaction's leftovers (readers never matched them:
-    # they glob the exact "tier=T/shard=*" path)
+    # RECOVER before clearing: a crash between the swap's two renames
+    # leaves no tier=T dir but a complete tier=T.old-* (the entire
+    # pre-compaction layout) and a staged tier=T.tmp-*. Restore the
+    # .old- copy first — deleting leftovers while tier=T is absent
+    # would permanently lose the tier.
+    for old in sorted(_glob.glob(os.path.join(out_dir, "tier=*.old-*"))):
+        tier_path = old.split(".old-", 1)[0]
+        if not os.path.isdir(tier_path):
+            os.rename(old, tier_path)
+    # now clear remaining leftovers (readers never matched them: they
+    # glob the exact "tier=T/shard=*" path)
     for leftover in _glob.glob(os.path.join(out_dir, "tier=*.old-*")) + _glob.glob(
         os.path.join(out_dir, "tier=*.tmp-*")
     ):

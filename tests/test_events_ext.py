@@ -362,3 +362,37 @@ class TestPropsExtract:
         assert (got["max_k"] < (got["k_decile"] + 1) * 10).all()
         assert (got["sum_k"] >= got["n"] * got["min_k"]).all()
         assert (got["sum_k"] <= got["n"] * got["max_k"]).all()
+
+
+class TestPropsExtractJsonValidity:
+    def test_malformed_and_edge_json_matches_oracle(self, ray_session, tmp_path):
+        """Engine must mirror the oracle's json_valid + json_type filter:
+        malformed JSON carrying a '"k": N' substring, nested-only k,
+        duplicate top-level k (DuckDB takes the FIRST), and non-integer
+        k must agree on both sides (round-3 advice)."""
+        import duckdb
+
+        props = [
+            '{"k": 5}',                      # plain: kept, k=5
+            'bad {"k": 7}',                  # malformed: dropped by json_valid
+            '{"a": {"k": 9}}',               # nested only: dropped ($.k top-level)
+            '{"k": 11, "k": 13}',            # duplicate: first wins -> 11
+            '{"k": true}',                   # bool: dropped (json_type)
+            '{"k": 2.5}',                    # float: dropped (json_type)
+            '{"k": "3"}',                    # string: dropped (json_type)
+            '{"a": {"k": 1}, "k": 17}',      # nested + top-level: top-level 17
+            '{"x": 1}',                      # no k: dropped
+            '{"k": -4}',                     # negative int: kept
+        ]
+        df = pd.DataFrame({"event_type": ["t"] * len(props), "props": props})
+        df.to_parquet(tmp_path / "events.parquet")
+        got = _canon(events.props_extract_rollup(str(tmp_path)))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+        )
+        want = _canon(con.execute(events.PROPS_EXTRACT_SQL).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        # the kept set is exactly {5, 11, 17, -4}
+        assert int(got["n"].sum()) == 4
+        assert int(got["sum_k"].sum()) == 5 + 11 + 17 - 4

@@ -749,3 +749,85 @@ class TestServePruning:
             os.rename(d, d + ".hidden")
         want = serve_range(out, "source_000", mb0 - 24, mb0 + 1)
         pd.testing.assert_frame_equal(res, want)
+
+
+class TestCrashRecovery:
+    """The checkpoint store's atomic swaps must leave a recoverable
+    layout at EVERY crash point (the round-3 review found two windows
+    where a crash + the next sweep's leftover-clearing lost data).
+    Simulate each crash state by hand-arranging the dirs, then assert
+    the next sweep/compaction restores the tier bit-identically."""
+
+    def _build(self, tmp_path):
+        out = str(tmp_path / "store")
+        spec = TokenTableSpec(num_rows=300, num_sources=3, max_len=24, ts_span=48 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 14400, 86400), dba_max_it=1)
+        run_flagship(spec, cfg, out_dir=out, num_shards=3)
+        return out
+
+    def _tier_rows(self, out, t):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        tabs = [
+            pq.read_table(f)
+            for f in sorted(glob.glob(f"{out}/tier={t}/shard=*/*.parquet"))
+            if ".old-" not in f and ".tmp-" not in f
+        ]
+        import pyarrow as pa
+
+        df = pa.concat_tables(tabs).to_pandas()
+        return df.sort_values(list(df.columns)[:3]).reset_index(drop=True)
+
+    def test_compact_crash_between_renames_recovers_tier(self, ray_session, tmp_path):
+        import glob
+        import shutil
+
+        from dtaidistance_ray.state.checkpoint import compact_store
+
+        out = self._build(tmp_path)
+        want = self._tier_rows(out, 0)
+        # crash state: tier=0 renamed away, staged tmp present, no tier=0
+        os.rename(f"{out}/tier=0", f"{out}/tier=0.old-crash1")
+        shutil.copytree(f"{out}/tier=1", f"{out}/tier=0.tmp-crash1")
+        assert not os.path.isdir(f"{out}/tier=0")
+        compact_store(out, target_shards=2, parallel=False)
+        # the old copy was restored BEFORE leftover clearing, then compacted
+        assert not glob.glob(f"{out}/tier=*.old-*") and not glob.glob(f"{out}/tier=*.tmp-*")
+        got = self._tier_rows(out, 0)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_expire_crash_orphan_tmp_promoted(self, ray_session, tmp_path):
+        import glob
+        import shutil
+
+        from dtaidistance_ray.state.checkpoint import (
+            _recover_shard_leftovers,
+            expire_checkpoint,
+            store_stats,
+        )
+
+        out = self._build(tmp_path)
+        tier_dir = f"{out}/tier=0"
+        shard = sorted(os.listdir(tier_dir))[0]
+        final = os.path.join(tier_dir, shard)
+        # crash state A (old expire code): final rmtree'd, complete tmp orphan
+        shutil.copytree(final, final + ".tmp-crashA")
+        shutil.rmtree(final)
+        _recover_shard_leftovers(tier_dir)
+        assert os.path.isdir(final) and not glob.glob(f"{tier_dir}/shard=*.tmp-*")
+        store_stats(out)  # manifests still consistent with parquet
+        # crash state B (new ordering): final -> .old, tmp not yet renamed
+        shutil.copytree(final, final + ".tmp-crashB")
+        os.rename(final, final + ".old-crashB")
+        expire_checkpoint(out, keeps=(10**9, None, None))  # sweep triggers recovery
+        assert os.path.isdir(final)
+        assert not glob.glob(f"{tier_dir}/shard=*.tmp-*")
+        assert not glob.glob(f"{tier_dir}/shard=*.old-*")
+        store_stats(out)
+        # crash state C: swap completed, stale .old left behind -> cleared
+        shutil.copytree(final, final + ".old-crashC")
+        _recover_shard_leftovers(tier_dir)
+        assert os.path.isdir(final) and not glob.glob(f"{tier_dir}/shard=*.old-*")
+        store_stats(out)

@@ -993,3 +993,53 @@ class TestNgramNovelty:
         # the first day is 100% novel by definition
         assert got["novelty"].iloc[0] == 1.0
         assert (got["n_new"] <= got["n_windows"]).all()
+
+
+class TestNtileMapping:
+    """Direct unit test of the rank->tile mapping vs DuckDB NTILE at
+    awkward n (remainder != 0) — independent of the synthetic datasets,
+    whose row counts are all divisible by k and so cannot detect a
+    wrong remainder distribution (even-spread vs ANSI front-loaded)."""
+
+    def test_matches_duckdb_ntile_awkward_n(self):
+        import duckdb
+        import numpy as np
+
+        from dtaidistance_ray.stages.events import _ntile_of_rank
+
+        con = duckdb.connect()
+        for n, k in [(7, 5), (503, 10), (3, 5), (100, 7), (1, 4), (16, 16), (17, 4)]:
+            want = con.execute(
+                f"SELECT CAST(ntile({k}) OVER (ORDER BY r) AS BIGINT) AS t "
+                f"FROM range({n}) AS x(r) ORDER BY r"
+            ).df()["t"].to_numpy()
+            got = _ntile_of_rank(np.arange(n, dtype=np.int64), n, k)
+            assert (got == want).all(), (n, k, got.tolist(), want.tolist())
+
+    def test_global_ntile_stage_awkward_n(self, ray_session):
+        """End-to-end: _add_global_ntile over a row count NOT divisible
+        by k must match SQL NTILE exactly (front-loaded remainder)."""
+        import duckdb
+        import pandas as pd
+        import ray
+
+        from dtaidistance_ray.stages.events import _add_global_ntile
+
+        n, k = 503, 10
+        rng = pd.DataFrame(
+            {"user_id": range(n), "v": [(i * 7919) % 1000 for i in range(n)]}
+        )
+        ds = ray.data.from_pandas(rng).repartition(8)
+        got = (
+            _add_global_ntile(ds, "v", "q", k=k)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", rng)
+        want = con.execute(
+            "SELECT user_id, CAST(ntile(10) OVER (ORDER BY v, user_id) AS BIGINT) AS q "
+            "FROM t ORDER BY user_id"
+        ).df()
+        assert (got["q"].to_numpy() == want["q"].to_numpy()).all()
