@@ -110,68 +110,36 @@ def build_tiers(
     return tiers
 
 
-def downstream_fused(tier0, cfg: RollupConfig):
-    """Everything after tier 0 in ONE range-sharded Ray pass.
-
-    Tier rows are one per (source, bucket) — KB-scale regardless of
-    input size — and every downstream step (tier promotion chain,
-    gap-fill, encode) is a pure function of a (source, bucket-range)
-    shard when the range is aligned to the top tier's width: parents
-    never straddle shards, and gap-fill grids clip to the source's
-    global [min, max] extents (known from the tier-0 rows). So instead
-    of 5+ small per-tier Ray round-trips, one map over ~4x#cpus range
-    descriptors computes all remaining tiers and payloads — and the
-    hot-source straggler splits across shards. Same per-range functions
-    as the staged path (promote_frame / gap_fill_frame / encode_frame).
-    Values match the staged path up to float-summation ORDER on
-    upper-tier DBA averages: shard composition changes the co-batched
-    kernel's member accumulation order, so ~0.3% of tier>=1 repr values
-    differ by 1 ULP (tier 0 stays bit-exact — integer sums are
-    order-free). The checkpoint/write pipeline and the oracle-checked
-    queries use the staged per-source path, which IS bit-exact vs the
-    single-process oracle; this fused pass serves the metrics/bench
-    path (asserted to tolerance in tests/test_rollup.py).
-
-    tier0: Dataset or DataFrame of tier-0 rows (key-space sized; the
-    scan path assembles it on the driver anyway). For key-spaces too
-    large for one broadcast, the descriptors partition the key range
-    and the frame ships per range — the shard math is unchanged."""
-    import ray
-    import ray.data as rd
-
-    tier0_df = tier0.to_pandas() if hasattr(tier0, "to_pandas") else tier0
+def _fused_plan(cfg: RollupConfig):
     widths = cfg.tier_widths
     ratios = [widths[t] // widths[t - 1] for t in range(1, len(widths))]
     r_cum = [1]
     for r in ratios:
         r_cum.append(r_cum[-1] * r)
-    ratio_total = r_cum[-1]
+    return ratios, r_cum
 
-    ext = tier0_df.groupby("source")["bucket"].agg(["min", "max"])
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    total_parents = int(
-        sum((hi // ratio_total) - (lo // ratio_total) + 1 for lo, hi in ext.itertuples(index=False))
-    )
-    # shard-count trade-off: more shards split the hot-source straggler,
-    # fewer keep the co-batched DBA kernel's member batches big (tiny
-    # per-shard DPs fragment vectorization) — ~1.5 tasks/cpu balances
+
+def _fused_step(ext: pd.DataFrame, ratio_total: int, ncpu: int) -> int:
+    """Range-shard width in tier-0 buckets. Shard-count trade-off: more
+    shards split the hot-source straggler, fewer keep the co-batched
+    DBA kernel's member batches big (tiny per-shard DPs fragment
+    vectorization) — ~1.5 tasks/cpu balances."""
     import os as _os
 
+    total_parents = int(
+        sum(
+            (hi // ratio_total) - (lo // ratio_total) + 1
+            for lo, hi in ext.itertuples(index=False)
+        )
+    )
     target_tasks = int(_os.environ.get("DTAIR_FUSED_TASKS", "0")) or max(8, (3 * ncpu) // 2)
     parents_per_task = max(1, total_parents // target_tasks)
-    step = parents_per_task * ratio_total
+    return parents_per_task * ratio_total
 
-    # shard id = absolute bucket // step (step is a multiple of every
-    # tier ratio, so parents never straddle shards); one driver-made
-    # MARKER row per shard carries the gap-fill grid bounds and makes
-    # all-gap shards exist in the groupby at all
-    df = tier0_df.copy()
-    df["sid"] = df["bucket"] // step
-    df["grid_lo"] = np.int64(-1)
-    df["grid_hi"] = np.int64(-1)
+
+def _fused_markers(ext: pd.DataFrame, step: int, ratio_total: int) -> pd.DataFrame:
+    """One MARKER row per (source, range shard) carrying the gap-fill
+    grid bounds; row count ~ target task count, never key-space."""
     markers = []
     for src, (lo, hi) in ext.iterrows():
         lo, hi = int(lo), int(hi)
@@ -185,12 +153,10 @@ def downstream_fused(tier0, cfg: RollupConfig):
                     "grid_hi": min(rlo + step - 1, hi),
                 }
             )
-    mdf = pd.DataFrame(markers)
-    for c in df.columns:
-        if c not in mdf.columns:
-            mdf[c] = None
-    both = pd.concat([df, mdf[df.columns]], ignore_index=True)
+    return pd.DataFrame(markers)
 
+
+def _make_fused_per_shard(cfg: RollupConfig, ratios, r_cum):
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         is_marker = g["bucket"].to_numpy() == -1
         m = g[is_marker].iloc[0]
@@ -215,6 +181,129 @@ def downstream_fused(tier0, cfg: RollupConfig):
             fr.insert(0, "tier", t)
             outs.append(fr)
         return pd.concat(outs, ignore_index=True)
+
+    return per_shard
+
+
+def _downstream_fused_exchange(tier0_ds, cfg: RollupConfig):
+    """downstream_fused for key-spaces too large for one driver frame:
+    the SAME sid math and per_shard function, but the tier-0 rows reach
+    their shard via a Ray groupby EXCHANGE on (source, sid) instead of
+    a driver-built block list. The driver holds only the per-source
+    extents (bounded by #sources) and the marker rows (~task count).
+    Output is bit-identical to the driver path — sid is a pure function
+    of bucket, so shard composition (and thus every per_shard input) is
+    the same; only the transport differs."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max as AMax
+    from ray.data.aggregate import Min as AMin
+
+    ratios, r_cum = _fused_plan(cfg)
+    ratio_total = r_cum[-1]
+    ext = (
+        tier0_ds.groupby("source")
+        .aggregate(AMin("bucket"), AMax("bucket"))
+        .to_pandas()
+        .rename(columns={"min(bucket)": "min", "max(bucket)": "max"})
+        .set_index("source")[["min", "max"]]
+        .sort_index()
+    )
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    step = _fused_step(ext, ratio_total, ncpu)
+    mdf = _fused_markers(ext, step, ratio_total)
+
+    def add_sid(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["sid"] = b["bucket"] // step
+        b["grid_lo"] = np.int64(-1)
+        b["grid_hi"] = np.int64(-1)
+        return b
+
+    tagged = tier0_ds.map_batches(add_sid, batch_format="pandas")
+    cols = [c for c in tagged.schema().names]
+    for c in cols:
+        if c not in mdf.columns:
+            mdf[c] = None
+    per_shard = _make_fused_per_shard(cfg, ratios, r_cum)
+    return (
+        tagged.union(rd.from_pandas(mdf[cols]))
+        .groupby(["source", "sid"])
+        .map_groups(per_shard, batch_format="pandas")
+    )
+
+
+def downstream_fused(tier0, cfg: RollupConfig):
+    """Everything after tier 0 in ONE range-sharded Ray pass.
+
+    Tier rows are one per (source, bucket) — KB-scale regardless of
+    input size — and every downstream step (tier promotion chain,
+    gap-fill, encode) is a pure function of a (source, bucket-range)
+    shard when the range is aligned to the top tier's width: parents
+    never straddle shards, and gap-fill grids clip to the source's
+    global [min, max] extents (known from the tier-0 rows). So instead
+    of 5+ small per-tier Ray round-trips, one map over ~4x#cpus range
+    descriptors computes all remaining tiers and payloads — and the
+    hot-source straggler splits across shards. Same per-range functions
+    as the staged path (promote_frame / gap_fill_frame / encode_frame).
+    Values match the staged path up to float-summation ORDER on
+    upper-tier DBA averages: shard composition changes the co-batched
+    kernel's member accumulation order, so ~0.3% of tier>=1 repr values
+    differ by 1 ULP (tier 0 stays bit-exact — integer sums are
+    order-free). The checkpoint/write pipeline and the oracle-checked
+    queries use the staged per-source path, which IS bit-exact vs the
+    single-process oracle; this fused pass serves the metrics/bench
+    path (asserted to tolerance in tests/test_rollup.py).
+
+    tier0: Dataset or DataFrame of tier-0 rows (key-space sized). When
+    the tier-0 row count exceeds ``max_driver_keys`` (default: the scan
+    path's DTAIR_MAX_DRIVER_KEYS), the driver never assembles the key
+    frame: _downstream_fused_exchange range-partitions on sid (a pure
+    function of bucket) with a Ray groupby exchange and runs the SAME
+    per_shard function per group — bit-identical output, different
+    transport (round-3 review #2, second driver frame)."""
+    import os as _os
+
+    import ray
+    import ray.data as rd
+
+    max_driver_keys = int(_os.environ.get("DTAIR_MAX_DRIVER_KEYS", "2000000"))
+    if hasattr(tier0, "to_pandas") and not isinstance(tier0, pd.DataFrame):
+        try:
+            n0 = tier0.count()
+        except Exception:
+            n0 = 0
+        if n0 > max_driver_keys:
+            return _downstream_fused_exchange(tier0, cfg)
+    tier0_df = tier0.to_pandas() if hasattr(tier0, "to_pandas") else tier0
+    ratios, r_cum = _fused_plan(cfg)
+    ratio_total = r_cum[-1]
+
+    ext = tier0_df.groupby("source")["bucket"].agg(["min", "max"])
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    step = _fused_step(ext, ratio_total, ncpu)
+
+    # shard id = absolute bucket // step (step is a multiple of every
+    # tier ratio, so parents never straddle shards); one driver-made
+    # MARKER row per shard carries the gap-fill grid bounds and makes
+    # all-gap shards exist in the groupby at all
+    df = tier0_df.copy()
+    df["sid"] = df["bucket"] // step
+    df["grid_lo"] = np.int64(-1)
+    df["grid_hi"] = np.int64(-1)
+    mdf = _fused_markers(ext, step, ratio_total)
+    for c in df.columns:
+        if c not in mdf.columns:
+            mdf[c] = None
+    both = pd.concat([df, mdf[df.columns]], ignore_index=True)
+
+    per_shard = _make_fused_per_shard(cfg, ratios, r_cum)
 
     def per_chunk(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.concat(

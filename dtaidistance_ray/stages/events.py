@@ -34,6 +34,69 @@ def _add_cents(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
+def _fold_frames(keys, spec, *frames):
+    """Merge partial-aggregate frames: concat + one pandas groupby.
+    Exact for sum/min/max under any partitioning and fold order (int
+    cent sums are associative, min/max idempotent-commutative)."""
+    frames = [f for f in frames if f is not None and len(f)]
+    if not frames:
+        return pd.DataFrame(columns=list(keys) + list(spec))
+    df = pd.concat(frames, ignore_index=True)
+    return df.groupby(list(keys), as_index=False, sort=False).agg(spec)
+
+
+def merge_partials(parts, keys, spec, fan_in=32, max_driver_rows=2_000_000):
+    """Size-aware partial-merge physical plan for BOUNDED key-spaces
+    (hour/day grids, nations, deciles, shard counters): merge the tiny
+    per-block partial frames with a fan-in TREE of Ray tasks instead of
+    a Dataset hash groupby-aggregate — the hash path pays a full
+    all-to-all exchange (~1-3 s fixed on this host, measured in the
+    round-3 gate) to merge a table of a few thousand rows. Here the
+    pipeline stays map-only: ``to_pandas_refs()`` leaves each partial
+    block in the object store, groups of ``fan_in`` refs fold in remote
+    tasks (log depth — at 100k blocks that is 4 levels), and the driver
+    folds only the final <= fan_in partials, so it holds at most
+    fan_in x key-space rows at any moment.
+
+    UNBOUNDED keys (users, tokens, pairs) must keep
+    ``Dataset.groupby().aggregate()``; the max_driver_rows guard makes a
+    mis-tagged caller fail loudly instead of OOMing the driver at scale.
+
+    ``spec`` maps existing partial column -> "sum" | "min" | "max"
+    (partials already carry their output names, so refolds compose)."""
+    import ray
+
+    refs = parts.to_pandas_refs()
+    if len(refs) > fan_in:
+        fold = ray.remote(_fold_frames)
+        while len(refs) > fan_in:
+            refs = [
+                fold.remote(keys, spec, *refs[i : i + fan_in])
+                for i in range(0, len(refs), fan_in)
+            ]
+    out = _fold_frames(keys, spec, *ray.get(list(refs)))
+    if len(out) > max_driver_rows:
+        raise ValueError(
+            f"merge_partials: {len(out)} merged rows exceeds max_driver_rows="
+            f"{max_driver_rows}; this key-space is not bounded - use "
+            "Dataset.groupby().aggregate() for it"
+        )
+    return out
+
+
+def _per_type(grid: pd.DataFrame, fn) -> pd.DataFrame:
+    """Apply ``fn`` per event_type over a BOUNDED (type x hour/day) grid
+    frame (the merged output of the distributed rollup). The sequential
+    scans these feed (EWMA, Holt, CUSUM, rolling windows) are inherently
+    per-type ordered recurrences over rows = #types x #span — key-space
+    bounded, so a shuffle to co-partition them is pure overhead; the
+    heavy lifting (raw events -> grid) already ran distributed."""
+    parts = [fn(g) for _, g in grid.groupby("event_type", sort=False)]
+    if not parts:
+        return grid.iloc[0:0]
+    return pd.concat(parts, ignore_index=True)
+
+
 def _hourly_partial(b: pd.DataFrame) -> pd.DataFrame:
     return b.groupby(["event_type", "bucket"], as_index=False).agg(
         n_events=("value", "size"),
@@ -45,25 +108,22 @@ def _hourly_partial(b: pd.DataFrame) -> pd.DataFrame:
 
 def _hourly_partials_df(sf_dir: str) -> pd.DataFrame:
     """Combiner pattern: per-batch partial aggregates inside map_batches
-    (#groups x #blocks tiny partial rows), merged by a distributed Ray
-    groupby-aggregate — exact (integer cent sums, min/max) under any
-    partitioning. The driver only ever holds the MERGED result: one row
-    per (event_type, hour), bounded by the key-space, never by the
-    block count (the round-2 review's driver-merge anti-pattern)."""
-    from ray.data.aggregate import Max, Min, Sum
-
+    (#groups x #blocks tiny partial rows), merged by the size-aware
+    fan-in tree (merge_partials) — the (event_type, hour) key-space is
+    BOUNDED, so a hash groupby's all-to-all exchange is the wrong
+    physical plan at both test and 100-TB scale (round-3 review #1).
+    Exact (integer cent sums, min/max) under any partitioning; the
+    driver holds at most fan_in x key-space rows."""
     ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
     ds = ds.map_batches(_add_hour, batch_format="pyarrow").map_batches(
         _add_cents, batch_format="pandas"
     )
     parts = ds.map_batches(_hourly_partial, batch_format="pandas")
-    merged = parts.groupby(["event_type", "bucket"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("cents", alias_name="cents"),
-        Min("value_min", alias_name="value_min"),
-        Max("value_max", alias_name="value_max"),
+    return merge_partials(
+        parts,
+        ["event_type", "bucket"],
+        {"n_events": "sum", "cents": "sum", "value_min": "min", "value_max": "max"},
     )
-    return merged.to_pandas()
 
 
 def rollup_hourly(sf_dir: str):
@@ -118,12 +178,25 @@ FROM events GROUP BY 1, 2
 
 def rollup_hourly_gapfill(sf_dir: str):
     """Hourly counts per event_type with missing hours filled
-    (n_events = 0) over each type's [min, max] hour range."""
-    from ray.data.aggregate import Count
+    (n_events = 0) over each type's [min, max] hour range.
 
+    Physical plan: per-batch partial counts (combiner) merged by the
+    bounded-key fan-in tree — no all-to-all; the (type, hour) grid and
+    the gap-fill itself are key-space-sized, so the fill runs on the
+    driver frame directly."""
     ds = read_events(sf_dir, columns=["ts", "event_type"])
     ds = ds.map_batches(_add_hour, batch_format="pyarrow")
-    hourly = ds.groupby(["event_type", "bucket"]).aggregate(Count(alias_name="n_events"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["event_type", "bucket"], as_index=False).agg(
+            n_events=("bucket", "size")
+        )
+
+    hourly = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "bucket"],
+        {"n_events": "sum"},
+    )
 
     def fill(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("bucket")
@@ -134,7 +207,9 @@ def rollup_hourly_gapfill(sf_dir: str):
         out["n_events"] = out["n_events"].fillna(0).astype("int64")
         return out[["event_type", "bucket", "n_events"]]
 
-    return hourly.groupby("event_type").map_groups(fill, batch_format="pandas")
+    return pd.concat(
+        [fill(g) for _, g in hourly.groupby("event_type")], ignore_index=True
+    )
 
 
 ROLLUP_GAPFILL_SQL = """
@@ -293,7 +368,7 @@ def rolling_hourly_avg(sf_dir: str, window_h: int = 24):
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return hourly.groupby("event_type").map_groups(roll, batch_format="pandas")
+    return _per_type(hourly, roll)
 
 
 ROLLING_HOURLY_SQL = """
@@ -617,7 +692,7 @@ def hourly_anomalies(sf_dir: str, window_h: int = 24, min_prior: int = 8, z_thr:
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return hourly.groupby("event_type").map_groups(score, batch_format="pandas")
+    return _per_type(hourly, score)
 
 
 HOURLY_ANOMALIES_SQL = """
@@ -932,7 +1007,7 @@ def hourly_ewma(sf_dir: str, alpha: float = 0.25):
         g["n_events"] = g["n_events"].astype("int64")
         return g[["event_type", "bucket", "n_events", "ewma"]]
 
-    return hourly.groupby("event_type").map_groups(smooth, batch_format="pandas")
+    return _per_type(hourly, smooth)
 
 
 HOURLY_EWMA_SQL = """
@@ -963,7 +1038,37 @@ SELECT event_type, bucket, n_events, ewma FROM e
 """
 
 
-def hourly_xcorr_lags(sf_dir: str, max_lag: int = 6):
+def _xcorr_pair_chunk(pairs, series, max_lag):
+    """Per-pair lag profile for one chunk of type pairs. ``series`` maps
+    type -> (hour int64 array, count int64 array). Exact int64 moments;
+    the f64 expression matches the SQL oracle operation-for-operation."""
+    rows = []
+    for pa, pb in pairs:
+        ha, xa = series[pa]
+        hb, xb = series[pb]
+        da = dict(zip(ha, xa))
+        db = dict(zip(hb, xb))
+        for lag in range(-max_lag, max_lag + 1):
+            hs = sorted(set(da) & {h - lag for h in db})
+            if len(hs) < 2:
+                continue
+            a = np.array([da[t] for t in hs], dtype=np.int64)
+            b = np.array([db[t + lag] for t in hs], dtype=np.int64)
+            n = np.int64(len(hs))
+            Sa, Sb = a.sum(), b.sum()
+            Saa, Sbb, Sab = (a * a).sum(), (b * b).sum(), (a * b).sum()
+            va = float(n) * float(Saa) - float(Sa) * float(Sa)
+            vb = float(n) * float(Sbb) - float(Sb) * float(Sb)
+            if va <= 0 or vb <= 0:
+                continue
+            corr = (float(n) * float(Sab) - float(Sa) * float(Sb)) / (
+                np.sqrt(va) * np.sqrt(vb)
+            )
+            rows.append((pa, pb, lag, int(n), round(corr, 6)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "lag", "n_overlap", "corr"])
+
+
+def hourly_xcorr_lags(sf_dir: str, max_lag: int = 6, max_types: int = 16):
     """Lead-lag detection between event types: for every unordered type
     pair (a < b) and every lag in [-max_lag, +max_lag], the Pearson
     correlation of the two gap-filled hourly count series with b
@@ -980,73 +1085,45 @@ def hourly_xcorr_lags(sf_dir: str, max_lag: int = 6):
     both sides round identically).
 
     Scale shape: the raw-events reduction is the distributed gap-fill;
-    the pair stage replicates the BOUNDED (type x hour) grid rows once
-    per containing pair (flat_map, no driver loop) and computes each
-    pair's 2*max_lag+1 windows vectorized inside one bounded
-    map_groups."""
+    the pair stage works on the BOUNDED (type x hour) grid. The pair
+    count is O(#types^2), so types are CAPPED at the ``max_types``
+    highest-volume ones (deterministic tie-break on name; the fixtures'
+    5 types are far under the cap, so the oracle is unaffected) — with
+    hundreds of event types the profile covers the heavy hitters
+    instead of exploding quadratically. Pair chunks run as Ray tasks
+    against a ray.put broadcast of the per-type series when the pair
+    count warrants it; small pair sets fold inline."""
+    import ray
+
     hourly = rollup_hourly_gapfill(sf_dir)
-    types = sorted(r["event_type"] for r in hourly.groupby("event_type").count().take_all())
+    vol = (
+        hourly.groupby("event_type", as_index=False)["n_events"]
+        .sum()
+        .sort_values(["n_events", "event_type"], ascending=[False, True], kind="mergesort")
+    )
+    types = sorted(vol["event_type"].head(max_types))
+    sub = hourly[hourly["event_type"].isin(types)]
+    hrs = (
+        sub["bucket"].astype("datetime64[s]").astype("int64") // 3600
+    ).to_numpy(np.int64)
+    cnt = sub["n_events"].to_numpy(np.int64)
+    et = sub["event_type"].to_numpy()
+    series = {t: (hrs[et == t], cnt[et == t]) for t in types}
     pairs = [(a, b) for i, a in enumerate(types) for b in types[i + 1 :]]
 
-    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for pa, pb in pairs:
-            m = batch[batch["event_type"].isin([pa, pb])].copy()
-            if not len(m):
-                continue
-            m["pair"] = f"{pa}|{pb}"
-            m["side"] = np.where(m["event_type"].to_numpy() == pa, 0, 1)
-            outs.append(m)
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "pair": pd.Series(dtype="object"),
-                    "side": pd.Series(dtype="int64"),
-                    "bucket": pd.Series(dtype="datetime64[us]"),
-                    "n_events": pd.Series(dtype="int64"),
-                }
-            )
-        out = pd.concat(outs, ignore_index=True)
-        return out[["pair", "side", "bucket", "n_events"]]
-
-    def xcorr(g: pd.DataFrame) -> pd.DataFrame:
-        pa, pb = g["pair"].iloc[0].split("|")
-        h = (g["bucket"].astype("datetime64[s]").astype("int64") // 3600).to_numpy(np.int64)
-        side = g["side"].to_numpy(np.int64)
-        x = g["n_events"].to_numpy(np.int64)
-        da = dict(zip(h[side == 0], x[side == 0]))
-        db = dict(zip(h[side == 1], x[side == 1]))
-        rows = []
-        for lag in range(-max_lag, max_lag + 1):
-            hs = sorted(set(da) & {hb - lag for hb in db})
-            if len(hs) < 2:
-                continue
-            a = np.array([da[t] for t in hs], dtype=np.int64)
-            b = np.array([db[t + lag] for t in hs], dtype=np.int64)
-            n = np.int64(len(hs))
-            Sa, Sb = a.sum(), b.sum()
-            Saa, Sbb, Sab = (a * a).sum(), (b * b).sum(), (a * b).sum()
-            va = float(n) * float(Saa) - float(Sa) * float(Sa)
-            vb = float(n) * float(Sbb) - float(Sb) * float(Sb)
-            if va <= 0 or vb <= 0:
-                continue
-            corr = (float(n) * float(Sab) - float(Sa) * float(Sb)) / (
-                np.sqrt(va) * np.sqrt(vb)
-            )
-            rows.append((pa, pb, lag, int(n), round(corr, 6)))
-        return pd.DataFrame(rows, columns=["type_a", "type_b", "lag", "n_overlap", "corr"])
-
-    def fix(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["lag"] = batch["lag"].astype("int64")
-        batch["n_overlap"] = batch["n_overlap"].astype("int64")
-        return batch
-
-    return (
-        hourly.map_batches(replicate, batch_format="pandas")
-        .groupby("pair")
-        .map_groups(xcorr, batch_format="pandas")
-        .map_batches(fix, batch_format="pandas")
-    )
+    chunks = [pairs[i : i + 16] for i in range(0, len(pairs), 16)]
+    if len(chunks) <= 1:
+        out = _xcorr_pair_chunk(pairs, series, max_lag)
+    else:
+        sref = ray.put(series)  # broadcast once; Ray derefs it per task
+        fn = ray.remote(_xcorr_pair_chunk)
+        out = pd.concat(
+            ray.get([fn.remote(ch, sref, max_lag) for ch in chunks]),
+            ignore_index=True,
+        )
+    out["lag"] = out["lag"].astype("int64")
+    out["n_overlap"] = out["n_overlap"].astype("int64")
+    return out
 
 
 HOURLY_XCORR_SQL = """
@@ -1170,7 +1247,7 @@ def hourly_cusum_changepoints(
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return hourly.groupby("event_type").map_groups(scan, batch_format="pandas")
+    return _per_type(hourly, scan)
 
 
 HOURLY_CUSUM_SQL = """
@@ -1280,7 +1357,7 @@ def hourly_holt(sf_dir: str, alpha: float = 0.5, beta: float = 0.25):
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return hourly.groupby("event_type").map_groups(smooth, batch_format="pandas")
+    return _per_type(hourly, smooth)
 
 
 HOURLY_HOLT_SQL = """
@@ -1379,7 +1456,7 @@ def hourly_trend(sf_dir: str):
         )
         return out.dropna(subset=["r2"])
 
-    return hourly.groupby("event_type").map_groups(fit, batch_format="pandas")
+    return _per_type(hourly, fit)
 
 
 HOURLY_TREND_SQL = """
@@ -1633,7 +1710,7 @@ def seasonal_anomalies(sf_dir: str, min_peers: int = 10, z_thr: float = 3.0):
         out["hod"] = out["hod"].astype("int64")
         return out
 
-    return hourly.groupby("event_type").map_groups(score, batch_format="pandas")
+    return _per_type(hourly, score)
 
 
 SEASONAL_ANOMALIES_SQL = """
@@ -1722,11 +1799,8 @@ def retention_cohorts(sf_dir: str, n_buckets: int = 64):
         .groupby("user_bucket")
         .map_groups(cohort_partial, batch_format="pandas")
     )
-    merged = (
-        parts.groupby(["cohort_ns", "day_offset"])
-        .aggregate(Sum("n_users", alias_name="n_users"))
-        .to_pandas()
-    )
+    # (cohort day x day offset) is a bounded grid: fan-in tree, no shuffle
+    merged = merge_partials(parts, ["cohort_ns", "day_offset"], {"n_users": "sum"})
     base = merged[merged["day_offset"] == 0][["cohort_ns", "n_users"]].rename(
         columns={"n_users": "cohort_size"}
     )
@@ -1920,11 +1994,8 @@ def dau_wau_stickiness(sf_dir: str, n_buckets: int = 64):
         .groupby("user_bucket")
         .map_groups(window_partial, batch_format="pandas")
     )
-    merged = (
-        parts.groupby("d")
-        .aggregate(Sum("dau", alias_name="dau"), Sum("wau", alias_name="wau"))
-        .to_pandas()
-    )
+    # days are a bounded key: fan-in tree merge, no all-to-all
+    merged = merge_partials(parts, ["d"], {"dau": "sum", "wau": "sum"})
     merged["day"] = (merged["d"] * day_ns).astype("datetime64[ns]")
     merged["dau"] = merged["dau"].astype("int64")
     merged["wau"] = merged["wau"].astype("int64")
@@ -1989,11 +2060,10 @@ def out_of_order_audit(sf_dir: str, shard_width: int = 1024):
         )
         return b.groupby(["event_type", "shard"], as_index=False).agg(max_us=("us", "max"))
 
-    parts = (
-        ds.map_batches(p1, batch_format="pandas")
-        .groupby(["event_type", "shard"])
-        .aggregate(Max("max_us", alias_name="max_us"))
-        .to_pandas()
+    parts = merge_partials(
+        ds.map_batches(p1, batch_format="pandas"),
+        ["event_type", "shard"],
+        {"max_us": "max"},
     )
     # bounded driver prefix-scan: one row per (type, shard)
     parts = parts.sort_values(["event_type", "shard"], kind="mergesort")
@@ -2044,14 +2114,11 @@ def out_of_order_audit(sf_dir: str, shard_width: int = 1024):
         .groupby(["event_type", "shard"])
         .map_groups(shard_audit, batch_format="pandas")
     )
-    merged = (
-        audited.groupby(["event_type", "day"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("n_late", alias_name="n_late"),
-            Max("max_skew_us", alias_name="max_skew_us"),
-        )
-        .to_pandas()
+    # (type x day) is bounded: fan-in tree merge of the audited partials
+    merged = merge_partials(
+        audited,
+        ["event_type", "day"],
+        {"n_events": "sum", "n_late": "sum", "max_skew_us": "max"},
     )
     for c in ("n_events", "n_late", "max_skew_us"):
         merged[c] = merged[c].astype("int64")
@@ -2121,7 +2188,7 @@ def hourly_median_bands(sf_dir: str, window: int = 24, k: float = 1.5):
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return hourly.groupby("event_type").map_groups(bands, batch_format="pandas")
+    return _per_type(hourly, bands)
 
 
 HOURLY_MEDIAN_BANDS_SQL = """
@@ -2206,11 +2273,8 @@ def last_touch_attribution(sf_dir: str, window_s: int = 3600, n_buckets: int = 6
         .groupby("user_bucket")
         .map_groups(attribute, batch_format="pandas")
     )
-    merged = (
-        parts.groupby(["day", "attributed_type"])
-        .aggregate(Sum("n_purchases", alias_name="n_purchases"))
-        .to_pandas()
-    )
+    # (day x attributed type) is bounded: fan-in tree merge
+    merged = merge_partials(parts, ["day", "attributed_type"], {"n_purchases": "sum"})
     merged["n_purchases"] = merged["n_purchases"].astype("int64")
     return merged
 
@@ -2291,16 +2355,11 @@ def props_extract_rollup(sf_dir: str):
         )
         return out
 
-    merged = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "k_decile"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_k", alias_name="sum_k"),
-            Min("min_k", alias_name="min_k"),
-            Max("max_k", alias_name="max_k"),
-        )
-        .to_pandas()
+    # (type x decile) is bounded: fan-in tree merge, no all-to-all
+    merged = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "k_decile"],
+        {"n": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"},
     )
     for c in ("k_decile", "n", "sum_k", "min_k", "max_k"):
         merged[c] = merged[c].astype("int64")
@@ -2351,8 +2410,13 @@ def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int
     import ray
     from ray.data.aggregate import Max as AMax
     from ray.data.aggregate import Min as AMin
-    from ray.data.aggregate import Sum as ASum
 
+    # this stage consumes its input THREE times (min/max scan, shard
+    # counts, rank pass); materialize once so the upstream DAG — which
+    # may itself be a chain of ntile passes (RFM chains three) — does
+    # not re-execute per consumer. The blocks live in the object store
+    # (distributed, spillable), never on the driver.
+    users_ds = users_ds.materialize()
     mm = users_ds.aggregate(AMin(col), AMax(col))
     vmin, vmax = int(mm[f"min({col})"]), int(mm[f"max({col})"])
     width = max(1, (vmax - vmin + 1) // nshards)
@@ -2362,13 +2426,9 @@ def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int
         out = pd.DataFrame({"shard": sh}).groupby("shard", as_index=False).size()
         return out.rename(columns={"size": "cnt"})
 
-    parts = (
-        users_ds.map_batches(p1, batch_format="pandas")
-        .groupby("shard")
-        .aggregate(ASum("cnt", alias_name="cnt"))
-        .to_pandas()
-        .sort_values("shard", kind="mergesort")
-    )
+    parts = merge_partials(
+        users_ds.map_batches(p1, batch_format="pandas"), ["shard"], {"cnt": "sum"}
+    ).sort_values("shard", kind="mergesort")
     n = int(parts["cnt"].sum())
     offs = {}
     run = 0

@@ -51,20 +51,21 @@ def lineitem_pricing_summary(sf_dir: str):
             count_order=("qty_c", "size"),
         )
 
-    # combiner: per-batch partials, distributed Ray groupby merge —
-    # exact integer sums; the driver receives only the merged rows
-    # (one per (returnflag, linestatus)), never the per-block partials
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="qty_c"),
-            Sum("ep_c", alias_name="ep_c"),
-            Sum("disc_price_c", alias_name="disc_price_c"),
-            Sum("disc_c", alias_name="disc_c"),
-            Sum("count_order", alias_name="count_order"),
-        )
-        .to_pandas()
+    # combiner: per-batch partials merged by the bounded-key fan-in
+    # tree (6 (returnflag, linestatus) rows — a hash groupby would pay
+    # a full all-to-all exchange to merge them; round-3 review #1)
+    from .events import merge_partials
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "qty_c": "sum",
+            "ep_c": "sum",
+            "disc_price_c": "sum",
+            "disc_c": "sum",
+            "count_order": "sum",
+        },
     )
     n = out["count_order"].astype("int64")
     out["sum_qty"] = out["qty_c"] / 100.0
@@ -100,50 +101,99 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
-def revenue_by_nation(sf_dir: str):
+BROADCAST_ROW_LIMIT = 20_000_000  # ~320 MB of 2-int64 rows: safe per-actor fetch
+
+
+def revenue_by_nation(sf_dir: str, broadcast_row_limit: int = BROADCAST_ROW_LIMIT):
     """Revenue per customer nation: lineitem->orders->customer->nation.
 
     The lineitem->orders join (both sides large at scale) is a
     partitioned hash join on l_orderkey (``Dataset.join`` — hash
     shuffle, both sides co-partitioned; nothing is materialized on the
-    driver). The customer x nation dimension chain is genuinely small
-    relative to orders (25 nations; customer is ~1/10 of orders rows
-    and 2 int columns), so it rides along as a broadcast keyed Series
-    fetched once per actor — documented cutoff: if customer outgrows
-    worker heap, it joins the same way orders does."""
+    driver). The customer x nation side is SIZE-THRESHOLDED: below
+    ``broadcast_row_limit`` rows (parquet metadata — no read) it rides
+    along as a broadcast keyed Series fetched once per actor; above,
+    customer joins orders the same partitioned way orders joins
+    lineitem (TPC-H customer grows linearly with sf, so at high scale
+    the broadcast would be a multi-GB per-actor fetch — round-3 review
+    #2). Both plans produce identical (o_orderkey, n_name) rows."""
     import ray
     import ray.data as rd
 
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
+    import pyarrow.parquet as _pq
+
     nation = rd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    nat_by_cust = pd.Series(
-        cust["c_nationkey"]
-        .map(pd.Series(nation["n_name"].to_numpy(), index=nation["n_nationkey"].to_numpy()))
-        .to_numpy(),
-        index=cust["c_custkey"].to_numpy(),
-    )
-    cust_ref = ray.put(nat_by_cust)
+    n_cust = _pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
 
-    class OrderNation:
-        def __init__(self):
-            self.lookup = ray.get(cust_ref)  # fetched once per actor
+    if n_cust <= broadcast_row_limit:
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        nat_by_cust = pd.Series(
+            cust["c_nationkey"]
+            .map(pd.Series(nation["n_name"].to_numpy(), index=nation["n_nationkey"].to_numpy()))
+            .to_numpy(),
+            index=cust["c_custkey"].to_numpy(),
+        )
+        cust_ref = ray.put(nat_by_cust)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame(
+        class OrderNation:
+            def __init__(self):
+                self.lookup = ray.get(cust_ref)  # fetched once per actor
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame(
+                    {
+                        "o_orderkey": batch["o_orderkey"].to_numpy(),
+                        "n_name": pd.Series(batch["o_custkey"].to_numpy())
+                        .map(self.lookup)
+                        .to_numpy(),
+                    }
+                )
+                return out
+
+        orders_nation = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).map_batches(OrderNation, batch_format="pandas", concurrency=auto_pool())
+    else:
+        # customer too large to broadcast: partitioned hash join
+        # customer x orders on custkey (nation stays a 25-row broadcast
+        # applied as a vectorized map after the join)
+        nat_ref = ray.put(
+            pd.Series(nation["n_name"].to_numpy(), index=nation["n_nationkey"].to_numpy())
+        )
+        cust_ds = rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        orders_ds = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        joined_oc = orders_ds.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=max(2, min(32, ncpu)),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+        def add_nation(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(nat_ref)
+            return pd.DataFrame(
                 {
                     "o_orderkey": batch["o_orderkey"].to_numpy(),
-                    "n_name": pd.Series(batch["o_custkey"].to_numpy()).map(self.lookup).to_numpy(),
+                    "n_name": pd.Series(batch["c_nationkey"].to_numpy())
+                    .map(lookup)
+                    .to_numpy(),
                 }
             )
-            return out
 
-    orders_nation = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(OrderNation, batch_format="pandas", concurrency=auto_pool())
+        orders_nation = joined_oc.map_batches(add_nation, batch_format="pandas")
 
     def derive_rev(batch: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -161,10 +211,6 @@ def revenue_by_nation(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(derive_rev, batch_format="pandas")
 
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
     joined = li.join(
         orders_nation,
         join_type="inner",
@@ -178,15 +224,14 @@ def revenue_by_nation(sf_dir: str):
             revenue_c=("revenue_c", "sum"), n_items=("revenue_c", "size")
         )
 
-    # combiner partials -> distributed Ray groupby merge (driver sees
-    # only the 25 merged nation rows, not per-block partials)
-    from ray.data.aggregate import Sum
+    # combiner partials -> bounded-key fan-in tree (25 nation rows;
+    # no all-to-all for the final merge)
+    from .events import merge_partials
 
-    out = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("revenue_c", alias_name="revenue_c"), Sum("n_items", alias_name="n_items"))
-        .to_pandas()
+    out = merge_partials(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["n_name"],
+        {"revenue_c": "sum", "n_items": "sum"},
     )
     out["revenue"] = out["revenue_c"] / 10000.0
     out["n_items"] = out["n_items"].astype("int64")

@@ -297,6 +297,15 @@ _BLOCKS_PER_CPU = float(_os.environ.get("DTAIR_BLOCKS_PER_CPU", "0"))
 # member values), so the tree shape cannot change any result bit.
 _MERGE_FANIN = int(_os.environ.get("DTAIR_MERGE_FANIN", "16"))
 _MERGE_THRESHOLD_ROWS = int(_os.environ.get("DTAIR_MERGE_THRESHOLD", "64"))
+# Key-shard fallback: the per-round merged state is keys x center
+# floats on the driver. When the (source, bucket) key-space can exceed
+# _MAX_DRIVER_KEYS, the key space hash-partitions into shards and the
+# same rounds run per shard (per-key independence makes the output
+# bit-identical under ANY key partition) — the last single-driver
+# structure in the flagship path, sharded behind this threshold
+# (round-3 review #2). Rows >= keys always, so the cheap row count
+# gates the (only-at-scale) distinct-key planning pass.
+_MAX_DRIVER_KEYS = int(_os.environ.get("DTAIR_MAX_DRIVER_KEYS", "2000000"))
 
 
 def _fold_stats_rows(stats_parts: pd.DataFrame) -> Dict[Tuple, dict]:
@@ -431,8 +440,97 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
     except Exception:
         pass
     LAST_TIMINGS["materialize"] = round(_time.perf_counter() - _t, 2)
-    _t = _time.perf_counter()
 
+    # ---- key-shard dispatch (round-3 review #2) -------------------
+    # rows >= distinct keys, so small inputs skip planning entirely;
+    # big ones pay one cheap 2-column scan for an UPPER BOUND on the
+    # key count (sum of per-block distincts — no shuffle), then the
+    # key space hash-partitions and the same rounds run per shard.
+    # Per-key independence (stats fold and DBA rounds never couple
+    # keys) makes the union bit-identical to the unsharded run.
+    nshards = 1
+    if cache:
+        try:
+            nrows = ds.count()
+        except Exception:
+            nrows = 0
+        if nrows > _MAX_DRIVER_KEYS:
+            ub = _distinct_keys_upper_bound(ds)
+            nshards = max(1, -(-ub // _MAX_DRIVER_KEYS))
+    if nshards > 1:
+        import ray.data as rd
+
+        LAST_TIMINGS["key_shards"] = nshards
+        outs = []
+        for s in range(nshards):
+            sub = ds.map_batches(
+                _make_key_shard_filter(s, nshards), batch_format="pyarrow"
+            ).materialize()
+            outs.append(_scan_rollup_single(sub, cfg))
+        out0 = outs[0]
+        return out0.union(*outs[1:]) if len(outs) > 1 else out0
+    return _scan_rollup_single(ds, cfg)
+
+
+def _key_shard_of(sources, buckets, nshards: int) -> np.ndarray:
+    """Deterministic shard of each (source, bucket) key: crc32 of the
+    source (computed once per distinct source in the batch) mixed with
+    the bucket by a splitmix step — uniform under bucket locality and
+    source skew alike (a RANGE partition would need a quantile pass and
+    still hot-spot on a skewed source; hash needs neither)."""
+    import zlib as _zlib
+
+    codes, uniques = pd.factorize(pd.Series(sources), sort=False)
+    src_h = np.array(
+        [_zlib.crc32(str(u).encode()) for u in uniques], dtype=np.uint64
+    )[codes]
+    h = src_h * np.uint64(0x9E3779B97F4A7C15) + np.asarray(
+        buckets, dtype=np.uint64
+    ) * np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(31)
+    return (h % np.uint64(nshards)).astype(np.int64)
+
+
+def _make_key_shard_filter(shard: int, nshards: int):
+    # Arrow in/out: a pandas roundtrip would re-infer the token list
+    # column (tensor ext. type on uniform lengths) and break the
+    # zero-copy offsets access in _stats_partial
+    import pyarrow as _pa
+
+    def flt(batch):
+        keep = (
+            _key_shard_of(
+                batch["source"].to_pandas(), batch["bucket"].to_numpy(), nshards
+            )
+            == shard
+        )
+        return batch.filter(_pa.array(keep))
+
+    return flt
+
+
+def _distinct_keys_upper_bound(ds) -> int:
+    """Sum of per-block distinct (source, bucket) counts — an upper
+    bound on the global key count (keys split across blocks multi-count)
+    from one map-only scan of two tiny columns; over-sharding is safe."""
+    def per_block(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [b[["source", "bucket"]].drop_duplicates().shape[0]]})
+
+    parts = ds.select_columns(["source", "bucket"]).map_batches(
+        per_block, batch_format="pandas"
+    )
+    return int(sum(r["n"] for r in parts.take_all()))
+
+
+def _scan_rollup_single(ds, cfg: RollupConfig):
+    """One key-shard's (or the whole key-space's) scan rollup; see
+    scan_rollup_base_tier."""
+    import time as _time
+
+    import ray
+    import ray.data as rd
+
+    _t = _time.perf_counter()
     # one packed partial row per block; distributed fan-in rounds keep
     # the final driver fold bounded to _MERGE_THRESHOLD_ROWS rows
     stats_parts = _tree_reduce(

@@ -121,3 +121,15 @@ class TestDedupClusters:
         nodes = np.frombuffer(f.iloc[0]["nodes"], np.int64)
         roots = np.frombuffer(f.iloc[0]["roots"], np.int64)
         assert dict(zip(nodes, roots)) == {1: 1, 3: 1, 5: 1, 9: 1}
+
+
+class TestRevenueByNationJoinPath:
+    def test_forced_partitioned_join_matches_broadcast(self, ray_session):
+        """The size-thresholded broadcast->join cutoff (round-3 review
+        #3): forcing the partitioned customer-join path (threshold 0)
+        must produce exactly the broadcast path's result."""
+        broadcast = _canon(relational.revenue_by_nation(SF))
+        joined = _canon(relational.revenue_by_nation(SF, broadcast_row_limit=0))
+        pd.testing.assert_frame_equal(joined, broadcast, check_exact=True)
+        want = _canon(_duck(relational.REVENUE_BY_NATION_SQL))
+        pd.testing.assert_frame_equal(joined, want, check_dtype=False)

@@ -831,3 +831,68 @@ class TestCrashRecovery:
         _recover_shard_leftovers(tier_dir)
         assert os.path.isdir(final) and not glob.glob(f"{tier_dir}/shard=*.old-*")
         store_stats(out)
+
+
+class TestKeyShardFallback:
+    """Round-3 review #2: the flagship's two remaining driver frames
+    (the scan fold's merged key state; downstream_fused's tier0_df)
+    must shard behind a key-count threshold — forced here on small
+    data, asserting BIT-identical tiers (per-key independence makes
+    the output invariant under any key partition)."""
+
+    def test_scan_key_shards_bit_identical(self, ray_session, monkeypatch):
+        from dtaidistance_ray.pipelines.flagship import bucketize
+        from dtaidistance_ray.stages import rollup_scan
+
+        spec = TokenTableSpec(num_rows=200, num_sources=5, max_len=24, ts_span=24 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 14400), dba_max_it=2)
+        ds = token_table(spec, override_num_blocks=8)
+        base = _canon(
+            rollup_scan.scan_rollup_base_tier(
+                bucketize(ds, cfg.tier_widths[0], spec), cfg
+            ).to_pandas()
+        )
+        # key space here is ~5 sources x 24 hours; threshold 20 forces
+        # ceil(upper_bound/20) >= 4 shards
+        monkeypatch.setattr(rollup_scan, "_MAX_DRIVER_KEYS", 20)
+        ds2 = token_table(spec, override_num_blocks=8)
+        got = _canon(
+            rollup_scan.scan_rollup_base_tier(
+                bucketize(ds2, cfg.tier_widths[0], spec), cfg
+            ).to_pandas()
+        )
+        assert rollup_scan.LAST_TIMINGS.get("key_shards", 1) >= 4
+        assert len(got) == len(base)
+        for col in ("source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+            assert (got[col].to_numpy() == base[col].to_numpy()).all(), col
+        for a, b in zip(got["repr_series"], base["repr_series"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fused_exchange_bit_identical(self, ray_session, monkeypatch):
+        from dtaidistance_ray.pipelines.flagship import (
+            _downstream_fused_exchange,
+            build_tiers,
+            downstream_fused,
+        )
+
+        spec = TokenTableSpec(num_rows=150, num_sources=4, max_len=32, ts_span=12 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 7200), dba_max_it=2)
+        tiers = build_tiers(token_table(spec), spec, cfg)
+
+        def canon(df):
+            df = df.copy()
+            df["repr_series"] = df["repr_series"].map(
+                lambda v: tuple(np.asarray(v, dtype=np.float64))
+            )
+            df["repr_gorilla"] = df["repr_gorilla"].map(bytes)
+            return df.sort_values(
+                ["tier", "source", "bucket"], kind="mergesort"
+            ).reset_index(drop=True)
+
+        want = canon(downstream_fused(tiers[0], cfg).to_pandas())
+        got = canon(_downstream_fused_exchange(tiers[0], cfg).to_pandas())
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+        # and the dispatcher itself switches on the threshold
+        monkeypatch.setenv("DTAIR_MAX_DRIVER_KEYS", "1")
+        got2 = canon(downstream_fused(tiers[0], cfg).to_pandas())
+        pd.testing.assert_frame_equal(got2[want.columns], want, check_dtype=False)

@@ -461,7 +461,7 @@ class TestEventsWindowedOps:
         )
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                        str(tmp_path / "events.parquet"))
-        out = rolling_hourly_avg(str(tmp_path), window_h=2).to_pandas()
+        out = rolling_hourly_avg(str(tmp_path), window_h=2)
         out = out.sort_values("bucket").reset_index(drop=True)
         # grid: 00 (2 events), 01 (1), 02 (0 gap-filled), 03 (1)
         assert list(out["n_events"]) == [2, 1, 0, 1]
@@ -680,7 +680,6 @@ class TestHourlyAnomalies:
         sf = "/root/testdata/sf0.001"
         got = (
             E.queries()["events_hourly_anomalies"](sf)
-            .to_pandas()
             .sort_values(["event_type", "bucket"])
             .reset_index(drop=True)
         )
@@ -816,7 +815,7 @@ class TestMatrixProfile:
         # data just assert r2 in [0, 1] and slope finite
         from dtaidistance_ray.stages.events import hourly_trend
 
-        got = hourly_trend("/root/testdata/sf0.001").to_pandas()
+        got = hourly_trend("/root/testdata/sf0.001")
         assert len(got) > 0
         assert got["r2"].between(0, 1).all()
         assert np.isfinite(got["slope"]).all()
