@@ -21,6 +21,27 @@ def read_embeddings(sf_dir: str, columns=None):
 
 
 def _stack(batch_col) -> np.ndarray:
+    """(B, dim) float64 matrix from an embedding column.
+
+    Arrow input (ChunkedArray / ListArray of float) takes the ZERO-COPY
+    path: one flat buffer view + reshape, no per-row Python objects —
+    use batch_format="pyarrow" in every embedding stage. The pandas
+    row-loop fallback remains only for driver-side odds and ends."""
+    if isinstance(batch_col, pa.ChunkedArray):
+        batch_col = batch_col.combine_chunks()
+    if isinstance(batch_col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        arr = batch_col
+        if isinstance(arr, pa.FixedSizeListArray):
+            dim = arr.type.list_size
+            flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            return flat.reshape(len(arr), dim)
+        offs = arr.offsets.to_numpy()
+        widths = np.diff(offs)
+        dim = int(widths[0]) if len(widths) else 0
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        if len(widths) and (widths == dim).all() and offs[0] == 0:
+            return flat[: len(arr) * dim].reshape(len(arr), dim)
+        return np.stack([flat[o:e] for o, e in zip(offs[:-1], offs[1:])])
     return np.stack([np.asarray(v, dtype=np.float64) for v in batch_col])
 
 
@@ -34,19 +55,19 @@ class CosineScorer:
         q = ray.get(query_ref)  # (nq, dim) float64
         self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _stack(batch["embedding"])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _stack(batch["embedding"])  # zero-copy Arrow list -> matrix
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (m / norms) @ self.q.T  # (batch, nq)
-        out = pd.DataFrame(
+        n = batch.num_rows
+        return pa.table(
             {
                 "vec_id": np.repeat(batch["vec_id"].to_numpy(), self.q.shape[0]),
-                "query_id": np.tile(np.arange(self.q.shape[0]), len(batch)),
+                "query_id": np.tile(np.arange(self.q.shape[0]), n),
                 "cos_sim": np.round(sims.ravel(), 6),
             }
         )
-        return out
 
 
 def ann_topk(sf_dir: str, k: int = 10):
@@ -65,7 +86,7 @@ def ann_topk(sf_dir: str, k: int = 10):
     qref = ray.put(q)
     scored = ds.map_batches(
         CosineScorer, fn_constructor_kwargs={"query_ref": qref},
-        batch_format="pandas", concurrency=auto_pool(),
+        batch_format="pyarrow", concurrency=auto_pool(),
     ).drop_columns(["query_id"])
 
     def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:
@@ -92,31 +113,40 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 def label_centroids(sf_dir: str):
     """Per-label mean vector in long format (label, pos, mean_val) —
     partial sums per batch, tiny groupby of partials (combiner pattern)."""
-    from ray.data.aggregate import Sum
+    from .events import merge_partials
 
     ds = read_embeddings(sf_dir, columns=["label", "embedding"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for label, g in batch.groupby("label"):
-            m = _stack(g["embedding"])
-            sums = m.sum(axis=0)
-            for pos in range(m.shape[1]):
-                out.append((int(label), pos + 1, sums[pos], len(g)))
-        return pd.DataFrame(out, columns=["label", "pos", "val_sum", "n"])
+    def partial(batch: pa.Table) -> pa.Table:
+        # vectorized per-label vector sums: zero-copy matrix, one sort,
+        # row-wise reduceat (no per-label or per-pos Python loops)
+        m = _stack(batch["embedding"])
+        labels = batch["label"].to_numpy()
+        order = np.argsort(labels, kind="stable")
+        sl = labels[order]
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        ul = sl[starts]
+        sums = np.add.reduceat(m[order], starts, axis=0)
+        n = np.diff(np.r_[starts, len(sl)])
+        dim = m.shape[1]
+        return pa.table(
+            {
+                "label": np.repeat(ul.astype(np.int64), dim),
+                "pos": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(ul)),
+                "val_sum": sums.ravel(),
+                "n": np.repeat(n.astype(np.int64), dim),
+            }
+        )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["label", "pos"])
-        .aggregate(Sum("val_sum", alias_name="val_sum"), Sum("n", alias_name="n"))
+    # (label x pos) is bounded: fan-in tree merge, no all-to-all
+    agg = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "pos"],
+        {"val_sum": "sum", "n": "sum"},
     )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["mean_val"] = (batch["val_sum"] / batch["n"]).round(6)
-        batch["pos"] = batch["pos"].astype("int64")
-        return batch[["label", "pos", "mean_val"]]
-
-    return agg.map_batches(finish, batch_format="pandas")
+    agg["mean_val"] = (agg["val_sum"] / agg["n"]).round(6)
+    agg["pos"] = agg["pos"].astype("int64")
+    return agg[["label", "pos", "mean_val"]]
 
 
 LABEL_CENTROIDS_SQL = """
@@ -139,13 +169,13 @@ def znormal_embeddings(sf_dir: str):
     reference preprocessing.znormal uses np.std)."""
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
 
-    def zn(batch: pd.DataFrame) -> pd.DataFrame:
-        m = _stack(batch["embedding"])  # (n, dim)
+    def zn(batch: pa.Table) -> pa.Table:
+        m = _stack(batch["embedding"])  # (n, dim) zero-copy
         mu = m.mean(axis=1, keepdims=True)
         sd = m.std(axis=1, keepdims=True)
         z = np.where(sd > 0, (m - mu) / np.where(sd > 0, sd, 1.0), m - mu)
         n, dim = m.shape
-        return pd.DataFrame(
+        return pa.table(
             {
                 "vec_id": np.repeat(batch["vec_id"].to_numpy().astype(np.int64), dim),
                 "pos": np.tile(np.arange(1, dim + 1, dtype=np.int64), n),
@@ -153,7 +183,7 @@ def znormal_embeddings(sf_dir: str):
             }
         )
 
-    return ds.map_batches(zn, batch_format="pandas")
+    return ds.map_batches(zn, batch_format="pyarrow")
 
 
 ZNORMAL_SQL = """
@@ -209,28 +239,22 @@ class IvfScorer:
         self.probe = probe_lists
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _stack(batch["embedding"])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _stack(batch["embedding"])  # zero-copy Arrow list -> matrix
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
         assign = np.argmax(mn @ self.cent.T, axis=1)
         keep = np.isin(assign, self.probe)
         if not keep.any():
-            return pd.DataFrame(
-                {"vec_id": pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")}
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())}
             )
         sims = np.round(mn[keep] @ self.q, 6)
-        out = pd.DataFrame(
-            {
-                "vec_id": batch["vec_id"].to_numpy().astype(np.int64)[keep],
-                "cos_sim": sims,
-            }
-        )
+        ids = batch["vec_id"].to_numpy().astype(np.int64)[keep]
         # per-block pre-top-k: only k survivors per batch reach the sort
-        return out.sort_values(
-            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(self.k)
+        order = np.lexsort((ids, -sims))[: self.k]
+        return pa.table({"vec_id": ids[order], "cos_sim": sims[order]})
 
 
 def ivf_topk(sf_dir: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
@@ -257,7 +281,7 @@ def ivf_topk(sf_dir: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
 
     scored = ds.map_batches(
         IvfScorer, fn_constructor_kwargs={"state_ref": state_ref, "k": k},
-        batch_format="pandas", concurrency=auto_pool(),
+        batch_format="pyarrow", concurrency=auto_pool(),
     )
     return scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
@@ -277,18 +301,20 @@ class LshBander:
         self.bands = bands
         self.bpb = bits_per_band
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _stack(batch["embedding"])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _stack(batch["embedding"])  # zero-copy Arrow list -> matrix
         n = len(m)
         bits = ((m @ self.planes) > 0).reshape(n, self.bands, self.bpb)
         sig = (bits * (1 << np.arange(self.bpb))).sum(axis=2).astype(np.int64)
         ids = batch["vec_id"].to_numpy().astype(np.int64)
-        return pd.DataFrame(
+        emb = batch["embedding"].combine_chunks()
+        rep = emb.take(pa.array(np.tile(np.arange(n, dtype=np.int64), self.bands)))
+        return pa.table(
             {
                 "band": np.repeat(np.arange(self.bands, dtype=np.int64), n),
                 "bucket": sig.T.reshape(-1),
                 "vec_id": np.tile(ids, self.bands),
-                "embedding": list(batch["embedding"]) * self.bands,
+                "embedding": rep,
             }
         )
 
@@ -403,7 +429,7 @@ def embedding_near_dup_pairs(
     banded = ds.map_batches(
         LshBander,
         fn_constructor_kwargs={"dim": dim, "bands": bands, "bits_per_band": bits_per_band},
-        batch_format="pandas", concurrency=auto_pool(),
+        batch_format="pyarrow", concurrency=auto_pool(),
     )
     pairs = banded.groupby(["band", "bucket"]).map_groups(
         _score_group_fn(threshold, cap), batch_format="pandas"
@@ -573,8 +599,8 @@ class PqScorer:
 
         self.bounds, self.books, self.tables = ray.get(model_ref)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(e, dtype=np.float64) for e in batch["embedding"]])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _stack(batch["embedding"])  # zero-copy Arrow list -> matrix
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         m = m / norms
@@ -584,9 +610,9 @@ class PqScorer:
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
             codes = np.argmin(d2, axis=1)
             dist += self.tables[j][codes]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "vec_id": batch["vec_id"].astype("int64"),
+                "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
                 "approx_dist": np.round(dist, 6),
             }
         )
@@ -619,7 +645,7 @@ def pq_topk(sf_dir: str, k: int = 10, m_sub: int = 32, codebook_k: int = 64,
     model_ref = ray.put((bounds, books, tables))
     scored = ds.map_batches(
         PqScorer, fn_constructor_args=(model_ref,),
-        batch_format="pandas", concurrency=auto_pool(),
+        batch_format="pyarrow", concurrency=auto_pool(),
     )
 
     def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:

@@ -106,6 +106,44 @@ def _hourly_partial(b: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _grouped_reduceat(key: np.ndarray):
+    """Sort-based group boundaries for exact reduceat folds: returns
+    (order, starts, uniq_positions) so callers can reduce any column
+    with np.<op>.reduceat(col[order], starts) — int64 sums stay int64
+    (np.bincount's float64 weights path would round above 2^53)."""
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    return order, starts, sk[starts]
+
+
+def _hourly_partial_arrow(b: pa.Table) -> pa.Table:
+    """Arrow-native combiner for the hourly rollup: zero-copy numpy
+    views of the three pruned columns, event_type grouped via its
+    DICTIONARY CODES (never materializing Python strings — the whole
+    point of skipping the pandas conversion), one stable sort + exact
+    reduceat folds per batch. Same output schema as _hourly_partial."""
+    et = pc.dictionary_encode(b["event_type"]).combine_chunks()
+    codes = et.indices.to_numpy().astype(np.int64)
+    names = et.dictionary
+    buck = b["bucket"].combine_chunks().to_numpy()  # datetime64, zero-copy
+    val = b["value"].to_numpy(zero_copy_only=False)
+    cents = np.round(val * 100).astype(np.int64)
+    ub, binv = np.unique(buck, return_inverse=True)
+    key = codes * len(ub) + binv
+    order, starts, uk = _grouped_reduceat(key)
+    return pa.table(
+        {
+            "event_type": names.take(pa.array(uk // len(ub))),
+            "bucket": pa.array(ub[uk % len(ub)]),
+            "n_events": np.diff(np.r_[starts, len(key)]).astype(np.int64),
+            "cents": np.add.reduceat(cents[order], starts),
+            "value_min": np.minimum.reduceat(val[order], starts),
+            "value_max": np.maximum.reduceat(val[order], starts),
+        }
+    )
+
+
 def _hourly_partials_df(sf_dir: str) -> pd.DataFrame:
     """Combiner pattern: per-batch partial aggregates inside map_batches
     (#groups x #blocks tiny partial rows), merged by the size-aware
@@ -115,10 +153,9 @@ def _hourly_partials_df(sf_dir: str) -> pd.DataFrame:
     Exact (integer cent sums, min/max) under any partitioning; the
     driver holds at most fan_in x key-space rows."""
     ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
-    ds = ds.map_batches(_add_hour, batch_format="pyarrow").map_batches(
-        _add_cents, batch_format="pandas"
+    parts = ds.map_batches(_add_hour, batch_format="pyarrow").map_batches(
+        _hourly_partial_arrow, batch_format="pyarrow"
     )
-    parts = ds.map_batches(_hourly_partial, batch_format="pandas")
     return merge_partials(
         parts,
         ["event_type", "bucket"],
@@ -187,13 +224,24 @@ def rollup_hourly_gapfill(sf_dir: str):
     ds = read_events(sf_dir, columns=["ts", "event_type"])
     ds = ds.map_batches(_add_hour, batch_format="pyarrow")
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby(["event_type", "bucket"], as_index=False).agg(
-            n_events=("bucket", "size")
+    def partial(b: pa.Table) -> pa.Table:
+        # Arrow-native count combiner (dictionary codes, no strings)
+        et = pc.dictionary_encode(b["event_type"]).combine_chunks()
+        codes = et.indices.to_numpy().astype(np.int64)
+        buck = b["bucket"].combine_chunks().to_numpy()
+        ub, binv = np.unique(buck, return_inverse=True)
+        key = codes * len(ub) + binv
+        _, starts, uk = _grouped_reduceat(key)
+        return pa.table(
+            {
+                "event_type": et.dictionary.take(pa.array(uk // len(ub))),
+                "bucket": pa.array(ub[uk % len(ub)]),
+                "n_events": np.diff(np.r_[starts, len(key)]).astype(np.int64),
+            }
         )
 
     hourly = merge_partials(
-        ds.map_batches(partial, batch_format="pandas"),
+        ds.map_batches(partial, batch_format="pyarrow"),
         ["event_type", "bucket"],
         {"n_events": "sum"},
     )

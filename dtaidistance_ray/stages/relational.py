@@ -30,25 +30,33 @@ def lineitem_pricing_summary(sf_dir: str):
         ],
     )
 
-    def derive(batch: pd.DataFrame) -> pd.DataFrame:
-        qty_c = np.round(batch["l_quantity"].to_numpy() * 100).astype(np.int64)
-        ep_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
-        out = batch[["l_returnflag", "l_linestatus"]].copy()
-        out["qty_c"] = qty_c
-        out["ep_c"] = ep_c
-        out["disc_c"] = disc_c
-        out["disc_price_c"] = ep_c * (100 - disc_c)  # basis points (1e-4)
-        return out
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native combiner: flag columns grouped via dictionary
+        # codes (no Python strings), money in exact scaled int64, one
+        # stable sort + reduceat folds (events._grouped_reduceat)
+        from .events import _grouped_reduceat
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = derive(batch)
-        return batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            qty_c=("qty_c", "sum"),
-            ep_c=("ep_c", "sum"),
-            disc_price_c=("disc_price_c", "sum"),
-            disc_c=("disc_c", "sum"),
-            count_order=("qty_c", "size"),
+        rf = pc.dictionary_encode(batch["l_returnflag"]).combine_chunks()
+        ls = pc.dictionary_encode(batch["l_linestatus"]).combine_chunks()
+        rfc = rf.indices.to_numpy().astype(np.int64)
+        lsc = ls.indices.to_numpy().astype(np.int64)
+        nls = len(ls.dictionary)
+        qty_c = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        ep_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        dp_c = ep_c * (100 - disc_c)  # basis points (1e-4)
+        key = rfc * nls + lsc
+        order, starts, uk = _grouped_reduceat(key)
+        return pa.table(
+            {
+                "l_returnflag": rf.dictionary.take(pa.array(uk // nls)),
+                "l_linestatus": ls.dictionary.take(pa.array(uk % nls)),
+                "qty_c": np.add.reduceat(qty_c[order], starts),
+                "ep_c": np.add.reduceat(ep_c[order], starts),
+                "disc_price_c": np.add.reduceat(dp_c[order], starts),
+                "disc_c": np.add.reduceat(disc_c[order], starts),
+                "count_order": np.diff(np.r_[starts, len(key)]).astype(np.int64),
+            }
         )
 
     # combiner: per-batch partials merged by the bounded-key fan-in
@@ -57,7 +65,7 @@ def lineitem_pricing_summary(sf_dir: str):
     from .events import merge_partials
 
     out = merge_partials(
-        ds.map_batches(partial, batch_format="pandas"),
+        ds.map_batches(partial, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"],
         {
             "qty_c": "sum",
