@@ -685,6 +685,64 @@ def _q_tokens_incremental_refresh(sf_dir: str):
     return refreshed.map_batches(project, batch_format="pandas")
 
 
+def _q_tokens_late_arrival_refresh(sf_dir: str):
+    """Watermark / late-arrival re-rollup (the out-of-order companion
+    to tokens_incremental_refresh): 1/16 of documents (numeric doc-id
+    suffix % 16 == 7 — deterministic, arrival order independent of ts)
+    arrive LATE, i.e. after the watermark (the on-time subset's max ts)
+    but with timestamps scattered across the WHOLE history. Each late
+    row dirties its (source, hour) bucket; refresh_tier0 recomputes
+    exactly those groups from the combined input and passes every clean
+    group through byte-identical — nothing rescans clean history. The
+    oracle is the plain full-table tier-0 aggregate: a correct
+    late-arrival refresh is indistinguishable from a full rerun.
+
+    Scale shape: the dirty-key set is bounded by the delta's key-space
+    and broadcast once; at 100 TB a late trickle dirties a vanishing
+    fraction of groups and the recompute scan reads only those rows
+    (asserted sparse in tests/test_rollup.py)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from dtaidistance_ray.pipelines.refresh import refresh_tier0
+    from dtaidistance_ray.stages.rollup import RollupConfig, bucketize
+    from dtaidistance_ray.stages.rollup_scan import scan_rollup_base_tier
+
+    path = _ensure_token_parquet(sf_dir)
+    cfg = RollupConfig()
+    comb = rd.read_parquet(path)
+
+    def _is_late(batch):
+        import numpy as np
+
+        n = _pc.cast(
+            _pc.utf8_slice_codeunits(batch["doc_id"], 1, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.array(n % 16 == 7)
+
+    def on_time(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.invert(_is_late(batch)))
+
+    def late(batch: pa.Table) -> pa.Table:
+        return batch.filter(_is_late(batch))
+
+    old = rd.read_parquet(path).map_batches(on_time, batch_format="pyarrow")
+    delta = rd.read_parquet(path).map_batches(late, batch_format="pyarrow")
+    existing = scan_rollup_base_tier(bucketize(old, cfg.tier_widths[0], None), cfg)
+    refreshed, _dk = refresh_tier0(existing, comb, delta, cfg, None)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]].copy()
+        for c in ("bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+            out[c] = out[c].astype("int64")
+        out["agg_token_mean"] = batch["agg_token_mean"]
+        return out
+
+    return refreshed.map_batches(project, batch_format="pandas")
+
+
 def _q_tokens_source_coactivity(sf_dir: str):
     """Cross-source co-activity: Pearson correlation between every
     pair of sources' hourly ingest-count series over the GLOBAL hour
@@ -2245,6 +2303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_downsample_fidelity": _q_tokens_downsample_fidelity,
         "tokens_source_skew": _q_tokens_source_skew,
         "tokens_incremental_refresh": _q_tokens_incremental_refresh,
+        "tokens_late_arrival_refresh": _q_tokens_late_arrival_refresh,
         "tokens_source_coactivity": _q_tokens_source_coactivity,
         "tokens_source_mix_shift": _q_tokens_source_mix_shift,
         "tokens_source_availability": _q_tokens_source_availability,
@@ -2381,6 +2440,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_downsample_fidelity": _sql_tokens_downsample_fidelity(sf),
         "tokens_source_skew": _sql_tokens_source_skew(sf),
         "tokens_incremental_refresh": _sql_tokens_rollup_tier0(sf),
+        "tokens_late_arrival_refresh": _sql_tokens_rollup_tier0(sf),
         "tokens_source_coactivity": _sql_tokens_source_coactivity(sf),
         "tokens_source_mix_shift": _sql_tokens_source_mix_shift(sf),
         "tokens_source_availability": _sql_tokens_source_availability(sf),

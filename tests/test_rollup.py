@@ -896,3 +896,52 @@ class TestKeyShardFallback:
         monkeypatch.setenv("DTAIR_MAX_DRIVER_KEYS", "1")
         got2 = canon(downstream_fused(tiers[0], cfg).to_pandas())
         pd.testing.assert_frame_equal(got2[want.columns], want, check_dtype=False)
+
+
+class TestLateArrivalRefresh:
+    def test_out_of_order_dirty_sparse_and_bit_equal(self, ray_session):
+        """Watermark semantics: late-arriving docs (arrival independent
+        of ts) dirty only their own (source, hour) groups — scattered
+        BELOW the watermark — and the refreshed tier equals a full
+        rerun bit-for-bit while the dirty set stays sparse."""
+        import ray.data as rd
+
+        import __ray_entry__ as E
+        from dtaidistance_ray.pipelines.refresh import dirty_keys, refresh_tier0
+        from dtaidistance_ray.stages.rollup import bucketize
+        from dtaidistance_ray.stages.rollup_scan import scan_rollup_base_tier
+
+        sf = "/root/testdata/sf0.001"
+        path = E._ensure_token_parquet(sf)
+        cfg = RollupConfig()
+        comb = rd.read_parquet(path)
+        full = _canon(
+            scan_rollup_base_tier(bucketize(comb, cfg.tier_widths[0], None), cfg).to_pandas()
+        )
+
+        got = (
+            E.queries()["tokens_late_arrival_refresh"](sf)
+            .to_pandas()
+            .sort_values(["source", "bucket"])
+            .reset_index(drop=True)
+        )
+        want = full[got.columns].sort_values(["source", "bucket"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+
+        # dirty set: sparse, and genuinely out-of-order (buckets below
+        # the on-time watermark get re-rolled)
+        import pyarrow as pa
+        import pyarrow.compute as pc_
+
+        def late_filter(b):
+            n = pc_.cast(
+                pc_.utf8_slice_codeunits(b["doc_id"], 1, 99), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(n % 16 == 7))
+
+        delta = rd.read_parquet(path).map_batches(late_filter, batch_format="pyarrow")
+        dk = dirty_keys(delta, cfg, None)
+        total_groups = len(full)
+        assert 0 < len(dk) < total_groups // 2  # sparse
+        watermark_bucket = int(full["bucket"].max())
+        assert (dk["bucket"] < watermark_bucket).any()  # below the watermark
