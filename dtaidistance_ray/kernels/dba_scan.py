@@ -154,6 +154,117 @@ def _traceback_compact(
     return np.concatenate(out_k), np.concatenate(out_i), np.concatenate(out_j)
 
 
+def _dp_choices_prefix(
+    C: np.ndarray,
+    c_lens: np.ndarray,
+    S: np.ndarray,
+    s_lens: np.ndarray,
+    window: int,
+    penalty: float,
+) -> Tuple[np.ndarray, int]:
+    """Band-compacted batched DP with a SHRINKING ACTIVE PREFIX.
+
+    Same recurrence/choice semantics as _dp_choices_compact, but the
+    members must arrive sorted by center length DESCENDING: at DP row i
+    only the prefix of members with c_len > i is touched, so short
+    centers stop paying row work the moment their rows are done. This
+    lets the caller co-batch members of very different center lengths
+    in ONE call (large B amortizes the per-row numpy dispatch floor that
+    dominated the old (R-class x M-class) bucketing at per-task batch
+    sizes), with zero waste rows. All per-row gathers and masks run
+    through preallocated buffers + flat np.take(out=) — the per-row
+    allocations of the original (take_along_axis index matrices, gather
+    results, masks) were measured at ~40% of kernel time at B~74.
+
+    Per-member DP values are independent of batch composition, so the
+    choice matrix (and traceback) is bit-identical to
+    _dp_choices_compact for every member."""
+    B, R = C.shape
+    M = S.shape[1]
+    d_rs = np.maximum(0, c_lens - s_lens)
+    d_sr = np.maximum(0, s_lens - c_lens)
+    W = _band_width(s_lens, d_rs, d_sr, window)
+    # active prefix per row: members with c_len > i (c_lens sorted desc)
+    act = np.searchsorted(-c_lens, -np.arange(1, R + 1), side="right")
+    choice = np.empty((B, R + 1, W + 2), dtype=np.int8)
+    Fprev = np.full((B, W + 2), INF)
+    Fcur = np.empty((B, W + 2))
+    Fprev[:, 0] = 0.0
+    tq = np.arange(W + 1)
+    qW = np.arange(W)
+    js_prev = np.zeros(B, dtype=np.int64)
+    rowoff_F = np.arange(B, dtype=np.int64) * (W + 2)
+    rowoff_S = np.arange(B, dtype=np.int64) * M
+    # preallocated per-row workspaces (flat-take gathers: no per-row allocs)
+    idxG = np.empty((B, W + 1), dtype=np.int64)
+    Gbuf = np.empty((B, W + 1))
+    colb = np.empty((B, W), dtype=np.int64)
+    Sgb = np.empty((B, W))
+    inv = np.empty((B, W), dtype=bool)
+    t_cost = np.empty((B, W))
+    t_e = np.empty((B, W))
+    t_acc = np.empty((B, W))
+    t_f = np.empty((B, W))
+    t_ch = np.empty((B, W), dtype=np.int8)
+    S_flat = S.reshape(-1)
+    for i in range(R):
+        n = int(act[i])
+        if n == 0:
+            break
+        js = np.maximum(0, i - d_rs[:n] - window + 1)
+        je = np.minimum(s_lens[:n], i + d_sr[:n] + window)
+        width = np.maximum(je - js, 0)
+        delta = js - js_prev[:n]
+        ig = idxG[:n]
+        np.add(tq[None, :], delta[:, None], out=ig)
+        ig += rowoff_F[:n, None]
+        G = Gbuf[:n]
+        np.take(Fprev.reshape(-1), ig, out=G)
+        diag = G[:, :W]
+        up_nop = G[:, 1 : W + 1]
+        cb = colb[:n]
+        np.add(js[:, None], qW[None, :], out=cb)
+        np.minimum(cb, M - 1, out=cb)
+        cb += rowoff_S[:n, None]
+        Sg = Sgb[:n]
+        np.take(S_flat, cb, out=Sg)
+        cost = t_cost[:n]
+        np.subtract(Sg, C[:n, i][:, None], out=cost)
+        np.multiply(cost, cost, out=cost)
+        e = t_e[:n]
+        if penalty:
+            np.add(up_nop, penalty, out=e)
+            np.minimum(diag, e, out=e)
+        else:
+            np.minimum(diag, up_nop, out=e)
+        np.add(e, cost, out=e)
+        iv = inv[:n]
+        np.greater_equal(qW[None, :], width[:, None], out=iv)
+        np.copyto(e, INF, where=iv)
+        acc = t_acc[:n]
+        if penalty:
+            np.add(cost, penalty, out=cost)
+        np.cumsum(cost, axis=1, out=acc)
+        f = t_f[:n]
+        np.subtract(e, acc, out=f)
+        np.minimum.accumulate(f, axis=1, out=f)
+        np.add(f, acc, out=f)
+        np.copyto(f, INF, where=iv)
+        Fcur[:n, 0] = INF
+        Fcur[:n, 1 : W + 1] = f
+        Fcur[:n, W + 1] = INF
+        ch = t_ch[:n]
+        np.less(up_nop, diag, out=ch, casting="unsafe")
+        np.minimum(diag, up_nop, out=acc)
+        lt = inv[:n, : W - 1]
+        np.less(f[:, :-1], acc[:, 1:], out=lt)
+        np.copyto(ch[:, 1:], np.int8(2), where=lt)
+        choice[:n, i + 1, 1 : W + 1] = ch
+        Fprev, Fcur = Fcur, Fprev
+        js_prev[:n] = js
+    return choice, W
+
+
 def _dp_choices(
     C: np.ndarray,
     c_lens: np.ndarray,
@@ -281,17 +392,97 @@ def _batched_traceback(
     return np.concatenate(out_k), np.concatenate(out_i), np.concatenate(out_j)
 
 
+def _sweep_width_plan(
+    group_keys,
+    seqs,
+    centers,
+    window: int,
+    penalty: float,
+    idx,
+    offsets: np.ndarray,
+    group_slot: Dict,
+    big_sums: np.ndarray,
+    big_counts: np.ndarray,
+    total: int,
+) -> None:
+    """Width-bucketed batching for the shrinking-prefix DP.
+
+    The row-op width of the compact DP is the chunk's max band width W,
+    so members are bucketed by a 4/3 ladder on their OWN band width
+    (one wide member would otherwise widen every row of the chunk) and
+    sorted by center length descending inside the bucket — the
+    _dp_choices_prefix contract. That collapses the old
+    (center-class x member-class) cross-product (~40 chunks of B~74 at
+    per-task fragment sizes; per-row numpy dispatch dominated) into a
+    handful of big-B chunks with zero waste rows. Accumulation order
+    changes vs the class plan — callers assert order-free exactness
+    (integer member values)."""
+    ids = np.asarray(idx, dtype=np.int64)
+    c_len = np.array([len(centers[group_keys[k]]) for k in ids], dtype=np.int64)
+    s_len = np.array([len(seqs[k]) for k in ids], dtype=np.int64)
+    wid = np.minimum(s_len, np.abs(c_len - s_len) + 2 * window - 1)
+    # 4/3 ladder on band width
+    ladder = [8]
+    while ladder[-1] < int(wid.max()):
+        ladder.append((ladder[-1] * 4 + 2) // 3)
+    ladder_arr = np.array(ladder, dtype=np.int64)
+    wclass = ladder_arr[np.searchsorted(ladder_arr, wid, side="left")]
+    order = np.lexsort((-c_len, wclass))
+    wc_sorted = wclass[order]
+    cuts = np.flatnonzero(np.diff(wc_sorted)) + 1
+    for seg in np.split(order, cuts):
+        # seg: one width bucket, center length descending
+        pos = 0
+        nseg = len(seg)
+        while pos < nseg:
+            r_max = int(c_len[seg[pos]])
+            w_cap = int(wid[seg[pos:]].max())  # upper bound for budget calc
+            bmax = max(1, _CHOICE_BUDGET // ((r_max + 1) * (w_cap + 2)))
+            chunk = seg[pos : pos + bmax]
+            pos += len(chunk)
+            B = len(chunk)
+            M = int(s_len[chunk].max())
+            C = np.zeros((B, r_max), dtype=np.float64)
+            S = np.zeros((B, M), dtype=np.float64)
+            c_lens = c_len[chunk]
+            s_lens = s_len[chunk]
+            slot_off = np.empty(B, dtype=np.int64)
+            for b, p in enumerate(chunk):
+                k = int(ids[p])
+                g = group_keys[k]
+                c = centers[g]
+                x = seqs[k]
+                C[b, : len(c)] = c
+                S[b, : len(x)] = x
+                slot_off[b] = offsets[group_slot[g]]
+            choice, _W = _dp_choices_prefix(C, c_lens, S, s_lens, window, penalty)
+            fk, fi, fj = _traceback_compact(choice, c_lens, s_lens, window)
+            flat_idx = slot_off[fk] + fi
+            vals = S[fk, fj]
+            big_sums += np.bincount(flat_idx, weights=vals, minlength=total)
+            big_counts += np.bincount(flat_idx, minlength=total)
+
+
 def scan_dba_partials(
     group_keys: Sequence,
     seqs: List[np.ndarray],
     centers: Dict,
     settings: Optional[DTWSettings] = None,
+    order_free: bool = False,
 ) -> Dict:
     """Partial DBA accumulators for one batch fragment.
 
     group_keys[k] is the (hashable) group key of seqs[k]; centers maps
     key -> center array. Returns key -> (sums, counts). Only groups
-    present in ``centers`` are swept (inactive/converged groups skip)."""
+    present in ``centers`` are swept (inactive/converged groups skip).
+
+    order_free=True: the caller guarantees member values are exact in
+    any accumulation order (integer-valued tokens — tier-0 sweeps);
+    members are then co-batched by BAND WIDTH with the shrinking-prefix
+    DP (_dp_choices_prefix), which regroups the float additions into
+    bins (exact for integers, ULP-visible for float members like the
+    upper-tier promote, which keeps the default plan so committed
+    tier>=1 goldens stay bit-stable)."""
     s = settings or DTWSettings()
     window = s.window if s.window else None
     penalty = s.adj_penalty
@@ -333,11 +524,6 @@ def scan_dba_partials(
             n *= 4
         return n
 
-    classes: Dict[Tuple[int, int], List[int]] = {}
-    for k in idx:
-        r = size_class(len(centers[group_keys[k]]))
-        classes.setdefault((r, m_class(len(seqs[k]))), []).append(k)
-
     # flat accumulator layout: one big (sum, count) vector with a slot
     # range per group; integer member values make the bincount sums
     # exact in any order
@@ -351,6 +537,22 @@ def scan_dba_partials(
     big_counts = np.zeros(total, dtype=np.int64)
 
     use_compact = window is not None
+    if order_free and use_compact:
+        _sweep_width_plan(
+            group_keys, seqs, centers, window, penalty,
+            idx, offsets, group_slot, big_sums, big_counts, total,
+        )
+        for n, g in enumerate(group_list):
+            s_, c_ = out[g]
+            s_ += big_sums[offsets[n] : offsets[n + 1]]
+            c_ += big_counts[offsets[n] : offsets[n + 1]]
+        return out
+
+    classes: Dict[Tuple[int, int], List[int]] = {}
+    for k in idx:
+        r = size_class(len(centers[group_keys[k]]))
+        classes.setdefault((r, m_class(len(seqs[k]))), []).append(k)
+
     for (R, _mc), members in classes.items():
         M = max(len(seqs[k]) for k in members)
         per_member_bytes = (R + 1) * (M + 1)

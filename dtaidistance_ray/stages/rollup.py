@@ -191,7 +191,9 @@ def promote_frame(df: pd.DataFrame, ratio: int, cfg: RollupConfig) -> pd.DataFra
             nz = counts > 0
             avg[nz] = sums[nz] / counts[nz]
             final[k] = avg
-            diff = float(np.abs(avg - active[k]).sum()) / len(avg)
+            # zero-length center (group seeded by an empty-token row):
+            # nothing to update — treat as converged, keep it frozen
+            diff = float(np.abs(avg - active[k]).sum()) / len(avg) if len(avg) else 0.0
             if cfg.dba_thr is None or diff > cfg.dba_thr:
                 nxt[k] = avg
         active = nxt

@@ -227,7 +227,9 @@ def _make_sweep_fn(centers_ref, dtw: DTWSettings):
         pkeys, poffsets, pflat = packed
         keys, seqs = _batch_arrays(batch)
         t1 = _time.perf_counter()
-        parts = scan_dba_partials(keys, seqs, centers, dtw)
+        # order_free: member token values are integers, so the width-
+        # bucketed batching's regrouped bin additions are exact
+        parts = scan_dba_partials(keys, seqs, centers, dtw, order_free=True)
         t2 = _time.perf_counter()
         total = int(poffsets[-1])
         full_sums = np.zeros(total, dtype=np.float64)
@@ -296,7 +298,7 @@ _BLOCKS_PER_CPU = float(_os.environ.get("DTAIR_BLOCKS_PER_CPU", "0"))
 # are associative and exact (int64 counters, f64 sums of integer
 # member values), so the tree shape cannot change any result bit.
 _MERGE_FANIN = int(_os.environ.get("DTAIR_MERGE_FANIN", "16"))
-_MERGE_THRESHOLD_ROWS = int(_os.environ.get("DTAIR_MERGE_THRESHOLD", "64"))
+_MERGE_THRESHOLD_ROWS = int(_os.environ.get("DTAIR_MERGE_THRESHOLD", "8"))
 # Key-shard fallback: the per-round merged state is keys x center
 # floats on the driver. When the (source, bucket) key-space can exceed
 # _MAX_DRIVER_KEYS, the key space hash-partitions into shards and the
@@ -608,7 +610,7 @@ def _scan_rollup_single(ds, cfg: RollupConfig):
             avg[nz] = sums[nz] / counts[nz]  # empty bins -> 0.0 (C reference)
             final_centers[k] = avg
             prev = active[k]
-            diff = float(np.abs(avg - prev).sum()) / len(avg)
+            diff = float(np.abs(avg - prev).sum()) / len(avg) if len(avg) else 0.0
             if cfg.dba_thr is None or diff > cfg.dba_thr:
                 next_active[k] = avg
         active = next_active

@@ -210,6 +210,55 @@ class TestEmptyTokenRows:
         out = scan_dba_partials(keys, seqs, {("g", 0): np.zeros(0)}, DTWSettings())
         assert out[("g", 0)][0].shape == (0,)
 
+    def test_width_plan_bit_equal_and_edge_safe(self):
+        """order_free width-bucketed batching must be bit-identical to
+        the class plan for integer members, incl. empty members/centers
+        and extreme length mixes."""
+        from dtaidistance_ray.kernels.dba_scan import scan_dba_partials
+        from dtaidistance_ray import DTWSettings
+
+        rng = np.random.default_rng(0)
+        keys, seqs = [], []
+        for i in range(300):
+            keys.append(("s", i % 7))
+            n = [0, 1, 3, 8, 40, 256][i % 6]
+            seqs.append(rng.integers(0, 32000, n).astype(np.float64))
+        centers = {
+            ("s", b): rng.integers(0, 32000, [1, 5, 17, 250, 0, 64, 9][b]).astype(
+                np.float64
+            )
+            for b in range(7)
+        }
+        s = DTWSettings(window=16)
+        old = scan_dba_partials(keys, seqs, centers, s)
+        new = scan_dba_partials(keys, seqs, centers, s, order_free=True)
+        for k in old:
+            np.testing.assert_array_equal(old[k][0], new[k][0])
+            np.testing.assert_array_equal(old[k][1], new[k][1])
+
+    def test_promote_survives_empty_min_doc_center(self, ray_session, tmp_path):
+        """A group whose min-doc row has ZERO tokens seeds an empty
+        center; promotion must freeze it (diff 0/0 guard), not crash."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from dtaidistance_ray.pipelines.flagship import run_flagship
+        from dtaidistance_ray.sources.synth import token_table_arrow
+
+        spec = TokenTableSpec(num_rows=400, seed=7)
+        t = token_table_arrow(spec)
+        tok = t["tokens"].combine_chunks()
+        lists = tok.to_pylist()
+        for i in range(0, len(lists), 13):  # row 0 IS a min-doc
+            lists[i] = []
+        t = t.set_column(
+            t.schema.get_field_index("tokens"), "tokens", pa.array(lists, type=tok.type)
+        )
+        d = tmp_path / "zl"
+        d.mkdir()
+        pq.write_table(t, str(d / "part-0.parquet"))
+        m = run_flagship(spec, out_dir=None, input_path=str(d))
+        assert all(v["rows"] > 0 for v in m["tiers"].values())
+
 
 class TestFusedDownstream:
     def test_fused_rows_match_staged(self, ray_session):
