@@ -174,7 +174,10 @@ def _make_fused_per_shard(cfg: RollupConfig, ratios, r_cum):
         )
         frames = {0: sub}
         for t, ratio in enumerate(ratios, start=1):
-            frames[t] = promote_frame(frames[t - 1], ratio, cfg)
+            # order_free: the fused pass is already ULP-tolerant vs the
+            # staged path (shard composition reorders float additions);
+            # the width-plan batching stays inside that contract
+            frames[t] = promote_frame(frames[t - 1], ratio, cfg, order_free=True)
         outs = []
         for t, fr in frames.items():
             fr = encode_frame(gap_fill_frame(fr, glo // r_cum[t], ghi // r_cum[t], src))

@@ -149,12 +149,21 @@ def rollup_base_tier(bucketed_ds, cfg: RollupConfig):
     )
 
 
-def promote_frame(df: pd.DataFrame, ratio: int, cfg: RollupConfig) -> pd.DataFrame:
+def promote_frame(
+    df: pd.DataFrame, ratio: int, cfg: RollupConfig, order_free: bool = False
+) -> pd.DataFrame:
     """Promote one source's tier rows to the next tier: vectorized
     aggregate merge + co-batched DBA rounds over ALL groups at once
     (kernels.dba_scan), with per-group convergence freezing mirroring
     dba_loop. Deterministic given the input rows (canonical sort inside);
-    the single-process oracle calls this same function per source."""
+    the single-process oracle calls this same function per source.
+
+    order_free=True opts into the width-bucketed sweep batching, which
+    regroups FLOAT additions (members here are tier representatives):
+    results shift by ULPs vs the default plan. Only the fused
+    metrics/bench path (already documented as ULP-tolerant vs staged)
+    uses it; the staged/oracle path keeps the default plan so the
+    committed tier>=1 goldens stay bit-stable."""
     from ..kernels.dba_scan import scan_dba_partials
 
     df = df[~df["gap_filled"]].copy()
@@ -184,7 +193,7 @@ def promote_frame(df: pd.DataFrame, ratio: int, cfg: RollupConfig) -> pd.DataFra
     for _ in range(cfg.dba_max_it):
         if not active:
             break
-        parts = scan_dba_partials(keys, seqs, active, cfg.dtw)
+        parts = scan_dba_partials(keys, seqs, active, cfg.dtw, order_free=order_free)
         nxt: dict = {}
         for k, (sums, counts) in parts.items():
             avg = np.zeros_like(sums)

@@ -281,12 +281,28 @@ class TestFusedDownstream:
             df["repr_gorilla"] = df["repr_gorilla"].map(bytes)
             return df.sort_values(["source", "bucket"], kind="mergesort").reset_index(drop=True)
 
+        from dtaidistance_ray.codec.gorilla import gorilla_decode
+
         for t in (0, 1):
             staged = canon(encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t]).to_pandas())
             got = canon(fused[fused["tier"] == t].drop(columns=["tier"]))
-            pd.testing.assert_frame_equal(
-                got.reset_index(drop=True)[staged.columns], staged, check_dtype=False
-            )
+            got = got.reset_index(drop=True)[staged.columns]
+            if t == 0:
+                # tier 0 is bit-exact (integer sums are order-free)
+                pd.testing.assert_frame_equal(got, staged, check_dtype=False)
+                continue
+            # tier >= 1: repr values may differ by ULPs (float-summation
+            # order differs per shard composition AND per sweep batching
+            # plan); everything else is exact, and each row's payload
+            # must decode to ITS OWN repr bit-exactly
+            exact_cols = [c for c in staged.columns if c not in ("repr_series", "repr_gorilla")]
+            pd.testing.assert_frame_equal(got[exact_cols], staged[exact_cols], check_dtype=False)
+            for (_, a), (_, b) in zip(got.iterrows(), staged.iterrows()):
+                ra, rb = np.asarray(a["repr_series"]), np.asarray(b["repr_series"])
+                assert ra.shape == rb.shape
+                if len(ra):
+                    np.testing.assert_allclose(ra, rb, rtol=1e-12, atol=0)
+                    np.testing.assert_array_equal(gorilla_decode(a["repr_gorilla"]), ra)
 
     def test_run_flagship_metrics_path(self, ray_session):
         spec = TokenTableSpec(num_rows=120, num_sources=3, max_len=24, ts_span=6 * 3600)
