@@ -292,9 +292,11 @@ def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
     groupby-agg. Results are identical to the per-user formulation."""
     ds = read_events(sf_dir, columns=["ts", "user_id", "value"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["user_bucket"] = (batch["user_id"].to_numpy(np.int64)) % n_buckets
-        return batch
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # Arrow in/out: keeps the pre-shuffle blocks zero-copy Arrow
+        # (a pandas block would pickle through the groupby exchange)
+        ub = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % n_buckets
+        return batch.append_column("user_bucket", pa.array(ub, type=pa.int64()))
 
     def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
@@ -323,7 +325,7 @@ def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
         return out[["user_id", "n_sessions", "n_events", "value_sum"]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("user_bucket")
         .map_groups(sess_bucket, batch_format="pandas")
     )
