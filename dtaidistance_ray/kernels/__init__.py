@@ -7,13 +7,16 @@ reference library directly.
 
 from .elastic import (  # noqa: F401
     best_path,
+    best_path_prob,
     distance,
     lb_keogh,
+    srand,
     ub_euclidean,
     warp,
     warping_amount,
     warping_path,
     warping_path_penalty,
+    warping_path_prob,
     warping_paths,
 )
 from .dba import dba, dba_finalize, dba_loop, dba_merge, dba_partial  # noqa: F401

@@ -641,6 +641,121 @@ def warping_path(
     return path
 
 
+# Module-level generator for the probabilistic traceback, reseedable via
+# srand() — mirrors the reference's global srand()/rand() stream model
+# (dd_dtw.c:3734-3741 dtw_srand). The reference draws from libc rand(),
+# which is platform-defined; bit-stream parity with the C build is
+# therefore impossible BY DESIGN, so parity is semantic (valid monotone
+# paths with the documented step distribution), not bit-wise.
+_PROB_RNG = np.random.default_rng(1)
+
+
+def srand(seed: int) -> None:
+    """Seed the probabilistic-traceback RNG (reference dtw_cc.srand /
+    dd_dtw.c:3734 dtw_srand: seed 0 means time-based)."""
+    global _PROB_RNG
+    if seed == 0:
+        import time as _time
+
+        seed = int(_time.time())
+    _PROB_RNG = np.random.default_rng(seed)
+
+
+def best_path_prob(
+    paths: np.ndarray,
+    avg: float,
+    rng: Optional[np.random.Generator] = None,
+) -> List[Tuple[int, int]]:
+    """Sample a likely warping path from the accumulated-cost matrix.
+
+    Reference dd_dtw.c:3759-3920 dtw_best_path_prob, re-expressed over
+    the full (r+1)x(c+1) matrix (the C version walks its compact banded
+    storage; out-of-band cells are +inf here, which zeroes their step
+    weight exactly like the band boundary does in C). At each cell the
+    three predecessor steps get weight 1/(avg + min_diff - delta) where
+    delta = cell - predecessor and min_diff = max(delta, 0-clamped);
+    the step is drawn from the normalized cumulative with a draw on the
+    reference's 1/1000 grid (rand()%1000/1000). As avg -> 0+ the weight
+    of the argmin predecessor (delta == min_diff) dominates at 1/avg,
+    so the sample converges to the greedy best path.
+
+    ``paths`` must be the keep_int_repr matrix (inner/squared domain) —
+    the reference computes the prob matrix with keep_int_repr=true
+    (dd_dtw.c:3957). -1-masked psi cells are skipped in the output like
+    dtw_best_path_prob's `!= -1` gate.
+    """
+    if rng is None:
+        rng = _PROB_RNG
+    avg = float(avg)
+    if avg == 0.0:
+        avg = 1.0  # dd_dtw.c:3779 guard
+    i = int(paths.shape[0] - 1)
+    j = int(paths.shape[1] - 1)
+    if not np.isfinite(paths[i, j]):
+        return []  # infeasible alignment (band/max_dist pruned the end)
+    p: List[Tuple[int, int]] = []
+    while i > 0 and j > 0:
+        if paths[i, j] != -1:
+            p.append((i - 1, j - 1))
+        prev = paths[i, j]
+        with np.errstate(invalid="ignore"):
+            deltas = np.array(
+                [
+                    prev - paths[i - 1, j - 1],  # diagonal
+                    prev - paths[i, j - 1],  # left
+                    prev - paths[i - 1, j],  # up
+                ]
+            )
+        min_diff = max(float(np.max(deltas)), 0.0)
+        with np.errstate(divide="ignore"):
+            w = 1.0 / (avg + min_diff - deltas)  # inf predecessor -> weight 0
+        total = float(w.sum())
+        rnum = int(rng.integers(0, 1000)) / 1000.0
+        if total <= 0.0:  # all predecessors unreachable (cannot happen
+            i, j = i - 1, j - 1  # on a finite cell; defensive diagonal)
+            continue
+        c0 = float(w[0]) / total
+        c1 = float(w[0] + w[1]) / total
+        if rnum < c0:
+            i, j = i - 1, j - 1
+        elif rnum < c1:
+            j = j - 1
+        else:
+            i = i - 1
+    p.reverse()
+    return p
+
+
+def warping_path_prob(
+    s1,
+    s2,
+    avg: float,
+    settings: Optional[DTWSettings] = None,
+    include_distance: bool = False,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Sample a probabilistic warping path (reference dtw.py:1041-1049
+    warping_path_prob — C-only there, use_c=False raises; this is the
+    portable implementation). ``avg`` sets the temperature: the order of
+    magnitude of cost differences at which alternative steps become
+    likely (callers typically pass distance/len(series),
+    tests/test_warping.py:67).
+
+    include_distance returns the TRUE DTW distance (distance domain,
+    like warping_path); the reference's C wrapper returns -1 here
+    because it computes the matrix with return_dtw=false
+    (dd_dtw.c:3953-3960) — a documented artifact we do not copy.
+    """
+    d, paths = warping_paths(
+        s1, s2, settings=settings, keep_int_repr=True, psi_neg=True
+    )
+    path = best_path_prob(paths, avg, rng=rng)
+    if include_distance:
+        s = settings or DTWSettings()
+        return path, s.result(d) if np.isfinite(d) else d
+    return path
+
+
 def warping_path_penalty(s1, s2, penalty_post=0, settings: Optional[DTWSettings] = None):
     """Path distance with post-hoc penalty per compression/expansion
     (reference dtw.py:1064-1096)."""

@@ -158,3 +158,86 @@ class TestNdimDistanceMatrix:
         assert len(got) == 45
         for i, j, d in zip(got["i"], got["j"], got["d"]):
             assert abs(ref[int(i), int(j)] - d) < 1e-9
+
+
+class TestWarpingPathProb:
+    """warping_path_prob / best_path_prob / srand — the reference's
+    probabilistic traceback is C-only (dtw.py:1041 raises for
+    use_c=False) and dtw_cc is not built in this container, so parity
+    is semantic: the documented step-weight law and its limits
+    (dd_dtw.c:3759-3920), not the libc rand() bit stream."""
+
+    S1 = np.array([0.0, 0, 1, 2, 1, 0, 1, 0, 0, 2, 1, 0, 0])
+    S2 = np.array([0.0, 1, 2, 3, 1, 0, 0, 0, 2, 1, 0, 0, 0])
+
+    @staticmethod
+    def _assert_valid(path, l1, l2):
+        assert path[-1] == (l1 - 1, l2 - 1)
+        assert path[0][0] == 0 or path[0][1] == 0
+        for (a, b), (c, d) in zip(path, path[1:]):
+            assert (c - a, d - b) in {(1, 1), (0, 1), (1, 0)}
+
+    def test_paths_valid_and_seeded_reproducible(self):
+        from dtaidistance_ray.kernels import srand, warping_path_prob
+
+        d = distance(self.S1, self.S2)
+        avg = d / len(self.S1)
+        srand(42)
+        first = [warping_path_prob(self.S1, self.S2, avg) for _ in range(30)]
+        for p in first:
+            self._assert_valid(p, len(self.S1), len(self.S2))
+        # temperature avg > 0 explores: not every sample is the same path
+        assert len({tuple(p) for p in first}) >= 2
+        srand(42)
+        again = [warping_path_prob(self.S1, self.S2, avg) for _ in range(30)]
+        assert first == again
+
+    def test_avg_to_zero_converges_to_optimal_cost(self):
+        from dtaidistance_ray.kernels import warping_path_prob
+
+        d = distance(self.S1, self.S2)
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            # any tied-argmin traceback is optimal, so the path COST
+            # must equal d even where tie choices differ from best_path
+            p = warping_path_prob(self.S1, self.S2, 1e-12, rng=rng)
+            cost = sum((self.S1[i] - self.S2[j]) ** 2 for i, j in p)
+            assert cost == pytest.approx(d**2, abs=1e-9)
+
+    def test_include_distance_and_avg_zero_guard(self):
+        from dtaidistance_ray.kernels import warping_path_prob
+
+        d = distance(self.S1, self.S2)
+        p, dist = warping_path_prob(
+            self.S1, self.S2, 0.0, include_distance=True,
+            rng=np.random.default_rng(3),
+        )
+        # avg=0 -> 1.0 (dd_dtw.c:3779); distance is the TRUE dtw value
+        # (documented divergence: the C wrapper returns -1 here)
+        self._assert_valid(p, len(self.S1), len(self.S2))
+        assert dist == pytest.approx(d, abs=1e-12)
+
+    def test_psi_masked_cells_skipped(self):
+        from dtaidistance_ray.kernels import warping_path_prob
+
+        rng = np.random.default_rng(11)
+        p = warping_path_prob(
+            self.S1, self.S2, 0.05, settings=DTWSettings(psi=2), rng=rng
+        )
+        # psi relaxes the endpoints: the path may end before the last
+        # row/col but every step must still be monotone
+        assert p[0][0] == 0 or p[0][1] == 0
+        for (a, b), (c, d) in zip(p, p[1:]):
+            assert (c - a, d - b) in {(1, 1), (0, 1), (1, 0)}
+
+    def test_window_band_respected(self):
+        from dtaidistance_ray.kernels import warping_path_prob
+
+        rng = np.random.default_rng(13)
+        for _ in range(5):
+            p = warping_path_prob(
+                self.S1, self.S2, 0.5, settings=DTWSettings(window=2), rng=rng
+            )
+            self._assert_valid(p, len(self.S1), len(self.S2))
+            for i, j in p:
+                assert abs(i - j) <= 2  # out-of-band weight is exactly 0
