@@ -399,8 +399,7 @@ def _sweep_width_plan(
     window: int,
     penalty: float,
     idx,
-    offsets: np.ndarray,
-    group_slot: Dict,
+    slot_base: np.ndarray,
     big_sums: np.ndarray,
     big_counts: np.ndarray,
     total: int,
@@ -414,9 +413,13 @@ def _sweep_width_plan(
     _dp_choices_prefix contract. That collapses the old
     (center-class x member-class) cross-product (~40 chunks of B~74 at
     per-task fragment sizes; per-row numpy dispatch dominated) into a
-    handful of big-B chunks with zero waste rows. Accumulation order
-    changes vs the class plan — callers assert order-free exactness
-    (integer member values)."""
+    handful of big-B chunks with zero waste rows.
+
+    ``slot_base[n]`` is the flat accumulation offset of idx[n]'s bin 0
+    in (big_sums, big_counts): the GROUP's slot when the caller wants
+    direct group accumulation (order-free exact — integer members), or
+    idx[n]'s own PER-MEMBER slot when the caller needs the
+    batching-independent member-ordered fold (float members)."""
     ids = np.asarray(idx, dtype=np.int64)
     c_len = np.array([len(centers[group_keys[k]]) for k in ids], dtype=np.int64)
     s_len = np.array([len(seqs[k]) for k in ids], dtype=np.int64)
@@ -446,7 +449,7 @@ def _sweep_width_plan(
             S = np.zeros((B, M), dtype=np.float64)
             c_lens = c_len[chunk]
             s_lens = s_len[chunk]
-            slot_off = np.empty(B, dtype=np.int64)
+            slot_off = slot_base[chunk]
             for b, p in enumerate(chunk):
                 k = int(ids[p])
                 g = group_keys[k]
@@ -454,7 +457,6 @@ def _sweep_width_plan(
                 x = seqs[k]
                 C[b, : len(c)] = c
                 S[b, : len(x)] = x
-                slot_off[b] = offsets[group_slot[g]]
             choice, _W = _dp_choices_prefix(C, c_lens, S, s_lens, window, penalty)
             fk, fi, fj = _traceback_compact(choice, c_lens, s_lens, window)
             flat_idx = slot_off[fk] + fi
@@ -476,13 +478,22 @@ def scan_dba_partials(
     key -> center array. Returns key -> (sums, counts). Only groups
     present in ``centers`` are swept (inactive/converged groups skip).
 
-    order_free=True: the caller guarantees member values are exact in
-    any accumulation order (integer-valued tokens — tier-0 sweeps);
-    members are then co-batched by BAND WIDTH with the shrinking-prefix
-    DP (_dp_choices_prefix), which regroups the float additions into
-    bins (exact for integers, ULP-visible for float members like the
-    upper-tier promote, which keeps the default plan so committed
-    tier>=1 goldens stay bit-stable)."""
+    Both paths use the width-bucketed shrinking-prefix DP when a window
+    is set (per-member DP values and paths are independent of batch
+    composition — asserted bit-identical in tests/test_rollup.py); they
+    differ only in HOW path bins accumulate:
+
+    order_free=True — the caller guarantees member values are exact in
+    any accumulation order (integer-valued tokens — tier-0 sweeps):
+    bins accumulate straight into the group slots (cheapest).
+
+    order_free=False — float members (upper-tier promote over tier
+    representatives): each member's path bins accumulate into its OWN
+    slot first (bit-deterministic regardless of batching), then members
+    fold into their group in canonical idx order. Any two calls with
+    the same per-group member lists produce IDENTICAL bits, so the
+    staged, fused, exchange and single-process-oracle promotion paths
+    agree exactly whatever their task sharding."""
     s = settings or DTWSettings()
     window = s.window if s.window else None
     penalty = s.adj_penalty
@@ -538,15 +549,60 @@ def scan_dba_partials(
 
     use_compact = window is not None
     if order_free and use_compact:
+        ids = np.asarray(idx, dtype=np.int64)
+        slot_base = np.array(
+            [offsets[group_slot[group_keys[int(k)]]] for k in ids], dtype=np.int64
+        )
         _sweep_width_plan(
             group_keys, seqs, centers, window, penalty,
-            idx, offsets, group_slot, big_sums, big_counts, total,
+            idx, slot_base, big_sums, big_counts, total,
         )
         for n, g in enumerate(group_list):
             s_, c_ = out[g]
             s_ += big_sums[offsets[n] : offsets[n + 1]]
             c_ += big_counts[offsets[n] : offsets[n + 1]]
         return out
+
+    if use_compact:
+        # FLOAT members (upper-tier promote): accumulate each member's
+        # path bins into its OWN slot (bit-deterministic — a member's
+        # path and per-bin sums are independent of batch composition),
+        # then fold members into their group in canonical idx order.
+        # Result: identical bits under ANY batching/sharding plan, so
+        # the staged, fused, exchange and single-process-oracle paths
+        # all agree exactly (the old per-chunk group bincount made
+        # upper-tier reprs ULP-sensitive to shard composition). Memory:
+        # one f64+i64 vector per ACTIVE member (sum of its group's
+        # center lengths) — promotion calls are key-space sized.
+        ids = np.asarray(idx, dtype=np.int64)
+        mem_off = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(
+            [len(centers[group_keys[int(k)]]) for k in ids], out=mem_off[1:]
+        )
+        mem_total = int(mem_off[-1])
+        mem_sums = np.zeros(mem_total, dtype=np.float64)
+        mem_counts = np.zeros(mem_total, dtype=np.int64)
+        _sweep_width_plan(
+            group_keys, seqs, centers, window, penalty,
+            idx, mem_off[:-1], mem_sums, mem_counts, mem_total,
+        )
+        for n, k in enumerate(ids):  # ascending member order per group
+            s_, c_ = out[group_keys[int(k)]]
+            s_ += mem_sums[mem_off[n] : mem_off[n + 1]]
+            c_ += mem_counts[mem_off[n] : mem_off[n + 1]]
+        return out
+
+    # window=None fallback (full-matrix DP): same member-slot layout +
+    # canonical-order fold as the compact float path, so this plan is
+    # batching-independent too (for integer members it is additionally
+    # order-free; the member fold costs nothing either way)
+    ids = np.asarray(idx, dtype=np.int64)
+    mem_off = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum([len(centers[group_keys[int(k)]]) for k in ids], out=mem_off[1:])
+    mem_total = int(mem_off[-1])
+    mem_sums = np.zeros(mem_total, dtype=np.float64)
+    mem_counts = np.zeros(mem_total, dtype=np.int64)
+    mem_base = {int(k): mem_off[n] for n, k in enumerate(ids)}
 
     classes: Dict[Tuple[int, int], List[int]] = {}
     for k in idx:
@@ -576,7 +632,7 @@ def scan_dba_partials(
                 S[b, : len(x)] = x
                 c_lens[b] = len(c)
                 s_lens[b] = len(x)
-                slot_off[b] = offsets[group_slot[g]]
+                slot_off[b] = mem_base[int(k)]
             if use_compact:
                 choice, _W = _dp_choices_compact(C, c_lens, S, s_lens, window, penalty)
                 fk, fi, fj = _traceback_compact(choice, c_lens, s_lens, window)
@@ -585,11 +641,11 @@ def scan_dba_partials(
                 fk, fi, fj = _batched_traceback(choice, c_lens, s_lens)
             flat_idx = slot_off[fk] + fi
             vals = S[fk, fj]
-            big_sums += np.bincount(flat_idx, weights=vals, minlength=total)
-            big_counts += np.bincount(flat_idx, minlength=total)
+            mem_sums += np.bincount(flat_idx, weights=vals, minlength=mem_total)
+            mem_counts += np.bincount(flat_idx, minlength=mem_total)
 
-    for n, g in enumerate(group_list):
-        s_, c_ = out[g]
-        s_ += big_sums[offsets[n] : offsets[n + 1]]
-        c_ += big_counts[offsets[n] : offsets[n + 1]]
+    for n, k in enumerate(ids):  # ascending member order per group
+        s_, c_ = out[group_keys[int(k)]]
+        s_ += mem_sums[mem_off[n] : mem_off[n + 1]]
+        c_ += mem_counts[mem_off[n] : mem_off[n + 1]]
     return out

@@ -252,14 +252,10 @@ def downstream_fused(tier0, cfg: RollupConfig):
     descriptors computes all remaining tiers and payloads — and the
     hot-source straggler splits across shards. Same per-range functions
     as the staged path (promote_frame / gap_fill_frame / encode_frame).
-    Values match the staged path up to float-summation ORDER on
-    upper-tier DBA averages: shard composition changes the co-batched
-    kernel's member accumulation order, so ~0.3% of tier>=1 repr values
-    differ by 1 ULP (tier 0 stays bit-exact — integer sums are
-    order-free). The checkpoint/write pipeline and the oracle-checked
-    queries use the staged per-source path, which IS bit-exact vs the
-    single-process oracle; this fused pass serves the metrics/bench
-    path (asserted to tolerance in tests/test_rollup.py).
+    Values are BIT-IDENTICAL to the staged path and the single-process
+    oracle at every tier: promote_frame's accumulation is member-order
+    deterministic (kernels.dba_scan float path), so the promotion task
+    partitioning cannot shift a ULP (asserted in tests/test_rollup.py).
 
     tier0: Dataset or DataFrame of tier-0 rows (key-space sized). When
     the tier-0 row count exceeds ``max_driver_keys`` (default: the scan
@@ -298,15 +294,101 @@ def downstream_fused(tier0, cfg: RollupConfig):
     # all-gap shards exist in the groupby at all
     df = tier0_df.copy()
     df["sid"] = df["bucket"] // step
-    df["grid_lo"] = np.int64(-1)
-    df["grid_hi"] = np.int64(-1)
     mdf = _fused_markers(ext, step, ratio_total)
-    for c in df.columns:
+    if not len(df):  # empty tier0 (e.g. full resume skip): empty result
+        df["grid_lo"] = np.int64(-1)
+        df["grid_hi"] = np.int64(-1)
+        return rd.from_pandas(df)
+
+    # ---- stage P: co-batched tier promotion ------------------------
+    # The DBA promotion kernel's per-row numpy dispatch floor amortizes
+    # with BATCH size, and the deterministic member-order accumulation
+    # (kernels.dba_scan) makes the result bit-identical under ANY task
+    # partitioning — so promote in FEW, BIG tasks (each co-batching all
+    # its shards' parents in one width-plan DP per tier per round)
+    # instead of per encode shard: the per-shard plan measured ~9x the
+    # kernel core-seconds of the well-batched tier-0 sweep at sf0.1.
+    # Shard frames round-robin into tasks for balance; parents never
+    # straddle sid shards, so any grouping of whole shards is valid.
+    shard_frames = [g for _, g in df.groupby(["source", "sid"], sort=True)]
+    promo_tasks = max(2, min(16, ncpu // 2, len(shard_frames)))
+    # greedy longest-first work balancing (DP work ~ sum of repr
+    # lengths) — round-robin row counts leave a ~20% straggler when one
+    # source's reprs run long
+    weights = np.array(
+        [sum(len(r) for r in g["repr_series"]) for g in shard_frames], dtype=np.int64
+    )
+    buckets: list = [[] for _ in range(promo_tasks)]
+    loads = np.zeros(promo_tasks, dtype=np.int64)
+    for o in np.argsort(-weights):
+        kmin = int(np.argmin(loads))
+        buckets[kmin].append(int(o))
+        loads[kmin] += weights[o]
+    promo_parts = [
+        pd.concat([shard_frames[o] for o in bkt], ignore_index=True)
+        for bkt in buckets
+        if bkt
+    ]
+
+    def _promote_chain(part: pd.DataFrame) -> Dict[int, pd.DataFrame]:
+        frames: Dict[int, pd.DataFrame] = {}
+        cur = part
+        for t, ratio in enumerate(ratios, start=1):
+            cur = promote_frame(cur, ratio, cfg)
+            frames[t] = cur
+        return frames
+
+    if promo_tasks > 1:
+        promote_remote = ray.remote(_promote_chain)
+        promoted = ray.get([promote_remote.remote(p) for p in promo_parts])
+    else:
+        promoted = [_promote_chain(promo_parts[0])]
+    tiers_df: Dict[int, pd.DataFrame] = {0: df.drop(columns=["sid"])}
+    for t in range(1, len(cfg.tier_widths)):
+        tiers_df[t] = pd.concat([p[t] for p in promoted], ignore_index=True)
+
+    # ---- stage E: per-shard gap-fill + encode ----------------------
+    # tier t bucket b spans tier-0 buckets [b*r_cum[t], ...), so its
+    # shard is (b * r_cum[t]) // step — whole rows, never straddling.
+    stacked = []
+    for t, fr in tiers_df.items():
+        fr = fr.copy()
+        fr.insert(0, "tier", np.int64(t))
+        fr["sid"] = (fr["bucket"] * r_cum[t]) // step
+        stacked.append(fr)
+    all_rows = pd.concat(stacked, ignore_index=True)
+    all_rows["grid_lo"] = np.int64(-1)
+    all_rows["grid_hi"] = np.int64(-1)
+    mdf["tier"] = np.int64(-1)
+    for c in all_rows.columns:
         if c not in mdf.columns:
             mdf[c] = None
-    both = pd.concat([df, mdf[df.columns]], ignore_index=True)
+    both = pd.concat([all_rows, mdf[all_rows.columns]], ignore_index=True)
 
-    per_shard = _make_fused_per_shard(cfg, ratios, r_cum)
+    ntiers = len(cfg.tier_widths)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        is_marker = g["bucket"].to_numpy() == -1
+        m = g[is_marker].iloc[0]
+        src, glo, ghi = m["source"], int(m["grid_lo"]), int(m["grid_hi"])
+        sub = g[~is_marker].drop(columns=["sid", "grid_lo", "grid_hi"])
+        sub = sub.astype(
+            {
+                "tier": "int64",
+                "bucket": "int64",
+                "agg_count": "int64",
+                "agg_n_tok_sum": "int64",
+                "agg_token_sum": "int64",
+                "gap_filled": "bool",
+            }
+        )
+        outs = []
+        for t in range(ntiers):
+            fr = sub[sub["tier"] == t].drop(columns=["tier"])
+            fr = encode_frame(gap_fill_frame(fr, glo // r_cum[t], ghi // r_cum[t], src))
+            fr.insert(0, "tier", t)
+            outs.append(fr)
+        return pd.concat(outs, ignore_index=True)
 
     def per_chunk(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.concat(
@@ -315,14 +397,13 @@ def downstream_fused(tier0, cfg: RollupConfig):
         )
 
     # The shard of every row is already known here (sid is a pure
-    # function of bucket), so a groupby SHUFFLE would be pure overhead:
-    # build one block per task chunk directly (round-robin over the
-    # (source, sid) groups for balance) and run a shuffle-free
+    # function of bucket and tier), so a groupby SHUFFLE would be pure
+    # overhead: build one block per task chunk directly (round-robin
+    # over the (source, sid) groups for balance) and run a shuffle-free
     # map_batches. At key-spaces too large for the driver frame this
-    # becomes a range-partitioned exchange on sid — same per_shard.
+    # becomes a range-partitioned exchange on sid — same math, see
+    # _downstream_fused_exchange.
     groups = [g for _, g in both.groupby(["source", "sid"], sort=True)]
-    if not groups:  # empty tier0 (e.g. full resume skip): empty result
-        return rd.from_pandas(both)
     nchunks = max(1, min(len(groups), max(8, 2 * ncpu)))
     chunks = [
         pd.concat(groups[i::nchunks], ignore_index=True) for i in range(nchunks)

@@ -158,12 +158,13 @@ def promote_frame(
     dba_loop. Deterministic given the input rows (canonical sort inside);
     the single-process oracle calls this same function per source.
 
-    order_free=True opts into the width-bucketed sweep batching, which
-    regroups FLOAT additions (members here are tier representatives):
-    results shift by ULPs vs the default plan. Only the fused
-    metrics/bench path (already documented as ULP-tolerant vs staged)
-    uses it; the staged/oracle path keeps the default plan so the
-    committed tier>=1 goldens stay bit-stable."""
+    Accumulation is member-order deterministic (kernels.dba_scan float
+    path): every call with the same per-group child lists produces
+    IDENTICAL bits whatever the task sharding, so the staged, fused,
+    exchange and single-process-oracle promotions all agree exactly.
+    ``order_free`` is retained for API stability and ignored — the
+    deterministic plan is batching-independent AND uses the fast
+    width-bucketed DP, so there is nothing left to opt into."""
     from ..kernels.dba_scan import scan_dba_partials
 
     df = df[~df["gap_filled"]].copy()
@@ -193,7 +194,7 @@ def promote_frame(
     for _ in range(cfg.dba_max_it):
         if not active:
             break
-        parts = scan_dba_partials(keys, seqs, active, cfg.dtw, order_free=order_free)
+        parts = scan_dba_partials(keys, seqs, active, cfg.dtw, order_free=False)
         nxt: dict = {}
         for k, (sums, counts) in parts.items():
             avg = np.zeros_like(sums)

@@ -262,10 +262,9 @@ class TestEmptyTokenRows:
 
 class TestFusedDownstream:
     def test_fused_rows_match_staged(self, ray_session):
-        # value equality at assert_frame_equal's float tolerance: the
-        # range-sharded pass may differ from the staged path by 1 ULP
-        # on upper-tier DBA averages (float-summation order; tier 0 is
-        # bit-exact - integer sums are order-free)
+        # BIT-exact at every tier: tier 0 by integer-sum associativity,
+        # tier >= 1 by promote_frame's member-order deterministic
+        # accumulation (batch/shard partitioning cannot shift a ULP)
         import pandas as pd
         from dtaidistance_ray.pipelines.flagship import build_tiers, downstream_fused
         from dtaidistance_ray.stages.rollup import encode_tier, gap_fill_tier
@@ -287,21 +286,10 @@ class TestFusedDownstream:
             staged = canon(encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t]).to_pandas())
             got = canon(fused[fused["tier"] == t].drop(columns=["tier"]))
             got = got.reset_index(drop=True)[staged.columns]
-            if t == 0:
-                # tier 0 is bit-exact (integer sums are order-free)
-                pd.testing.assert_frame_equal(got, staged, check_dtype=False)
-                continue
-            # tier >= 1: repr values may differ by ULPs (float-summation
-            # order differs per shard composition AND per sweep batching
-            # plan); everything else is exact, and each row's payload
-            # must decode to ITS OWN repr bit-exactly
-            exact_cols = [c for c in staged.columns if c not in ("repr_series", "repr_gorilla")]
-            pd.testing.assert_frame_equal(got[exact_cols], staged[exact_cols], check_dtype=False)
-            for (_, a), (_, b) in zip(got.iterrows(), staged.iterrows()):
-                ra, rb = np.asarray(a["repr_series"]), np.asarray(b["repr_series"])
-                assert ra.shape == rb.shape
+            pd.testing.assert_frame_equal(got, staged, check_dtype=False)
+            for _, a in got.iterrows():
+                ra = np.asarray(a["repr_series"])
                 if len(ra):
-                    np.testing.assert_allclose(ra, rb, rtol=1e-12, atol=0)
                     np.testing.assert_array_equal(gorilla_decode(a["repr_gorilla"]), ra)
 
     def test_run_flagship_metrics_path(self, ray_session):
