@@ -424,10 +424,25 @@ def _sweep_width_plan(
     c_len = np.array([len(centers[group_keys[k]]) for k in ids], dtype=np.int64)
     s_len = np.array([len(seqs[k]) for k in ids], dtype=np.int64)
     wid = np.minimum(s_len, np.abs(c_len - s_len) + 2 * window - 1)
-    # 4/3 ladder on band width
+    # Ladder on band width. The per-call fixed cost is the row loop:
+    # ~#buckets x r_max numpy-dispatch rows, INDEPENDENT of B — at
+    # small B (upper-tier promotion fragments: tens to a few hundred
+    # members) a fine ladder's dispatch floor dominates the useful
+    # work, so the ladder coarsens as B shrinks (padding waste grows
+    # with W_class/wid, but wasted lane-floats are ~100x cheaper than
+    # dispatched rows). Per-member DP values are ladder-independent
+    # (band masks are per-member), so this changes no result bit —
+    # asserted across ladder settings in tests/test_rollup.py.
+    n_ids = len(ids)
+    if n_ids <= 128:
+        factor = (64, 1)  # effectively one bucket
+    elif n_ids <= 1024:
+        factor = (4, 1)  # coarse: ~2-3 buckets
+    else:
+        factor = (4, 3)  # fine 4/3 ladder (tier-0 sweep fragments)
     ladder = [8]
     while ladder[-1] < int(wid.max()):
-        ladder.append((ladder[-1] * 4 + 2) // 3)
+        ladder.append((ladder[-1] * factor[0] + factor[0] - 2) // factor[1])
     ladder_arr = np.array(ladder, dtype=np.int64)
     wclass = ladder_arr[np.searchsorted(ladder_arr, wid, side="left")]
     order = np.lexsort((-c_len, wclass))
