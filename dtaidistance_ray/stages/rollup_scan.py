@@ -413,15 +413,21 @@ def _tree_reduce(parts_ds, merge_fn, label: str, expected_rows: Optional[int] = 
         test_bounded_driver_rows_bit_identical).
     expected_rows is accepted for API stability and ignored — count()
     on a materialized dataset is metadata-only."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
     parts_ds = parts_ds.materialize()
+    LAST_TIMINGS[f"{label}_exec"] = round(_time.perf_counter() - _t0, 2)
     nb = parts_ds.count()
     rounds = 0
+    _t0 = _time.perf_counter()
     while nb > max(1, _MERGE_THRESHOLD_ROWS):  # floor 1: a single row can't reduce
         parts_ds = parts_ds.map_batches(
             merge_fn, batch_size=_MERGE_FANIN, batch_format="pandas"
         ).materialize()
         nb = parts_ds.count()
         rounds += 1
+    LAST_TIMINGS[f"{label}_merge_wall"] = round(_time.perf_counter() - _t0, 2)
     LAST_TIMINGS[f"{label}_merge_rounds"] = rounds
     LAST_TIMINGS[f"{label}_driver_rows"] = int(nb)
     return parts_ds.to_pandas()
