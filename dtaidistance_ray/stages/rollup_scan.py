@@ -202,28 +202,23 @@ def _make_sweep_fn(centers_ref, dtw: DTWSettings):
     _WORKER_CENTERS_CACHE across the worker's tasks, never shipped per
     batch).
 
-    Each task emits ONE row whose payload is the task's full partial
-    accumulator vector ALIGNED TO THE BROADCAST CENTER LAYOUT (the
-    (keys, offsets, flat) packing): two binary columns of float64 sums
-    and int64 counts. The driver merge is then a plain np.sum over the
-    task vectors — exact (integer member values) and free of the
-    per-element Python-object conversion that list-typed partial rows
-    would pay in to_pandas (which serialized the whole round)."""
+    Each task emits ONE row whose payload is a SPARSE slice of the
+    broadcast center layout: the ascending slot indices of the groups
+    the fragment touched plus their concatenated float64-sum /
+    int64-count segments. Fan-in merges and the final driver fold
+    scatter-add the segments (exact — integer member values sum in any
+    order); the layout itself always comes from the round's broadcast,
+    never travels in partial rows. Sparse emission bounds the exchange
+    volume by the data a task actually saw instead of key-space x
+    task-count (the dense full-layout blobs measured 4.5 GB/round at
+    sf0.5; at 100-TB key-spaces a task touches a vanishing fraction of
+    the keys)."""
 
     def sweep(batch) -> pd.DataFrame:
         import time as _time
 
-        import ray
-
         t0 = _time.perf_counter()
-        cache_key = centers_ref.hex() if hasattr(centers_ref, "hex") else id(centers_ref)
-        cached = _WORKER_CENTERS_CACHE.get(cache_key)
-        if cached is None:
-            packed = ray.get(centers_ref)
-            cached = (packed, _unpack_centers(packed))
-            _WORKER_CENTERS_CACHE.clear()
-            _WORKER_CENTERS_CACHE[cache_key] = cached
-        packed, centers = cached
+        packed, centers = _worker_packed(centers_ref)
         pkeys, poffsets, pflat = packed
         keys, seqs = _batch_arrays(batch)
         t1 = _time.perf_counter()
@@ -231,18 +226,28 @@ def _make_sweep_fn(centers_ref, dtw: DTWSettings):
         # bucketed batching's regrouped bin additions are exact
         parts = scan_dba_partials(keys, seqs, centers, dtw, order_free=True)
         t2 = _time.perf_counter()
-        total = int(poffsets[-1])
-        full_sums = np.zeros(total, dtype=np.float64)
-        full_counts = np.zeros(total, dtype=np.int64)
+        # SPARSE emission: only the groups this fragment touched leave
+        # the task — (ascending slot index list, concatenated per-group
+        # sum/count segments). At 100-TB key-spaces a task sees a tiny
+        # slice of the keys, so the dense full-layout blob (key-space x
+        # center-len floats PER TASK) was the exchange-volume bottleneck
+        # of the only wide step (measured 4.5 GB/round at sf0.5).
         slot = {k: n for n, k in enumerate(pkeys)}
-        for g, (sums, counts) in parts.items():
-            n = slot[g]
-            full_sums[poffsets[n] : poffsets[n + 1]] = sums
-            full_counts[poffsets[n] : poffsets[n + 1]] = counts
+        gs = np.array(sorted(slot[g] for g in parts), dtype=np.int64)
+        glens = np.diff(poffsets)
+        seg_off = np.zeros(len(gs) + 1, dtype=np.int64)
+        np.cumsum(glens[gs], out=seg_off[1:])
+        seg_sums = np.empty(int(seg_off[-1]), dtype=np.float64)
+        seg_counts = np.empty(int(seg_off[-1]), dtype=np.int64)
+        for p, n in enumerate(gs):
+            s_, c_ = parts[pkeys[n]]
+            seg_sums[seg_off[p] : seg_off[p + 1]] = s_
+            seg_counts[seg_off[p] : seg_off[p + 1]] = c_
         return pd.DataFrame(
             {
-                "sums": [full_sums.tobytes()],
-                "counts": [full_counts.tobytes()],
+                "gidx": [gs.tobytes()],
+                "sums": [seg_sums.tobytes()],
+                "counts": [seg_counts.tobytes()],
                 "task_kernel_s": [t2 - t1],
                 "task_kernel_max": [t2 - t1],
                 "task_setup_s": [t1 - t0],
@@ -253,30 +258,89 @@ def _make_sweep_fn(centers_ref, dtw: DTWSettings):
     return sweep
 
 
-def _merge_sweep_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Associative fan-in of layout-aligned sweep partial rows: vector
-    np.sum of the accumulator blobs, sum/max of the timing columns."""
-    sums = None
-    counts = None
-    for sb, cb in zip(batch["sums"], batch["counts"]):
-        s = np.frombuffer(sb, dtype=np.float64)
-        c = np.frombuffer(cb, dtype=np.int64)
-        if sums is None:
-            sums = s.copy()
-            counts = c.copy()
-        else:
-            sums += s
-            counts += c
-    return pd.DataFrame(
-        {
-            "sums": [sums.tobytes()],
-            "counts": [counts.tobytes()],
-            "task_kernel_s": [float(batch["task_kernel_s"].sum())],
-            "task_kernel_max": [float(batch["task_kernel_max"].max())],
-            "task_setup_s": [float(batch["task_setup_s"].sum())],
-            "task_members": [int(batch["task_members"].sum())],
-        }
-    )
+def _worker_packed(centers_ref):
+    """Fetch + unpack the round's broadcast centers once per worker
+    process (cached across the worker's tasks; a new round's ref evicts
+    the previous entry)."""
+    import ray
+
+    cache_key = centers_ref.hex() if hasattr(centers_ref, "hex") else id(centers_ref)
+    cached = _WORKER_CENTERS_CACHE.get(cache_key)
+    if cached is None:
+        packed = ray.get(centers_ref)
+        cached = (packed, _unpack_centers(packed))
+        _WORKER_CENTERS_CACHE.clear()
+        _WORKER_CENTERS_CACHE[cache_key] = cached
+    return cached
+
+
+def _flat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate [starts[i], starts[i]+lens[i]) ranges, vectorized."""
+    lens = lens.astype(np.int64)
+    n = int(lens.sum())
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    base = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    return base + np.arange(n, dtype=np.int64)
+
+
+def _scatter_sparse_rows(
+    batch: pd.DataFrame,
+    poffsets: np.ndarray,
+    out_sums: np.ndarray,
+    out_counts: np.ndarray,
+) -> None:
+    """Accumulate sparse sweep-partial rows into a FULL-layout pair of
+    accumulators (exact: integer member values sum in any order)."""
+    glens = np.diff(poffsets)
+    for gb, sb, cb in zip(batch["gidx"], batch["sums"], batch["counts"]):
+        gs = np.frombuffer(gb, dtype=np.int64)
+        if not len(gs):
+            continue
+        dst = _flat_ranges(poffsets[gs], glens[gs])
+        out_sums[dst] += np.frombuffer(sb, dtype=np.float64)
+        out_counts[dst] += np.frombuffer(cb, dtype=np.int64)
+
+
+def _make_merge_sweep(centers_ref):
+    """Associative fan-in of sparse sweep partial rows: scatter-add the
+    segments of up to _MERGE_FANIN rows into one union-sparse row.
+    The group layout comes from the round's broadcast (worker-cached) —
+    partial rows never carry it."""
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        packed, _ = _worker_packed(centers_ref)
+        _, poffsets, _ = packed
+        glens = np.diff(poffsets)
+        union = np.unique(
+            np.concatenate([np.frombuffer(b, dtype=np.int64) for b in batch["gidx"]])
+        )
+        seg_off = np.zeros(len(union) + 1, dtype=np.int64)
+        np.cumsum(glens[union], out=seg_off[1:])
+        S = np.zeros(int(seg_off[-1]), dtype=np.float64)
+        C = np.zeros(int(seg_off[-1]), dtype=np.int64)
+        pos_of = np.zeros(len(glens), dtype=np.int64)
+        pos_of[union] = np.arange(len(union))
+        for gb, sb, cb in zip(batch["gidx"], batch["sums"], batch["counts"]):
+            gs = np.frombuffer(gb, dtype=np.int64)
+            if not len(gs):
+                continue
+            dst = _flat_ranges(seg_off[pos_of[gs]], glens[gs])
+            S[dst] += np.frombuffer(sb, dtype=np.float64)
+            C[dst] += np.frombuffer(cb, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "gidx": [union.tobytes()],
+                "sums": [S.tobytes()],
+                "counts": [C.tobytes()],
+                "task_kernel_s": [float(batch["task_kernel_s"].sum())],
+                "task_kernel_max": [float(batch["task_kernel_max"].max())],
+                "task_setup_s": [float(batch["task_setup_s"].sum())],
+                "task_members": [int(batch["task_members"].sum())],
+            }
+        )
+
+    return merge
 
 
 LAST_TIMINGS: Dict[str, float] = {}
@@ -604,7 +668,7 @@ def _scan_rollup_single(ds, cfg: RollupConfig):
                 _make_sweep_fn(centers_ref, cfg.dtw), batch_format="pyarrow",
                 num_cpus=_SWEEP_NUM_CPUS,
             ),
-            _merge_sweep_batch,
+            _make_merge_sweep(centers_ref),
             f"sweep{rnd}",
             expected_rows=nblocks,
         )
@@ -619,14 +683,13 @@ def _scan_rollup_single(ds, cfg: RollupConfig):
             LAST_TIMINGS[f"sweep_round{rnd}_setup_sum"] = round(
                 float(parts["task_setup_s"].sum()), 2
             )
-        # merge: np.sum over the layout-aligned task vectors (exact:
-        # member values are integers)
+        # merge: scatter-add the (bounded) final sparse partial rows
+        # into the full layout (exact: member values are integers)
         total = int(poffsets[-1])
         big_sums = np.zeros(total, dtype=np.float64)
         big_counts = np.zeros(total, dtype=np.int64)
-        for sb, cb in zip(parts["sums"], parts["counts"]):
-            big_sums += np.frombuffer(sb, dtype=np.float64)
-            big_counts += np.frombuffer(cb, dtype=np.int64)
+        if len(parts):
+            _scatter_sparse_rows(parts, poffsets, big_sums, big_counts)
         next_active: Dict = {}
         for n, k in enumerate(pkeys):
             sums = big_sums[poffsets[n] : poffsets[n + 1]]
