@@ -1907,6 +1907,41 @@ def _q_multimodal_decode(sf_dir: str):
     return ds.map_batches(digest, batch_format="pandas")
 
 
+def _q_warping_path_prob(sf_dir: str):
+    """Probabilistic warping-path sampling over token pairs
+    (kernels/elastic.warping_path_prob — the reference's C-only
+    dtw.warping_path_prob, dtw.py:1041): 5 seeded samples per pair in
+    long format (pair, sample, step, i, j), avg = dtw distance /
+    len(s1) (the reference test's temperature, tests/test_warping.py:67).
+    Deterministic via a per-(pair, sample) np.random.default_rng seed.
+    The golden check proves monotone-path validity, corner endpoints,
+    sampled cost >= the reference dtw.distance (optimal lower bound),
+    and that sampling actually explores (>= 2 distinct paths for some
+    pair)."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaidistance_ray.kernels import distance
+    from dtaidistance_ray.kernels.elastic import warping_path_prob
+    from dtaidistance_ray.sources.synth import generate_batch
+
+    spec = _token_spec(sf_dir)
+    t = generate_batch(np.arange(12, dtype=np.int64), spec)
+    seqs = [np.asarray(x, dtype=np.float64) for x in t["tokens"].to_pylist()]
+    rows = []
+    for p in range(6):
+        s1, s2 = seqs[2 * p], seqs[2 * p + 1]
+        avg = distance(s1, s2) / len(s1)
+        for sample in range(5):
+            rng = np.random.default_rng(1_000_000 + 1000 * p + sample)
+            path = warping_path_prob(s1, s2, avg, rng=rng)
+            for step, (i, j) in enumerate(path):
+                rows.append(
+                    {"pair": p, "sample": sample, "step": step, "i": int(i), "j": int(j)}
+                )
+    return pd.DataFrame(rows)
+
+
 def _q_warping_path_lowmem(sf_dir: str):
     """Hirschberg low-memory warping paths for token sequence pairs
     (kernels/lowmem.py) — long format (pair, step, i, j). The golden
@@ -2195,6 +2230,7 @@ GOLDEN_QUERIES = (
     "multimodal_decode",
     "tokens_rollup_tier0_repr",
     "warping_path_lowmem_tokens",
+    "warping_path_prob_tokens",
     "dtw_weighted_matrix",
     "explain_pairs_tokens",
     "multimodal_decode_real",
@@ -2324,6 +2360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_rollup_payload_crc": _q_tokens_rollup_payload_crc,
         "tokens_storage_efficiency": _q_tokens_storage_efficiency,
         "warping_path_lowmem_tokens": _q_warping_path_lowmem,
+        "warping_path_prob_tokens": _q_warping_path_prob,
         "dtw_weighted_matrix": _q_dtw_weighted_matrix,
         "explain_pairs_tokens": _q_explain_pairs,
         "multimodal_decode_real": _q_multimodal_decode_real,

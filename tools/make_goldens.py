@@ -360,6 +360,39 @@ def check_warping_path_lowmem(got: pd.DataFrame):
     return "path validity + cost == reference dtw.distance (optimality proof per pair)"
 
 
+def check_warping_path_prob(got: pd.DataFrame):
+    from dtaidistance import dtw as ref_dtw
+
+    _, seqs = _token_seqs(12)
+    max_distinct = 0
+    for p in range(6):
+        s1, s2 = seqs[2 * p], seqs[2 * p + 1]
+        d_ref = ref_dtw.distance(s1, s2)
+        sub_p = got[got["pair"] == p]
+        paths = set()
+        for s in sorted(sub_p["sample"].unique()):
+            sub = sub_p[sub_p["sample"] == s].sort_values("step")
+            path = list(zip(sub["i"].astype(int), sub["j"].astype(int)))
+            # validity: corner endpoints (psi=0), monotone unit steps
+            assert path[0] == (0, 0) and path[-1] == (len(s1) - 1, len(s2) - 1)
+            for (a, b), (c, d) in zip(path, path[1:]):
+                assert (c - a, d - b) in {(0, 1), (1, 0), (1, 1)}
+            # a sampled path's cost is lower-bounded by the optimum
+            cost = np.sqrt(sum((s1[i] - s2[j]) ** 2 for i, j in path))
+            assert cost >= d_ref - 1e-9, (p, s)
+            paths.add(tuple(path))
+        max_distinct = max(max_distinct, len(paths))
+    # the sampler must actually explore: some pair yields >= 2 distinct paths
+    assert max_distinct >= 2
+    n_samples = got.groupby("pair")[["sample"]].nunique()["sample"].sum()
+    assert n_samples == 30  # 6 pairs x 5 samples all present
+    return (
+        "path validity + corner endpoints per sample; sampled cost >= reference "
+        "dtw.distance (optimal lower bound); >=2 distinct paths sampled; all "
+        "30 seeded samples present"
+    )
+
+
 def check_dtw_weighted_matrix(got: pd.DataFrame):
     from dtaidistance import dtw_weighted as ref_w
 
@@ -734,6 +767,7 @@ CHECKS = {
     "multimodal_decode_real": check_multimodal_decode_real,
     "multimodal_audio_features": check_multimodal_audio,
     "warping_path_lowmem_tokens": check_warping_path_lowmem,
+    "warping_path_prob_tokens": check_warping_path_prob,
     "dtw_weighted_matrix": check_dtw_weighted_matrix,
     "explain_pairs_tokens": check_explain_pairs,
     "dtw_distance_matrix": check_dtw_distance_matrix,
