@@ -190,13 +190,19 @@ def _make_fused_per_shard(cfg: RollupConfig, ratios, r_cum):
 
 def _downstream_fused_exchange(tier0_ds, cfg: RollupConfig):
     """downstream_fused for key-spaces too large for one driver frame:
-    the SAME sid math and per_shard function, but the tier-0 rows reach
-    their shard via a Ray groupby EXCHANGE on (source, sid) instead of
-    a driver-built block list. The driver holds only the per-source
+    the SAME sid math, but the tier-0 rows reach their shard via a Ray
+    groupby EXCHANGE on (source, sid) instead of a driver-built block
+    list, and promotion runs inside each shard's map_groups task
+    (_make_fused_per_shard). The driver holds only the per-source
     extents (bounded by #sources) and the marker rows (~task count).
-    Output is bit-identical to the driver path — sid is a pure function
-    of bucket, so shard composition (and thus every per_shard input) is
-    the same; only the transport differs."""
+    Output is bit-identical to the driver path: promote_frame's
+    accumulation is member-order deterministic, so per-shard vs
+    big-batch promotion cannot differ by a bit (tests/test_rollup.py
+    TestKeyShardFallback). Per-shard promotion is the right batching
+    HERE: this path only engages beyond DTAIR_MAX_DRIVER_KEYS keys,
+    where each (source, sid) shard already holds thousands of parents —
+    the small-batch DP fragmentation that motivated the driver path's
+    separate promotion stage is a small-input artifact."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Max as AMax
