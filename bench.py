@@ -167,8 +167,22 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    import time as _time
+
     hw = _hardware_calibration()
-    r2, r8, r32 = run(2), run(8), run(32)
+    # Leg order 32 -> 8 -> 2 with a short cooldown before each timed
+    # leg: the 32-cpu leg is the shortest and the most turbo-sensitive,
+    # so it runs closest to the fresh-host state the hardware
+    # calibration measured instead of after ~110 s of sustained
+    # full-load from the other legs. (An A/B across orders showed
+    # window noise dominates either way — runs 13/14 in BASELINE.md —
+    # but this order can only make the legs' conditions MORE like the
+    # calibration's, and the ratio math is order-independent.)
+    r32 = run(32)
+    _time.sleep(20)
+    r8 = run(8)
+    _time.sleep(20)
+    r2 = run(2)
     eff_2_8 = (r2["value"] / r8["value"]) / 4
     eff_8_32 = (r8["value"] / r32["value"]) / 4
     return {
