@@ -178,6 +178,7 @@ def run_scaling() -> dict:
     # window noise dominates either way — runs 13/14 in BASELINE.md —
     # but this order can only make the legs' conditions MORE like the
     # calibration's, and the ratio math is order-independent.)
+    _time.sleep(20)  # calibration's spin burn ends full-load; cool first
     r32 = run(32)
     _time.sleep(20)
     r8 = run(8)

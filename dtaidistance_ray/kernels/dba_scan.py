@@ -559,11 +559,11 @@ def scan_dba_partials(
     for n, g in enumerate(group_list):
         offsets[n + 1] = offsets[n] + len(centers[g])
     total = int(offsets[-1])
-    big_sums = np.zeros(total, dtype=np.float64)
-    big_counts = np.zeros(total, dtype=np.int64)
 
     use_compact = window is not None
     if order_free and use_compact:
+        big_sums = np.zeros(total, dtype=np.float64)
+        big_counts = np.zeros(total, dtype=np.int64)
         ids = np.asarray(idx, dtype=np.int64)
         slot_base = np.array(
             [offsets[group_slot[group_keys[int(k)]]] for k in ids], dtype=np.int64
@@ -607,17 +607,28 @@ def scan_dba_partials(
             c_ += mem_counts[mem_off[n] : mem_off[n + 1]]
         return out
 
-    # window=None fallback (full-matrix DP): same member-slot layout +
-    # canonical-order fold as the compact float path, so this plan is
-    # batching-independent too (for integer members it is additionally
-    # order-free; the member fold costs nothing either way)
+    # window=None fallback (full-matrix DP). order_free=True (integer
+    # members) keeps the per-GROUP slot layout — exact in any order and
+    # bounded by the key space, not the member count; order_free=False
+    # (float members) uses the member-slot + canonical-fold layout for
+    # batching independence (promotion calls are key-space sized, so
+    # the per-member memory is bounded there).
     ids = np.asarray(idx, dtype=np.int64)
-    mem_off = np.zeros(len(ids) + 1, dtype=np.int64)
-    np.cumsum([len(centers[group_keys[int(k)]]) for k in ids], out=mem_off[1:])
-    mem_total = int(mem_off[-1])
-    mem_sums = np.zeros(mem_total, dtype=np.float64)
-    mem_counts = np.zeros(mem_total, dtype=np.int64)
-    mem_base = {int(k): mem_off[n] for n, k in enumerate(ids)}
+    if order_free:
+        mem_off = None
+        mem_total = total
+        mem_sums = np.zeros(total, dtype=np.float64)
+        mem_counts = np.zeros(total, dtype=np.int64)
+        mem_base = {
+            int(k): offsets[group_slot[group_keys[int(k)]]] for k in ids
+        }
+    else:
+        mem_off = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum([len(centers[group_keys[int(k)]]) for k in ids], out=mem_off[1:])
+        mem_total = int(mem_off[-1])
+        mem_sums = np.zeros(mem_total, dtype=np.float64)
+        mem_counts = np.zeros(mem_total, dtype=np.int64)
+        mem_base = {int(k): mem_off[n] for n, k in enumerate(ids)}
 
     classes: Dict[Tuple[int, int], List[int]] = {}
     for k in idx:
@@ -648,19 +659,23 @@ def scan_dba_partials(
                 c_lens[b] = len(c)
                 s_lens[b] = len(x)
                 slot_off[b] = mem_base[int(k)]
-            if use_compact:
-                choice, _W = _dp_choices_compact(C, c_lens, S, s_lens, window, penalty)
-                fk, fi, fj = _traceback_compact(choice, c_lens, s_lens, window)
-            else:
-                choice = _dp_choices(C, c_lens, S, s_lens, window, penalty)
-                fk, fi, fj = _batched_traceback(choice, c_lens, s_lens)
+            # both compact paths returned above, so this is always the
+            # full-matrix (window=None) DP
+            choice = _dp_choices(C, c_lens, S, s_lens, window, penalty)
+            fk, fi, fj = _batched_traceback(choice, c_lens, s_lens)
             flat_idx = slot_off[fk] + fi
             vals = S[fk, fj]
             mem_sums += np.bincount(flat_idx, weights=vals, minlength=mem_total)
             mem_counts += np.bincount(flat_idx, minlength=mem_total)
 
-    for n, k in enumerate(ids):  # ascending member order per group
-        s_, c_ = out[group_keys[int(k)]]
-        s_ += mem_sums[mem_off[n] : mem_off[n + 1]]
-        c_ += mem_counts[mem_off[n] : mem_off[n + 1]]
+    if order_free:  # group-slot layout: copy slot ranges straight out
+        for n, g in enumerate(group_list):
+            s_, c_ = out[g]
+            s_ += mem_sums[offsets[n] : offsets[n + 1]]
+            c_ += mem_counts[offsets[n] : offsets[n + 1]]
+    else:
+        for n, k in enumerate(ids):  # ascending member order per group
+            s_, c_ = out[group_keys[int(k)]]
+            s_ += mem_sums[mem_off[n] : mem_off[n + 1]]
+            c_ += mem_counts[mem_off[n] : mem_off[n + 1]]
     return out

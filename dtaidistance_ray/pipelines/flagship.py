@@ -156,34 +156,49 @@ def _fused_markers(ext: pd.DataFrame, step: int, ratio_total: int) -> pd.DataFra
     return pd.DataFrame(markers)
 
 
+_SHARD_INT_COLS = {
+    "bucket": "int64",
+    "agg_count": "int64",
+    "agg_n_tok_sum": "int64",
+    "agg_token_sum": "int64",
+    "gap_filled": "bool",
+}
+
+
+def _split_shard_marker(g: pd.DataFrame, extra_int_cols: Optional[dict] = None):
+    """Shared shard-group prologue: pull the marker row's grid bounds
+    and restore the int columns the marker's Nones object-ified.
+    Returns (sub_rows, source, grid_lo, grid_hi)."""
+    is_marker = g["bucket"].to_numpy() == -1
+    m = g[is_marker].iloc[0]
+    sub = g[~is_marker].drop(columns=["sid", "grid_lo", "grid_hi"])
+    sub = sub.astype({**_SHARD_INT_COLS, **(extra_int_cols or {})})
+    return sub, m["source"], int(m["grid_lo"]), int(m["grid_hi"])
+
+
+def _gapfill_encode_tiers(
+    frames: Dict[int, pd.DataFrame], src, glo: int, ghi: int, r_cum
+) -> pd.DataFrame:
+    """Shared shard-group epilogue: gap-fill each tier's rows to the
+    shard's grid (tier-0 bucket units scaled by r_cum) and encode."""
+    outs = []
+    for t, fr in frames.items():
+        fr = encode_frame(gap_fill_frame(fr, glo // r_cum[t], ghi // r_cum[t], src))
+        fr.insert(0, "tier", t)
+        outs.append(fr)
+    return pd.concat(outs, ignore_index=True)
+
+
 def _make_fused_per_shard(cfg: RollupConfig, ratios, r_cum):
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        is_marker = g["bucket"].to_numpy() == -1
-        m = g[is_marker].iloc[0]
-        src, glo, ghi = m["source"], int(m["grid_lo"]), int(m["grid_hi"])
-        sub = g[~is_marker].drop(columns=["sid", "grid_lo", "grid_hi"])
-        # marker rows temporarily null-ified the int columns; restore
-        sub = sub.astype(
-            {
-                "bucket": "int64",
-                "agg_count": "int64",
-                "agg_n_tok_sum": "int64",
-                "agg_token_sum": "int64",
-                "gap_filled": "bool",
-            }
-        )
+        sub, src, glo, ghi = _split_shard_marker(g)
         frames = {0: sub}
         for t, ratio in enumerate(ratios, start=1):
-            # order_free: the fused pass is already ULP-tolerant vs the
-            # staged path (shard composition reorders float additions);
-            # the width-plan batching stays inside that contract
-            frames[t] = promote_frame(frames[t - 1], ratio, cfg, order_free=True)
-        outs = []
-        for t, fr in frames.items():
-            fr = encode_frame(gap_fill_frame(fr, glo // r_cum[t], ghi // r_cum[t], src))
-            fr.insert(0, "tier", t)
-            outs.append(fr)
-        return pd.concat(outs, ignore_index=True)
+            # promote_frame accumulation is member-order deterministic,
+            # so this per-shard promotion is BIT-identical to the
+            # driver path's big-batch promotion stage
+            frames[t] = promote_frame(frames[t - 1], ratio, cfg)
+        return _gapfill_encode_tiers(frames, src, glo, ghi, r_cum)
 
     return per_shard
 
@@ -317,7 +332,7 @@ def downstream_fused(tier0, cfg: RollupConfig):
     # Shard frames round-robin into tasks for balance; parents never
     # straddle sid shards, so any grouping of whole shards is valid.
     shard_frames = [g for _, g in df.groupby(["source", "sid"], sort=True)]
-    promo_tasks = max(2, min(16, ncpu // 2, len(shard_frames)))
+    promo_tasks = min(16, max(2, ncpu // 2), max(1, len(shard_frames)))
     # greedy longest-first work balancing (DP work ~ sum of repr
     # lengths) — round-robin row counts leave a ~20% straggler when one
     # source's reprs run long
@@ -344,10 +359,10 @@ def downstream_fused(tier0, cfg: RollupConfig):
             frames[t] = cur
         return frames
 
-    if promo_tasks > 1:
+    if len(promo_parts) > 1:
         promote_remote = ray.remote(_promote_chain)
         promoted = ray.get([promote_remote.remote(p) for p in promo_parts])
-    else:
+    else:  # single shard (or 2-cpu host): inline beats a Ray round-trip
         promoted = [_promote_chain(promo_parts[0])]
     tiers_df: Dict[int, pd.DataFrame] = {0: df.drop(columns=["sid"])}
     for t in range(1, len(cfg.tier_widths)):
@@ -374,27 +389,11 @@ def downstream_fused(tier0, cfg: RollupConfig):
     ntiers = len(cfg.tier_widths)
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        is_marker = g["bucket"].to_numpy() == -1
-        m = g[is_marker].iloc[0]
-        src, glo, ghi = m["source"], int(m["grid_lo"]), int(m["grid_hi"])
-        sub = g[~is_marker].drop(columns=["sid", "grid_lo", "grid_hi"])
-        sub = sub.astype(
-            {
-                "tier": "int64",
-                "bucket": "int64",
-                "agg_count": "int64",
-                "agg_n_tok_sum": "int64",
-                "agg_token_sum": "int64",
-                "gap_filled": "bool",
-            }
-        )
-        outs = []
-        for t in range(ntiers):
-            fr = sub[sub["tier"] == t].drop(columns=["tier"])
-            fr = encode_frame(gap_fill_frame(fr, glo // r_cum[t], ghi // r_cum[t], src))
-            fr.insert(0, "tier", t)
-            outs.append(fr)
-        return pd.concat(outs, ignore_index=True)
+        sub, src, glo, ghi = _split_shard_marker(g, {"tier": "int64"})
+        frames = {
+            t: sub[sub["tier"] == t].drop(columns=["tier"]) for t in range(ntiers)
+        }
+        return _gapfill_encode_tiers(frames, src, glo, ghi, r_cum)
 
     def per_chunk(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.concat(
