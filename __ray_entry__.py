@@ -2294,6 +2294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_touch_attribution": events.last_touch_attribution,
         "events_props_extract": events.props_extract_rollup,
         "events_user_rfm": events.user_rfm_segments,
+        "events_value_histogram_daily": events.value_histogram_daily,
+        "events_histogram_quantile": events.histogram_quantile,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -2449,6 +2451,8 @@ def oracle_sql() -> dict[str, str]:
         "events_last_touch_attribution": events.LAST_TOUCH_SQL,
         "events_props_extract": events.PROPS_EXTRACT_SQL,
         "events_user_rfm": events.RFM_SQL,
+        "events_value_histogram_daily": events.VALUE_HISTOGRAM_SQL,
+        "events_histogram_quantile": events.HISTOGRAM_QUANTILE_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

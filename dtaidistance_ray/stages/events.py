@@ -2574,3 +2574,165 @@ SELECT u.user_id,
        CAST(ntile(5) OVER (ORDER BY u.m_cents, u.user_id) AS BIGINT) AS m_q
 FROM u, mx
 """
+
+
+# ---------------------------------------------------------------------------
+# Prometheus-style mergeable value histograms + histogram_quantile
+# ---------------------------------------------------------------------------
+
+# Fixed cumulative-histogram boundaries ("le" buckets) for events.value
+# (observed range ~0.01-490). The LAST bucket also absorbs any value
+# above it (both engine and oracle clamp identically), so the sketch
+# stays fixed-size under any future value range.
+_HIST_BOUNDS = np.array([5.0, 10.0, 20.0, 50.0, 100.0, 150.0, 200.0, 300.0, 400.0, 500.0])
+_HIST_QS = (0.5, 0.9, 0.99)
+
+
+def _add_day(batch: pa.Table) -> pa.Table:
+    return batch.append_column("day", pc.floor_temporal(batch["ts"], unit="day"))
+
+
+def _hist_partial_arrow(b: pa.Table) -> pa.Table:
+    """Arrow-native histogram combiner: per-batch (event_type, day,
+    le_idx) counts. This is the canonical TSDB continuous-aggregate
+    sketch — a FIXED-size mergeable vector per key, so partials are
+    bounded by key-space x #buckets regardless of row count, and merging
+    is an exact integer sum under any partitioning."""
+    et = pc.dictionary_encode(b["event_type"]).combine_chunks()
+    codes = et.indices.to_numpy().astype(np.int64)
+    names = et.dictionary
+    day = b["day"].combine_chunks().to_numpy()
+    val = b["value"].to_numpy(zero_copy_only=False)
+    nb = len(_HIST_BOUNDS)
+    # bucket i holds values in (bounds[i-1], bounds[i]]; clamp overflow
+    idx = np.minimum(np.searchsorted(_HIST_BOUNDS, val, side="left"), nb - 1)
+    ud, dinv = np.unique(day, return_inverse=True)
+    key = (codes * len(ud) + dinv) * nb + idx
+    order, starts, uk = _grouped_reduceat(key)
+    return pa.table(
+        {
+            "event_type": names.take(pa.array(uk // (len(ud) * nb))),
+            "day": pa.array(ud[(uk // nb) % len(ud)]),
+            "le_idx": (uk % nb).astype(np.int64),
+            "n": np.diff(np.r_[starts, len(key)]).astype(np.int64),
+        }
+    )
+
+
+def _hist_partials_df(sf_dir: str) -> pd.DataFrame:
+    """(event_type, day, le_idx) -> n, merged by the bounded-key fan-in
+    tree (#types x #days x 10 buckets rows — never a hash exchange)."""
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+    parts = ds.map_batches(_add_day, batch_format="pyarrow").map_batches(
+        _hist_partial_arrow, batch_format="pyarrow"
+    )
+    return merge_partials(parts, ["event_type", "day", "le_idx"], {"n": "sum"})
+
+
+def value_histogram_daily(sf_dir: str) -> pd.DataFrame:
+    """Dense daily value histogram per event_type: one row per
+    (event_type, day, le) with the bucket count and the cumulative
+    count — the exact storage layout a continuous aggregate would
+    persist (all buckets materialized, so tier merges are blind
+    vector adds)."""
+    df = _hist_partials_df(sf_dir)
+    nb = len(_HIST_BOUNDS)
+    grid = df[["event_type", "day"]].drop_duplicates()
+    dense = grid.merge(
+        pd.DataFrame({"le_idx": np.arange(nb, dtype=np.int64)}), how="cross"
+    )
+    out = dense.merge(df, on=["event_type", "day", "le_idx"], how="left")
+    out["bucket_n"] = out["n"].fillna(0).astype("int64")
+    out = out.sort_values(["event_type", "day", "le_idx"], kind="mergesort")
+    out["cum_n"] = (
+        out.groupby(["event_type", "day"], sort=False)["bucket_n"].cumsum().astype("int64")
+    )
+    out["le"] = _HIST_BOUNDS[out["le_idx"].to_numpy()]
+    return out[["event_type", "day", "le", "bucket_n", "cum_n"]].reset_index(drop=True)
+
+
+VALUE_HISTOGRAM_SQL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CASE WHEN value <= 5 THEN 5.0 WHEN value <= 10 THEN 10.0
+              WHEN value <= 20 THEN 20.0 WHEN value <= 50 THEN 50.0
+              WHEN value <= 100 THEN 100.0 WHEN value <= 150 THEN 150.0
+              WHEN value <= 200 THEN 200.0 WHEN value <= 300 THEN 300.0
+              WHEN value <= 400 THEN 400.0 ELSE 500.0 END AS le,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3),
+grid AS (SELECT DISTINCT event_type, day FROM counts),
+bounds AS (SELECT * FROM (VALUES (5.0), (10.0), (20.0), (50.0), (100.0),
+                                 (150.0), (200.0), (300.0), (400.0), (500.0)) AS t(le)),
+dense AS (
+  SELECT g.event_type, g.day, b.le, COALESCE(c.n, 0) AS n
+  FROM grid g CROSS JOIN bounds b
+  LEFT JOIN counts c ON c.event_type = g.event_type AND c.day = g.day AND c.le = b.le)
+SELECT event_type, day, le,
+       CAST(n AS BIGINT) AS bucket_n,
+       CAST(sum(n) OVER (PARTITION BY event_type, day ORDER BY le) AS BIGINT) AS cum_n
+FROM dense
+"""
+
+
+def histogram_quantile(sf_dir: str) -> pd.DataFrame:
+    """p50/p90/p99 per (event_type, day) estimated FROM the histogram
+    sketch with Prometheus ``histogram_quantile`` semantics: find the
+    bucket holding rank q*total, linearly interpolate inside it
+    (lowest bucket interpolates from 0). The float expression below is
+    written in the exact association the SQL oracle uses, so values
+    hash-match bit-for-bit."""
+    df = _hist_partials_df(sf_dir)
+    nb = len(_HIST_BOUNDS)
+    rows = {"event_type": [], "day": [], "q": [], "quantile": []}
+    for (et, day), g in df.groupby(["event_type", "day"], sort=False):
+        g = g.sort_values("le_idx", kind="mergesort")
+        idxs = g["le_idx"].to_numpy()
+        n = g["n"].to_numpy().astype(np.int64)
+        cum = np.cumsum(n)
+        total = float(cum[-1])
+        for q in _HIST_QS:
+            r = q * total
+            i = int(np.searchsorted(cum, r, side="left"))  # first cum >= r
+            j = int(idxs[i])
+            lo = 0.0 if j == 0 else float(_HIST_BOUNDS[j - 1])
+            hi = float(_HIST_BOUNDS[j])
+            cbelow = float(cum[i] - n[i])
+            rows["event_type"].append(et)
+            rows["day"].append(day)
+            rows["q"].append(q)
+            rows["quantile"].append(lo + (hi - lo) * (r - cbelow) / float(n[i]))
+    return pd.DataFrame(rows)
+
+
+HISTOGRAM_QUANTILE_SQL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CASE WHEN value <= 5 THEN 0 WHEN value <= 10 THEN 1
+              WHEN value <= 20 THEN 2 WHEN value <= 50 THEN 3
+              WHEN value <= 100 THEN 4 WHEN value <= 150 THEN 5
+              WHEN value <= 200 THEN 6 WHEN value <= 300 THEN 7
+              WHEN value <= 400 THEN 8 ELSE 9 END AS idx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3),
+cum AS (
+  SELECT event_type, day, idx, n,
+         sum(n) OVER (PARTITION BY event_type, day ORDER BY idx) AS cum,
+         sum(n) OVER (PARTITION BY event_type, day) AS total
+  FROM counts),
+bounds AS (SELECT * FROM (VALUES
+  (0, 0.0, 5.0), (1, 5.0, 10.0), (2, 10.0, 20.0), (3, 20.0, 50.0),
+  (4, 50.0, 100.0), (5, 100.0, 150.0), (6, 150.0, 200.0), (7, 200.0, 300.0),
+  (8, 300.0, 400.0), (9, 400.0, 500.0)) AS t(idx, lo, hi)),
+sel AS (
+  SELECT c.event_type, c.day, q.q,
+         q.q * CAST(c.total AS DOUBLE) AS r,
+         b.lo, b.hi, CAST(c.n AS DOUBLE) AS n,
+         CAST(c.cum - c.n AS DOUBLE) AS cbelow, c.idx
+  FROM cum c JOIN bounds b ON b.idx = c.idx
+  CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS q(q)
+  WHERE CAST(c.cum AS DOUBLE) >= q.q * CAST(c.total AS DOUBLE))
+SELECT event_type, day, q,
+       arg_min(lo + (hi - lo) * (r - cbelow) / n, idx) AS quantile
+FROM sel GROUP BY 1, 2, 3
+"""

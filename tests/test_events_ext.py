@@ -396,3 +396,60 @@ class TestPropsExtractJsonValidity:
         # the kept set is exactly {5, 11, 17, -4}
         assert int(got["n"].sum()) == 4
         assert int(got["sum_k"].sum()) == 5 + 11 + 17 - 4
+
+
+class TestValueHistogram:
+    def test_vs_sql(self, ray_session):
+        got = _canon(_run(events.value_histogram_daily))
+        want = _canon(_duck(events.VALUE_HISTOGRAM_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # dense layout: every (type, day) carries all 10 buckets, cum is
+        # monotone and ends at the group total
+        g = _run(events.value_histogram_daily)
+        sizes = g.groupby(["event_type", "day"])["le"].size()
+        assert (sizes == len(events._HIST_BOUNDS)).all()
+        for _, grp in g.groupby(["event_type", "day"]):
+            cn = grp.sort_values("le")["cum_n"].to_numpy()
+            assert (np.diff(cn) >= 0).all()
+            assert cn[-1] == grp["bucket_n"].sum()
+
+    def test_quantile_vs_sql(self, ray_session):
+        got = _canon(_run(events.histogram_quantile))
+        want = _canon(_duck(events.HISTOGRAM_QUANTILE_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_hand_built_interpolation(self, ray_session, tmp_path):
+        # type a: values [5, 5, 7.5, 600] -> buckets idx0 x2, idx1, idx9
+        # (600 clamps into the last bucket); type b: one tiny value ->
+        # first-bucket interpolation from lo=0.
+        base = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                "event_id": range(5),
+                "ts": [base] * 5,
+                "user_id": [1] * 5,
+                "event_type": ["a", "a", "a", "a", "b"],
+                "value": [5.0, 5.0, 7.5, 600.0, 0.01],
+                "props": [""] * 5,
+            }
+        )
+        df.to_parquet(tmp_path / "events.parquet")
+        hist = events.value_histogram_daily(str(tmp_path))
+        a = hist[hist["event_type"] == "a"].sort_values("le")
+        np.testing.assert_array_equal(
+            a["bucket_n"].to_numpy(), [2, 1, 0, 0, 0, 0, 0, 0, 0, 1]
+        )
+        np.testing.assert_array_equal(
+            a["cum_n"].to_numpy(), [2, 3, 3, 3, 3, 3, 3, 3, 3, 4]
+        )
+        q = events.histogram_quantile(str(tmp_path))
+        qa = {r["q"]: r["quantile"] for _, r in q[q["event_type"] == "a"].iterrows()}
+        # p50: rank 2.0 lands in bucket (0,5], 2 of 2 below -> 5.0
+        assert qa[0.5] == 5.0
+        # p90: rank 3.6 in the clamp bucket (400,500], 3 below, n=1
+        assert qa[0.9] == 400.0 + 100.0 * 0.6
+        assert qa[0.99] == 400.0 + 100.0 * (3.96 - 3.0)
+        qb = {r["q"]: r["quantile"] for _, r in q[q["event_type"] == "b"].iterrows()}
+        # single value in the lowest bucket: quantile = 5*q (lo=0 rule)
+        for qq in (0.5, 0.9, 0.99):
+            assert qb[qq] == 5.0 * qq
