@@ -998,3 +998,48 @@ class TestLateArrivalRefresh:
         assert 0 < len(dk) < total_groups // 2  # sparse
         watermark_bucket = int(full["bucket"].max())
         assert (dk["bucket"] < watermark_bucket).any()  # below the watermark
+
+
+class TestTaskRetryBitExact:
+    def test_worker_crash_retry_bit_identical(self, ray_session, tmp_path):
+        """Kill ONE worker process mid-pipeline (os._exit from inside a
+        map_batches task) and let Ray's task retry re-execute its
+        lineage: tier-0 output must stay BIT-identical to the fault-free
+        run. This is the at-scale claim the member-order-deterministic
+        accumulation (kernels/dba_scan) makes testable — retries can
+        re-partition/reorder work arbitrarily without changing a bit."""
+        from dtaidistance_ray.stages.rollup import bucketize
+        from dtaidistance_ray.stages.rollup_scan import scan_rollup_base_tier
+        import pyarrow as pa
+
+        base = _canon(
+            scan_rollup_base_tier(
+                bucketize(token_table(SPEC, override_num_blocks=6), CFG.tier_widths[0], SPEC),
+                CFG,
+            ).to_pandas()
+        )
+
+        marker = str(tmp_path / "crash_once")
+
+        def crash_once(batch: pa.Table) -> pa.Table:
+            import os as _os
+
+            try:
+                fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL)
+                _os.close(fd)
+            except FileExistsError:
+                return batch
+            _os._exit(1)  # hard worker death, not an application exception
+
+        ds = token_table(SPEC, override_num_blocks=6).map_batches(
+            crash_once, batch_format="pyarrow"
+        )
+        got = _canon(
+            scan_rollup_base_tier(bucketize(ds, CFG.tier_widths[0], SPEC), CFG).to_pandas()
+        )
+        assert os.path.exists(marker), "fault never fired"
+        assert len(got) == len(base)
+        for col in ("source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
+            assert (got[col].to_numpy() == base[col].to_numpy()).all(), col
+        for a, b in zip(got["repr_series"], base["repr_series"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
