@@ -486,6 +486,57 @@ class TestIncrementalRefresh:
         )
 
 
+class TestSequentialMicroBatchIngest:
+    def test_four_microbatches_bit_equal_to_one_shot(self, ray_session):
+        """Streaming micro-batch loop: ingest the table as four
+        time-ordered deltas, each applied with refresh_tier0 against the
+        running tier-0 state; the final state must be bit-identical to
+        the one-shot batch rollup. This is the continuous-ingest story
+        (arrivals -> dirty buckets -> incremental recompute) iterated,
+        not just a single refresh step."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dtaidistance_ray.pipelines.refresh import refresh_tier0
+        from dtaidistance_ray.sources.synth import derive_ts, token_table_arrow
+        from dtaidistance_ray.stages.rollup import bucketize
+        from dtaidistance_ray.stages.rollup_scan import scan_rollup_base_tier
+
+        at = token_table_arrow(SPEC)
+        ids = np.array([int(d[1:]) for d in at["doc_id"].to_pylist()], dtype=np.int64)
+        ts = derive_ts(ids, SPEC)
+        at = at.append_column("ts", pa.array(ts, pa.int64()))
+        qs = np.quantile(ts, [0.25, 0.5, 0.75]).astype(np.int64)
+        edges = [ts.min() - 1, *qs.tolist(), ts.max() + 1]
+        slices = [
+            at.filter(pa.array((ts > edges[i]) & (ts <= edges[i + 1])))
+            for i in range(4)
+        ]
+        assert all(s.num_rows > 0 for s in slices)
+
+        state = scan_rollup_base_tier(
+            bucketize(rd.from_arrow(slices[0]), 3600, SPEC), CFG
+        ).materialize()
+        seen = slices[0]
+        for delta_tbl in slices[1:]:
+            seen = pa.concat_tables([seen, delta_tbl])
+            state, _ = refresh_tier0(
+                state, rd.from_arrow(seen), rd.from_arrow(delta_tbl), CFG, SPEC
+            )
+            state = state.materialize()
+
+        full = scan_rollup_base_tier(bucketize(rd.from_arrow(at), 3600, SPEC), CFG)
+        got = _canon(state.to_pandas())
+        want = _canon(full.to_pandas())
+        assert len(got) == len(want)
+        for col in ["source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]:
+            assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+        for col in ["agg_token_min", "agg_token_max", "agg_token_mean"]:
+            np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy())
+        for a, b in zip(got["repr_series"], want["repr_series"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestSourceAnalytics:
     def test_coactivity_bounds(self, ray_session):
         import __ray_entry__ as E
