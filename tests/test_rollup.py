@@ -1094,3 +1094,52 @@ class TestTaskRetryBitExact:
             assert (got[col].to_numpy() == base[col].to_numpy()).all(), col
         for a, b in zip(got["repr_series"], base["repr_series"]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTaskRetryFullPath:
+    def test_worker_crash_full_flagship_path_bit_identical(self, ray_session, tmp_path):
+        """Same worker-death injection, but through the WHOLE flagship
+        DAG — tier-0 scan plus the fused downstream pass (tier
+        promotion, gap-fill, Gorilla encode) — so the retry exercises
+        the actor-pool / map_groups stages too. Every tier row,
+        including encoded payload bytes, must be bit-identical."""
+        import pyarrow as pa
+        from dtaidistance_ray.pipelines.flagship import downstream_fused
+        from dtaidistance_ray.stages.rollup import bucketize
+        from dtaidistance_ray.stages.rollup_scan import scan_rollup_base_tier
+
+        spec = TokenTableSpec(num_rows=150, num_sources=4, max_len=32, ts_span=12 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 7200), dba_max_it=2)
+
+        def full(ds):
+            tier0 = scan_rollup_base_tier(bucketize(ds, cfg.tier_widths[0], spec), cfg)
+            df = downstream_fused(tier0, cfg).to_pandas()
+            df["repr_series"] = df["repr_series"].map(
+                lambda v: tuple(np.asarray(v, dtype=np.float64))
+            )
+            df["repr_gorilla"] = df["repr_gorilla"].map(bytes)
+            return df.sort_values(
+                ["tier", "source", "bucket"], kind="mergesort"
+            ).reset_index(drop=True)
+
+        base = full(token_table(spec, override_num_blocks=5))
+
+        marker = str(tmp_path / "crash_once_full")
+
+        def crash_once(batch: pa.Table) -> pa.Table:
+            import os as _os
+
+            try:
+                fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL)
+                _os.close(fd)
+            except FileExistsError:
+                return batch
+            _os._exit(1)
+
+        got = full(
+            token_table(spec, override_num_blocks=5).map_batches(
+                crash_once, batch_format="pyarrow"
+            )
+        )
+        assert os.path.exists(marker), "fault never fired"
+        pd.testing.assert_frame_equal(got, base, check_dtype=False)
