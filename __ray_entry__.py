@@ -2296,6 +2296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rfm": events.user_rfm_segments,
         "events_value_histogram_daily": events.value_histogram_daily,
         "events_histogram_quantile": events.histogram_quantile,
+        "events_slo_burn_rate": events.slo_burn_rate,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -2453,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_rfm": events.RFM_SQL,
         "events_value_histogram_daily": events.VALUE_HISTOGRAM_SQL,
         "events_histogram_quantile": events.HISTOGRAM_QUANTILE_SQL,
+        "events_slo_burn_rate": events.SLO_BURN_RATE_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

@@ -2736,3 +2736,118 @@ SELECT event_type, day, q,
        arg_min(lo + (hi - lo) * (r - cbelow) / n, idx) AS quantile
 FROM sel GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# SLO multi-window burn rate (SRE error-budget alerting)
+# ---------------------------------------------------------------------------
+
+
+def _slo_partial_arrow(threshold: float):
+    def partial(b: pa.Table) -> pa.Table:
+        et = pc.dictionary_encode(b["event_type"]).combine_chunks()
+        codes = et.indices.to_numpy().astype(np.int64)
+        names = et.dictionary
+        buck = b["bucket"].combine_chunks().to_numpy()
+        val = b["value"].to_numpy(zero_copy_only=False)
+        bad = (val > threshold).astype(np.int64)
+        ub, binv = np.unique(buck, return_inverse=True)
+        key = codes * len(ub) + binv
+        order, starts, uk = _grouped_reduceat(key)
+        return pa.table(
+            {
+                "event_type": names.take(pa.array(uk // len(ub))),
+                "bucket": pa.array(ub[uk % len(ub)]),
+                "n": np.diff(np.r_[starts, len(key)]).astype(np.int64),
+                "bad": np.add.reduceat(bad[order], starts),
+            }
+        )
+
+    return partial
+
+
+def slo_burn_rate(
+    sf_dir: str,
+    window_h: int = 24,
+    threshold: float = 100.0,
+    alert_factor: float = 2.0,
+) -> pd.DataFrame:
+    """Multi-window SLO burn rate: per (event_type, hour), the 1-hour
+    bad-event ratio (value > threshold) over the trailing
+    ``window_h``-hour ratio — the SRE error-budget alerting pattern
+    (a burn > alert_factor means the budget is burning faster than the
+    long window's run rate). Hours with no traffic or an all-good long
+    window are omitted (ratio undefined), matching the oracle's WHERE.
+
+    Scale shape: raw events reduce to (type, hour, n, bad) combiner
+    partials merged by the bounded-key fan-in tree; the window pass is
+    an exact integer prefix-sum over the gap-filled per-type grid
+    (#types x #hours rows, independent of event count)."""
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+    parts = ds.map_batches(_add_hour, batch_format="pyarrow").map_batches(
+        _slo_partial_arrow(threshold), batch_format="pyarrow"
+    )
+    hourly = merge_partials(
+        parts, ["event_type", "bucket"], {"n": "sum", "bad": "sum"}
+    )
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort")
+        grid = pd.date_range(g["bucket"].min(), g["bucket"].max(), freq="h")
+        idx = g.set_index("bucket").reindex(grid)
+        n = idx["n"].fillna(0).to_numpy(np.int64)
+        bad = idx["bad"].fillna(0).to_numpy(np.int64)
+        cn, cb = np.cumsum(n), np.cumsum(bad)
+        n24 = cn - np.r_[np.zeros(min(window_h, len(cn)), np.int64), cn[:-window_h]][: len(cn)]
+        bad24 = cb - np.r_[np.zeros(min(window_h, len(cb)), np.int64), cb[:-window_h]][: len(cb)]
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "bucket": grid,
+                "n": n,
+                "bad": bad,
+                "n_24": n24,
+                "bad_24": bad24,
+            }
+        )
+        out = out[(out["n"] > 0) & (out["bad_24"] > 0)].reset_index(drop=True)
+        # written in the oracle's exact float association for bit parity
+        out["burn_rate"] = (
+            out["bad"].to_numpy(np.float64) / out["n"].to_numpy()
+        ) / (out["bad_24"].to_numpy(np.float64) / out["n_24"].to_numpy())
+        out["alert"] = out["burn_rate"] > alert_factor
+        return out
+
+    return _per_type(hourly, per_type)
+
+
+SLO_BURN_RATE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS bad
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type, g.bucket,
+         CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+         CAST(coalesce(h.bad, 0) AS BIGINT) AS bad
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.bucket = h.bucket
+), win AS (
+  SELECT event_type, bucket, n, bad,
+         CAST(sum(n) OVER w AS BIGINT) AS n_24,
+         CAST(sum(bad) OVER w AS BIGINT) AS bad_24
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket, n, bad, n_24, bad_24,
+       (CAST(bad AS DOUBLE) / n) / (CAST(bad_24 AS DOUBLE) / n_24) AS burn_rate,
+       (CAST(bad AS DOUBLE) / n) / (CAST(bad_24 AS DOUBLE) / n_24) > 2.0 AS alert
+FROM win WHERE n > 0 AND bad_24 > 0
+"""

@@ -453,3 +453,43 @@ class TestValueHistogram:
         # single value in the lowest bucket: quantile = 5*q (lo=0 rule)
         for qq in (0.5, 0.9, 0.99):
             assert qb[qq] == 5.0 * qq
+
+
+class TestSloBurnRate:
+    def test_vs_sql(self, ray_session):
+        got = _canon(_run(events.slo_burn_rate))
+        want = _canon(_duck(events.SLO_BURN_RATE_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        g = _run(events.slo_burn_rate)
+        assert (g["bad"] <= g["n"]).all() and (g["bad_24"] <= g["n_24"]).all()
+        assert (g["burn_rate"] >= 0).all()
+
+    def test_hand_built_alert(self, ray_session, tmp_path):
+        # 24 steady hours (3 events, 1 bad each) then an hour of 100%
+        # bad: burn = (3/3)/(26/72) > 2 fires the alert ONLY there.
+        base = pd.Timestamp("2024-01-01")
+        rows = []
+        for h in range(24):
+            rows += [(base + pd.Timedelta(hours=h), 200.0)]
+            rows += [(base + pd.Timedelta(hours=h, minutes=m), 1.0) for m in (10, 20)]
+        rows += [(base + pd.Timedelta(hours=24, minutes=m), 200.0) for m in (0, 10, 20)]
+        df = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [r[0] for r in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["a"] * len(rows),
+                "value": [r[1] for r in rows],
+                "props": [""] * len(rows),
+            }
+        )
+        df.to_parquet(tmp_path / "events.parquet")
+        got = events.slo_burn_rate(str(tmp_path))
+        assert len(got) == 25
+        spike = got[got["bucket"] == base + pd.Timedelta(hours=24)].iloc[0]
+        assert spike["n"] == 3 and spike["bad"] == 3
+        assert spike["n_24"] == 72 and spike["bad_24"] == 26
+        assert spike["alert"] and spike["burn_rate"] == (3.0 / 3) / (26.0 / 72)
+        rest = got[got["bucket"] != base + pd.Timedelta(hours=24)]
+        assert not rest["alert"].any()
+        assert (rest["burn_rate"] == 1.0).all()
