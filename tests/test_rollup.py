@@ -1143,3 +1143,65 @@ class TestTaskRetryFullPath:
         )
         assert os.path.exists(marker), "fault never fired"
         pd.testing.assert_frame_equal(got, base, check_dtype=False)
+
+
+class TestTaskRetryWritePath:
+    def test_worker_crash_during_shard_write_store_consistent(self, ray_session, tmp_path):
+        """Sink-side fault injection: a write task dies AFTER leaving a
+        half-written tmp dir but BEFORE the atomic rename; Ray's retry
+        re-runs the write. The store must end fully consistent — every
+        shard's manifest validates, the orphan tmp dir is ignored by
+        completed_shards, and total persisted rows equal the tier's."""
+        import pyarrow as pa
+        from dtaidistance_ray.pipelines.flagship import build_tiers, source_shard
+        from dtaidistance_ray.state.checkpoint import completed_shards, write_shard_atomic
+
+        spec = TokenTableSpec(num_rows=150, num_sources=4, max_len=32, ts_span=12 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 7200), dba_max_it=1)
+        out = str(tmp_path / "store")
+        marker = str(tmp_path / "crash_write")
+        num_shards = 4
+
+        tier0 = encode_tier(gap_fill_tier(build_tiers(token_table(spec), spec, cfg)[0]), 3600)
+        expect_rows = tier0.count()
+
+        def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+            b["shard"] = [source_shard(s, num_shards) for s in b["source"]]
+            return b
+
+        def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+            import os as _os
+
+            shard = int(g["shard"].iloc[0])
+            try:
+                fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL)
+                _os.close(fd)
+                # die mid-write: orphan tmp dir, final rename never runs
+                tmpdir = f"{out}/tier=0/shard={shard}.tmp-dead"
+                _os.makedirs(tmpdir, exist_ok=True)
+                with open(f"{tmpdir}/part-0.parquet", "wb") as f:
+                    f.write(b"partial garbage")
+                _os._exit(1)
+            except FileExistsError:
+                pass
+            g = g.sort_values(["source", "bucket"], kind="mergesort").drop(columns=["shard"])
+            t = pa.Table.from_pandas(g, preserve_index=False)
+            m = write_shard_atomic(out, 0, shard, t, "h", "fp", 0.0)
+            return pd.DataFrame({"shard": [m.shard], "rows": [m.num_rows]})
+
+        written = (
+            tier0.map_batches(add_shard, batch_format="pandas")
+            .groupby("shard")
+            .map_groups(write_shard, batch_format="pandas")
+            .to_pandas()
+        )
+        assert os.path.exists(marker), "fault never fired"
+        assert written["rows"].sum() == expect_rows
+        done = completed_shards(out, 0, "h", "fp")
+        assert done == set(written["shard"]), "orphan tmp confused the manifest scan"
+        # every persisted shard parquet is readable and row-complete
+        total = 0
+        for s in sorted(done):
+            t = pd.read_parquet(f"{out}/tier=0/shard={s}/part-0.parquet")
+            total += len(t)
+        assert total == expect_rows
