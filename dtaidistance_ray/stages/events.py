@@ -113,6 +113,8 @@ def _grouped_reduceat(key: np.ndarray):
     (np.bincount's float64 weights path would round above 2^53)."""
     order = np.argsort(key, kind="stable")
     sk = key[order]
+    if not len(sk):  # empty batch: every downstream reduceat/take no-ops
+        return order, np.array([], dtype=np.int64), sk
     starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
     return order, starts, sk[starts]
 

@@ -493,3 +493,22 @@ class TestSloBurnRate:
         rest = got[got["bucket"] != base + pd.Timedelta(hours=24)]
         assert not rest["alert"].any()
         assert (rest["burn_rate"] == 1.0).all()
+
+
+class TestEmptyBatchCombiners:
+    def test_arrow_combiners_accept_empty_batches(self):
+        # Ray Data can hand a combiner an empty block (empty input file,
+        # upstream filter); the shared reduceat helper must no-op.
+        import pyarrow as pa
+
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.timestamp("us")),
+                "day": pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        assert events._hourly_partial_arrow(empty).num_rows == 0
+        assert events._hist_partial_arrow(empty).num_rows == 0
+        assert events._slo_partial_arrow(100.0)(empty).num_rows == 0
