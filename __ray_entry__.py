@@ -2025,6 +2025,20 @@ def _q_multimodal_audio_features(sf_dir: str):
     return audio_features(rd.from_arrow(synth_media_table_real(90, seed=11)))
 
 
+def _q_multimodal_audio_g711(sf_dir: str):
+    """REAL compressed-audio decode: G.711 mu-law / A-law and IMA
+    ADPCM WAV payloads (format tags 7/6/0x11) decoded by own codecs
+    (codec/g711.py, codec/ima_adpcm.py — exhaustively byte-equal to
+    CPython's independent audioop implementation in tests) -> rms /
+    zero-crossing rate / dominant frequency. Golden verified by an
+    audioop-based independent decode in tools/make_goldens.py."""
+    import ray.data as rd
+
+    from dtaidistance_ray.stages.multimodal import audio_features, synth_audio_table_g711
+
+    return audio_features(rd.from_arrow(synth_audio_table_g711(90, seed=13)))
+
+
 def _q_explain_pairs(sf_dir: str):
     """DSW warping-path explanations (stages/explain.py ExplainPair)
     for token sequence pairs — one row per simplified segment."""
@@ -2235,6 +2249,7 @@ GOLDEN_QUERIES = (
     "explain_pairs_tokens",
     "multimodal_decode_real",
     "multimodal_audio_features",
+    "multimodal_audio_g711",
     "ann_ivf_topk",
     "ann_pq_topk",
     "tokens_rollup_payload_crc",
@@ -2368,6 +2383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_pairs_tokens": _q_explain_pairs,
         "multimodal_decode_real": _q_multimodal_decode_real,
         "multimodal_audio_features": _q_multimodal_audio_features,
+        "multimodal_audio_g711": _q_multimodal_audio_g711,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,
         # vocabulary analytics (corpus-scale text ops)

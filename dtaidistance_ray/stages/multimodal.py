@@ -13,8 +13,11 @@ and WAV (PCM16) are decoded/encoded here in pure NumPy byte parsing
 codecs. PNG (zlib inflate + all five scanline filters, incl. Paeth) is
 also decoded for real with stdlib zlib + NumPy, as is baseline JPEG
 (sequential DCT, Huffman entropy coding, 4:4:4 / 4:2:0 — see
-codec/jpeg.py). The remaining compressed codecs (opus/h264) are
-declared stubs:
+codec/jpeg.py). Compressed audio is real too: G.711 mu-law/A-law and
+IMA ADPCM WAV payloads (format tags 7/6/0x11) decode through own
+codecs (codec/g711.py, codec/ima_adpcm.py) asserted byte-exact
+against CPython's independent `audioop` implementation in tests. The
+remaining compressed codecs (opus/h264) are declared stubs:
 ``DecodeImage.decode_real`` raises NotImplementedError for them and
 the default path substitutes a deterministic fake decode (seeded by
 the payload hash) so the Ray-side plumbing — schema, batch sizing,
@@ -262,22 +265,75 @@ def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
     return hdr + data
 
 
+def encode_wav_g711(samples: np.ndarray, rate: int = 8000, law: str = "ulaw") -> bytes:
+    """int16 mono samples -> RIFF/WAVE with G.711 companding
+    (format tag 7 = mu-law, 6 = A-law; 8 bits per sample)."""
+    from ..codec.g711 import ulaw_encode, alaw_encode
+
+    fmt_tag = 7 if law == "ulaw" else 6
+    data = (ulaw_encode if law == "ulaw" else alaw_encode)(samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHHH4sII4sI",
+        b"RIFF", 50 + len(data), b"WAVE",
+        b"fmt ", 18, fmt_tag, 1, rate, rate, 1, 8, 0,
+        b"fact", 4, len(data),
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def encode_wav_ima_adpcm(samples: np.ndarray, rate: int = 8000, block_align: int = 256) -> bytes:
+    """int16 mono samples -> RIFF/WAVE IMA ADPCM (format tag 0x11),
+    standard block layout (4-byte header + low-nibble-first codes)."""
+    from ..codec.ima_adpcm import encode_wav_blocks
+
+    n = len(samples)
+    data, spb = encode_wav_blocks(samples, block_align)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHHHH4sII4sI",
+        b"RIFF", 52 + len(data), b"WAVE",
+        b"fmt ", 20, 0x11, 1, rate, rate * block_align // spb, block_align, 4, 2, spb,
+        b"fact", 4, n,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
 def decode_wav(payload: bytes):
-    """RIFF/WAVE PCM16 mono -> (samples int16 array, sample rate)."""
+    """RIFF/WAVE mono -> (samples int16 array, sample rate).
+
+    Handles format tags 1 (PCM16), 6 (A-law), 7 (mu-law) and
+    0x11 (IMA ADPCM) via the own-implementation codecs in codec/."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
     rate = None
+    fmt = None
+    block_align = None
+    fact_samples = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt ":
-            fmt, channels, rate = struct.unpack_from("<HHI", payload, pos + 8)
-            if fmt != 1 or channels != 1:
-                raise ValueError("only PCM16 mono supported")
+            fmt, channels, rate, _brate, block_align = struct.unpack_from("<HHIIH", payload, pos + 8)
+            if fmt not in (1, 6, 7, 0x11) or channels != 1:
+                raise ValueError("unsupported WAV format/channels")
+        elif cid == b"fact":
+            fact_samples = struct.unpack_from("<I", payload, pos + 8)[0]
         elif cid == b"data":
-            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=pos + 8)
-            return samples, rate
+            raw = payload[pos + 8 : pos + 8 + size]
+            if fmt == 1:
+                return np.frombuffer(raw, dtype="<i2", count=size // 2), rate
+            if fmt in (6, 7):
+                from ..codec.g711 import alaw_decode, ulaw_decode
+
+                dec = ulaw_decode(raw) if fmt == 7 else alaw_decode(raw)
+                return dec[: fact_samples if fact_samples else len(dec)], rate
+            from ..codec.ima_adpcm import decode_wav_blocks
+
+            spb = (block_align - 4) * 2 + 1
+            n = fact_samples if fact_samples is not None else (len(raw) // block_align) * spb
+            return decode_wav_blocks(raw, block_align, n), rate
         pos += 8 + size + (size & 1)
     raise ValueError("no data chunk")
 
@@ -360,16 +416,50 @@ def synth_media_table_real(n: int, seed: int = 0) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+#: audio codecs the stage decodes for real (all carried in WAV
+#: containers; the codec column distinguishes the companding scheme)
+REAL_AUDIO_CODECS = frozenset({"wav", "ulaw", "alaw", "adpcm"})
+
+
+def synth_audio_table_g711(n: int, seed: int = 0) -> pa.Table:
+    """Audio corpus of REAL compressed payloads: seeded waveforms
+    encoded as G.711 mu-law / A-law and IMA ADPCM WAV files (format
+    tags 7/6/0x11) by the own encoders — the decode stage undoes the
+    companding for real. Rate 8000 Hz (the G.711 telephony rate)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")}
+    for i in range(n):
+        rate = 8000
+        n_samp = int(rng.integers(rate // 4, rate))
+        t = np.arange(n_samp) / rate
+        freq = float(rng.uniform(100, 2000))
+        wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+        codec = ("ulaw", "alaw", "adpcm")[i % 3]
+        if codec == "adpcm":
+            payload = encode_wav_ima_adpcm(wave, rate)
+        else:
+            payload = encode_wav_g711(wave, rate, law=codec)
+        rows["media_id"].append(f"a{i:08d}")
+        rows["media_type"].append("audio")
+        rows["payload"].append(payload)
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["duration_ms"].append(int(1000 * n_samp / rate))
+        rows["codec"].append(codec)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 class AudioFeatures:
     """Actor-pool stage: WAV payloads -> (rms, zero-crossing rate,
     dominant frequency via numpy FFT) — a real decode + real features,
-    no audio library needed for PCM WAV."""
+    no audio library needed: PCM16 parses directly, G.711 and IMA
+    ADPCM payloads run through the own codecs in codec/."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for mid, payload, codec in zip(batch["media_id"], batch["payload"], batch["codec"]):
-            if codec != "wav":
-                continue  # compressed codecs stay stubbed
+            if codec not in REAL_AUDIO_CODECS:
+                continue  # opus etc. stay stubbed
             samples, rate = decode_wav(bytes(payload))
             x = samples.astype(np.float64) / 32768.0
             rms = float(np.sqrt(np.mean(x * x)))

@@ -371,6 +371,97 @@ class TestRealMediaCodecs:
         assert ((out["rms"] - 0.2589).abs() < 0.01).all()
         assert out["dominant_hz"].between(90, 2100).all()
 
+    def test_g711_exhaustive_vs_audioop(self):
+        """Own mu-law/A-law tables vs CPython's independent C
+        implementation: ALL 256 code bytes decode equal, ALL 65536
+        int16 values encode equal."""
+        audioop = pytest.importorskip("audioop")
+        from dtaidistance_ray.codec.g711 import (
+            alaw_decode, alaw_encode, ulaw_decode, ulaw_encode,
+        )
+
+        codes = bytes(range(256))
+        np.testing.assert_array_equal(
+            ulaw_decode(codes), np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2"))
+        np.testing.assert_array_equal(
+            alaw_decode(codes), np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2"))
+        allv = np.arange(-32768, 32768, dtype=np.int16)
+        assert ulaw_encode(allv) == audioop.lin2ulaw(allv.tobytes(), 2)
+        assert alaw_encode(allv) == audioop.lin2alaw(allv.tobytes(), 2)
+
+    def test_ima_adpcm_stream_vs_audioop(self):
+        """Own IMA ADPCM recursion vs audioop: encoded bytes AND final
+        (predictor, index) state byte-equal on sines and noise, odd and
+        even lengths; decode of audioop's stream equal too."""
+        audioop = pytest.importorskip("audioop")
+        from dtaidistance_ray.codec import ima_adpcm as ima
+
+        rng = np.random.default_rng(7)
+        for trial in range(8):
+            n = int(rng.integers(10, 3000))
+            if trial % 2:
+                x = rng.integers(-32768, 32768, n).astype(np.int16)
+            else:
+                x = (np.sin(np.linspace(0, rng.uniform(5, 60), n)) * rng.uniform(500, 32000)).astype(np.int16)
+            enc, st = ima.encode_raw(x)
+            ref_enc, ref_st = audioop.lin2adpcm(x.tobytes(), 2, None)
+            assert enc == ref_enc and tuple(st) == ref_st
+            dec, dst = ima.decode_raw(ref_enc)
+            ref_dec, ref_dst = audioop.adpcm2lin(ref_enc, 2, None)
+            np.testing.assert_array_equal(dec, np.frombuffer(ref_dec, dtype="<i2"))
+            assert tuple(dst) == ref_dst
+
+    def test_compressed_wav_containers(self):
+        """WAV format tags 7/6/0x11 decode for real: G.711 payload
+        equals audioop's decode of the companded bytes; IMA ADPCM
+        blocks (low-nibble-first + 4-byte headers) equal audioop run
+        per block after nibble repacking; lossy error bounded."""
+        audioop = pytest.importorskip("audioop")
+        import struct
+
+        from dtaidistance_ray.codec import ima_adpcm as ima
+        from dtaidistance_ray.stages.multimodal import (
+            decode_wav, encode_wav_g711, encode_wav_ima_adpcm,
+        )
+
+        x = (np.sin(np.linspace(0, 50, 5001)) * 15000).astype(np.int16)
+        for law, fn in (("ulaw", audioop.ulaw2lin), ("alaw", audioop.alaw2lin)):
+            wav = encode_wav_g711(x, 8000, law)
+            dec, rate = decode_wav(wav)
+            assert rate == 8000 and len(dec) == len(x)
+            np.testing.assert_array_equal(dec, np.frombuffer(fn(wav[-len(x):], 2), dtype="<i2"))
+        wav = encode_wav_ima_adpcm(x, 8000, block_align=256)
+        dec, rate = decode_wav(wav)
+        assert rate == 8000 and len(dec) == len(x)
+        assert int(np.max(np.abs(dec.astype(np.int32) - x))) < 2000  # lossy but sane
+        # independent per-block check: repack nibbles high-first -> audioop
+        data = wav[wav.rindex(b"data") + 8 :]
+        spb = (256 - 4) * 2 + 1
+        got, pos = [], 0
+        while pos + 4 <= len(data) and len(got) < len(x):
+            first = struct.unpack_from("<h", data, pos)[0]
+            index = data[pos + 2]
+            nib = ima._unpack_low_first(data[pos + 4 : pos + 256])
+            n_body = min(len(x) - len(got) - 1, spb - 1)
+            hf = ima._pack(nib, high_first=True)
+            ref, _ = audioop.adpcm2lin(hf[: (n_body + 1) // 2], 2, (first, index))
+            got.extend([first] + np.frombuffer(ref, dtype="<i2")[:n_body].tolist())
+            pos += 256
+        np.testing.assert_array_equal(np.array(got, dtype=np.int16), dec)
+
+    def test_audio_features_compressed_codecs(self, ray_session):
+        """AudioFeatures decodes ulaw/alaw/adpcm WAV payloads for real:
+        companded sines keep rms ~= PCM16 value and in-band dominant
+        frequency."""
+        import ray.data as rd
+        from dtaidistance_ray.stages.multimodal import audio_features, synth_audio_table_g711
+
+        t = synth_audio_table_g711(12, seed=5)
+        out = audio_features(rd.from_arrow(t)).to_pandas()
+        assert len(out) == 12
+        assert ((out["rms"] - 0.2589).abs() < 0.01).all()
+        assert out["dominant_hz"].between(90, 2100).all()
+
     def test_ndim_pairs_fall_back_to_scalar(self):
         from dtaidistance_ray.kernels.pairs_batch import batched_pair_distances
 

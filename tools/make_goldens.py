@@ -463,6 +463,53 @@ def check_multimodal_audio(got: pd.DataFrame):
     return "direct WAV decode + numpy recompute of rms / dominant frequency"
 
 
+def check_multimodal_audio_g711(got: pd.DataFrame):
+    """Independent decode: CPython's audioop (a separate C
+    implementation of G.711 and IMA ADPCM) undoes the companding —
+    never our own codecs — then numpy recomputes the features."""
+    import audioop
+    import struct
+
+    from dtaidistance_ray.codec import ima_adpcm as ima
+    from dtaidistance_ray.stages.multimodal import synth_audio_table_g711
+
+    t = synth_audio_table_g711(90, seed=13).to_pandas().set_index("media_id")
+    assert len(got) == 90
+    for mid, rms, zcr, dom in zip(got["media_id"], got["rms"], got["zcr"], got["dominant_hz"]):
+        row = t.loc[mid]
+        wav = bytes(row["payload"])
+        codec = row["codec"]
+        data = wav[wav.rindex(b"data") + 8 :]
+        n = struct.unpack_from("<I", wav, wav.rindex(b"fact") + 8)[0]
+        if codec in ("ulaw", "alaw"):
+            fn = audioop.ulaw2lin if codec == "ulaw" else audioop.alaw2lin
+            samples = np.frombuffer(fn(data, 2), dtype="<i2")[:n]
+        else:  # adpcm: repack each block's nibbles high-first for audioop
+            out, pos = [], 0
+            spb = (256 - 4) * 2 + 1
+            while pos + 4 <= len(data) and len(out) < n:
+                first = struct.unpack_from("<h", data, pos)[0]
+                index = data[pos + 2]
+                nib = ima._unpack_low_first(data[pos + 4 : pos + 256])
+                n_body = min(n - len(out) - 1, spb - 1)
+                hf = ima._pack(nib, high_first=True)
+                ref, _ = audioop.adpcm2lin(hf[: (n_body + 1) // 2], 2, (first, index))
+                out.extend([first] + np.frombuffer(ref, dtype="<i2")[:n_body].tolist())
+                pos += 256
+            samples = np.array(out, dtype=np.int16)
+        x = samples.astype(np.float64) / 32768.0
+        assert abs(np.sqrt(np.mean(x * x)) - rms) < 1e-5, mid
+        want_zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        assert abs(want_zcr - zcr) < 1e-5, mid
+        spec = np.abs(np.fft.rfft(x))
+        want = float(np.fft.rfftfreq(len(x), 1.0 / 8000)[int(np.argmax(spec[1:])) + 1])
+        assert abs(want - dom) < 0.05, (mid, dom, want)
+    return (
+        "audioop (CPython's independent G.711/IMA-ADPCM C implementation) decode of "
+        "the companded payloads + numpy recompute of rms/zcr/dominant frequency"
+    )
+
+
 def check_ann_ivf_topk(got: pd.DataFrame):
     # independent recompute: same deterministic centroids (train sample
     # = first train_size rows by storage order), probing, and scoring
@@ -766,6 +813,7 @@ CHECKS = {
     "ann_ivf_topk": check_ann_ivf_topk,
     "multimodal_decode_real": check_multimodal_decode_real,
     "multimodal_audio_features": check_multimodal_audio,
+    "multimodal_audio_g711": check_multimodal_audio_g711,
     "warping_path_lowmem_tokens": check_warping_path_lowmem,
     "warping_path_prob_tokens": check_warping_path_prob,
     "dtw_weighted_matrix": check_dtw_weighted_matrix,
