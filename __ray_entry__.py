@@ -2293,6 +2293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc_hourly": events.ohlc_hourly,
         "events_counter_increase": events.counter_increase,
         "rollup_events_hourly_lerp": events.rollup_hourly_lerp,
+        "rollup_events_hourly_locf": events.rollup_hourly_locf,
+        "events_daily_mann_kendall": events.daily_mann_kendall,
+        "events_seasonal_decompose": events.hourly_seasonal_decompose,
         "events_hourly_ewma": events.hourly_ewma,
         "events_hourly_xcorr_lags": events.hourly_xcorr_lags,
         "events_hourly_cusum": events.hourly_cusum_changepoints,
@@ -2452,6 +2455,9 @@ def oracle_sql() -> dict[str, str]:
         "events_ohlc_hourly": events.OHLC_HOURLY_SQL,
         "events_counter_increase": events.COUNTER_INCREASE_SQL,
         "rollup_events_hourly_lerp": events.ROLLUP_LERP_SQL,
+        "rollup_events_hourly_locf": events.ROLLUP_LOCF_SQL,
+        "events_daily_mann_kendall": events.MANN_KENDALL_SQL,
+        "events_seasonal_decompose": events.SEASONAL_DECOMPOSE_SQL,
         "events_hourly_ewma": events.HOURLY_EWMA_SQL,
         "events_hourly_xcorr_lags": events.HOURLY_XCORR_SQL,
         "events_hourly_cusum": events.HOURLY_CUSUM_SQL,

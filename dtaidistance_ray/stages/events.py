@@ -2853,3 +2853,287 @@ SELECT event_type, bucket, n, bad, n_24, bad_24,
        (CAST(bad AS DOUBLE) / n) / (CAST(bad_24 AS DOUBLE) / n_24) > 2.0 AS alert
 FROM win WHERE n > 0 AND bad_24 > 0
 """
+
+
+def rollup_hourly_locf(sf_dir: str):
+    """LOCF (last-observation-carried-forward) gap-fill of the hourly
+    value-sum series per event_type — the staleness-aware fill a
+    metrics store applies to gauges that only report on change: missing
+    hours repeat the previous observed value and carry an ``age_h``
+    staleness column (hours since the last observation; 0 when
+    present). Complements the zero-fill (counts) and lerp (numeric)
+    gap-fills.
+
+    Exactness: sums travel as int64 cents; both engines emit
+    carried/100.0 (one f64 division of an exact integer) — bit-equal.
+
+    Scale shape: raw events reduce through the distributed combiner +
+    bounded-key fan-in tree; the fill pass runs per event_type over the
+    bounded (type x hour) grid."""
+    hourly = _hourly_partials_df(sf_dir)
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        grid = pd.date_range(g["bucket"].min(), g["bucket"].max(), freq="1h")
+        out = pd.DataFrame({"bucket": grid})
+        out["event_type"] = g["event_type"].iloc[0]
+        out = out.merge(g[["bucket", "cents"]], on="bucket", how="left")
+        h = (out["bucket"].astype("datetime64[s]").astype("int64") // 3600).to_numpy(np.int64)
+        present = out["cents"].notna().to_numpy()
+        c = out["cents"].to_numpy(np.float64)
+        idx = np.arange(len(out))
+        prev = np.maximum.accumulate(np.where(present, idx, -1))  # grid lo is present
+        out["value_sum"] = c[prev] / 100.0
+        out["age_h"] = (h - h[prev]).astype("int64")
+        out["filled"] = (~present).astype("int64")
+        return out[["event_type", "bucket", "value_sum", "age_h", "filled"]]
+
+    return fill_grouped_hourly(hourly, fill)
+
+
+ROLLUP_LOCF_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), joined AS (
+  SELECT g.event_type, g.bucket,
+         CAST(epoch(g.bucket) AS BIGINT) // 3600 AS h,
+         hr.cents
+  FROM grid g LEFT JOIN hourly hr
+    ON g.event_type = hr.event_type AND g.bucket = hr.bucket
+), nb AS (
+  SELECT event_type, bucket, h, cents,
+         last_value(cents IGNORE NULLS) OVER w AS pc,
+         last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER w AS ph
+  FROM joined
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket,
+       CAST(pc AS DOUBLE) / 100.0 AS value_sum,
+       h - ph AS age_h,
+       CAST(cents IS NULL AS BIGINT) AS filled
+FROM nb
+"""
+
+
+def daily_mann_kendall(sf_dir: str):
+    """Mann-Kendall nonparametric trend test per event_type over the
+    gap-filled DAILY counts (summed from the gap-filled hourly grid):
+    S = sum over day pairs i<j of sign(y_j - y_i), Kendall's tau-b
+    (tie-corrected), and the normal-approximation z statistic with the
+    standard tie-corrected variance — the robust "is this series
+    trending" companion to the parametric OLS fit (hourly_trend).
+
+    Exactness: S, the tie counts and both variance terms are exact
+    int64; tau_b and z are evaluated in the same f64 operation order in
+    both engines (one product, one sqrt, one division) — bit-equal.
+    Types whose days are all tied (n0 == n1) are excluded identically.
+
+    Scale shape: raw events -> grid is the distributed combiner + tree
+    merge; the O(days^2) pair scan runs vectorized per type over the
+    bounded day span (150 days -> 11k pairs)."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def mk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort")
+        d = g["bucket"].to_numpy().astype("datetime64[D]")
+        ud, inv = np.unique(d, return_inverse=True)
+        y = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(y, inv, g["n_events"].to_numpy(np.int64))
+        n = len(ud)
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_days": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+                "tau_b": pd.Series(dtype="float64"),
+                "z": pd.Series(dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        diff_sign = np.sign(y[None, :] - y[:, None])
+        s = int(diff_sign[np.triu_indices(n, 1)].sum())
+        _, t = np.unique(y, return_counts=True)
+        t = t.astype(np.int64)
+        n0 = n * (n - 1) // 2
+        n1 = int((t * (t - 1) // 2).sum())
+        if n0 <= n1:  # all days tied: tau/z undefined
+            return empty
+        tau_b = float(s) / np.sqrt(float(n0 - n1) * float(n0))
+        var_num = n * (n - 1) * (2 * n + 5) - int((t * (t - 1) * (2 * t + 5)).sum())
+        var_s = float(var_num) / 18.0
+        if s > 0:
+            z = float(s - 1) / np.sqrt(var_s)
+        elif s < 0:
+            z = float(s + 1) / np.sqrt(var_s)
+        else:
+            z = 0.0
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_days": [int(n)],
+                "s": [s],
+                "tau_b": [tau_b],
+                "z": [z],
+            }
+        )
+
+    return _per_type(hourly, mk)
+
+
+MANN_KENDALL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filledh AS (
+  SELECT g.event_type, g.bucket, CAST(coalesce(h.n_events, 0) AS BIGINT) AS y
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.bucket = h.bucket
+), daily AS (
+  SELECT event_type, date_trunc('day', bucket) AS day,
+         CAST(sum(y) AS BIGINT) AS y
+  FROM filledh GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), svals AS (
+  SELECT event_type, CAST(sum(sg) AS BIGINT) AS s FROM pairs GROUP BY 1
+), nn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1
+), ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tb
+  FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT n.event_type, n.n AS n_days, v.s AS s,
+       CAST(v.s AS DOUBLE)
+         / sqrt(CAST(n.n * (n.n - 1) // 2 - t.n1 AS DOUBLE)
+                * CAST(n.n * (n.n - 1) // 2 AS DOUBLE)) AS tau_b,
+       CASE
+         WHEN v.s > 0 THEN CAST(v.s - 1 AS DOUBLE)
+           / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tb AS DOUBLE) / 18.0)
+         WHEN v.s < 0 THEN CAST(v.s + 1 AS DOUBLE)
+           / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tb AS DOUBLE) / 18.0)
+         ELSE 0.0
+       END AS z
+FROM nn n
+JOIN svals v ON n.event_type = v.event_type
+JOIN ties t ON n.event_type = t.event_type
+WHERE n.n >= 2 AND n.n * (n.n - 1) // 2 > t.n1
+"""
+
+
+def hourly_seasonal_decompose(sf_dir: str):
+    """Classical additive seasonal decomposition of the gap-filled
+    hourly counts per event_type: trend = centered 25-hour moving
+    average (full windows only), seasonal = per hour-of-day mean of the
+    detrended values (uncentered, documented spec), residual =
+    (y - trend) - seasonal. The moving-average + seasonal-means
+    construction is the classical "decompose" step STL refines.
+
+    Exactness: the moving window sum and the per-hod numerators stay
+    exact int64 (seasonal = (25*sum(y) - sum(movsum)) / (25*count) —
+    a single f64 division of exact integers; trend = movsum/25.0), and
+    the residual is evaluated as (y - trend) - seasonal in both engines
+    — bit-equal, no rounding tolerance.
+
+    Scale shape: distributed gap-fill reduction; the decomposition is a
+    bounded per-type vectorized pass (cumsum window + 24-slot fold)."""
+    hourly = rollup_hourly_gapfill(sf_dir)
+
+    def decompose(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        y = g["n_events"].to_numpy(np.int64)
+        n = len(y)
+        cols = ["event_type", "bucket", "n_events", "trend", "seasonal", "resid"]
+        if n < 25:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+                cols, ["object", "datetime64[us]", "int64", "float64", "float64", "float64"])})
+        cs = np.concatenate([[0], np.cumsum(y)])
+        movsum = cs[25:] - cs[:-25]  # full 25h windows, centers 12..n-13
+        center = np.arange(12, n - 12)
+        hod = g["bucket"].dt.hour.to_numpy(np.int64)[center]
+        yy = y[center]
+        s_y = np.zeros(24, dtype=np.int64)
+        s_m = np.zeros(24, dtype=np.int64)
+        cnt = np.zeros(24, dtype=np.int64)
+        np.add.at(s_y, hod, yy)
+        np.add.at(s_m, hod, movsum)
+        np.add.at(cnt, hod, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            seas_tab = (25 * s_y - s_m).astype(np.float64) / (25 * cnt).astype(np.float64)
+        trend = movsum.astype(np.float64) / 25.0
+        seasonal = seas_tab[hod]
+        resid = (yy.astype(np.float64) - trend) - seasonal
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "bucket": g["bucket"].iloc[center].to_numpy(),
+                "n_events": yy,
+                "trend": trend,
+                "seasonal": seasonal,
+                "resid": resid,
+            }
+        )
+
+    return _per_type(hourly, decompose)
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds b
+), filled AS (
+  SELECT g.event_type, g.bucket, CAST(coalesce(h.n_events, 0) AS BIGINT) AS y
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.bucket = h.bucket
+), win AS (
+  SELECT event_type, bucket, y,
+         CAST(sum(y) OVER w AS BIGINT) AS movsum,
+         count(*) OVER w AS wcnt,
+         CAST(extract(hour FROM bucket) AS BIGINT) AS hod
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), full_win AS (
+  SELECT * FROM win WHERE wcnt = 25
+), seas AS (
+  SELECT event_type, hod,
+         CAST(25 * sum(y) - sum(movsum) AS DOUBLE)
+           / CAST(25 * count(*) AS DOUBLE) AS seasonal
+  FROM full_win GROUP BY 1, 2
+), trended AS (
+  SELECT f.event_type, f.bucket, f.y, f.hod,
+         CAST(f.movsum AS DOUBLE) / 25.0 AS trend
+  FROM full_win f
+)
+SELECT t.event_type, t.bucket, t.y AS n_events,
+       t.trend AS trend, s.seasonal AS seasonal,
+       (CAST(t.y AS DOUBLE) - t.trend) - s.seasonal AS resid
+FROM trended t JOIN seas s
+  ON t.event_type = s.event_type AND t.hod = s.hod
+"""

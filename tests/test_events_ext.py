@@ -512,3 +512,79 @@ class TestEmptyBatchCombiners:
         assert events._hourly_partial_arrow(empty).num_rows == 0
         assert events._hist_partial_arrow(empty).num_rows == 0
         assert events._slo_partial_arrow(100.0)(empty).num_rows == 0
+
+
+class TestSession10Timeseries:
+    def test_locf_gapfill(self, ray_session):
+        got = _canon(_run(events.rollup_hourly_locf))
+        want = _canon(_duck(events.ROLLUP_LOCF_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # LOCF semantics: present rows have age 0; filled rows positive
+        assert (got.loc[got["filled"] == 0, "age_h"] == 0).all()
+        assert (got.loc[got["filled"] == 1, "age_h"] > 0).all()
+
+    def test_mann_kendall(self, ray_session):
+        got = _canon(_run(events.daily_mann_kendall))
+        want = _canon(_duck(events.MANN_KENDALL_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got["tau_b"].between(-1, 1).all()
+
+    def test_mann_kendall_hand_values(self):
+        # textbook check on a tiny synthetic grid, engine fed via a
+        # monkeypatched gap-fill: y = [1,2,2,3] over 4 days ->
+        # S = 5, n0 = 6, n1 = 1 (one tied pair)
+        import unittest.mock as um
+
+        hourly = pd.DataFrame(
+            {
+                "event_type": "t",
+                "bucket": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+                ),
+                "n_events": [1, 2, 2, 3],
+            }
+        )
+        with um.patch.object(events, "rollup_hourly_gapfill", lambda sf: hourly):
+            res = events.daily_mann_kendall("unused")
+        assert int(res["s"].iloc[0]) == 5
+        assert int(res["n_days"].iloc[0]) == 4
+        n0, n1 = 6, 1
+        assert res["tau_b"].iloc[0] == 5 / np.sqrt(float(n0 - n1) * float(n0))
+
+    def test_seasonal_decompose(self, ray_session):
+        got = _canon(_run(events.hourly_seasonal_decompose))
+        want = _canon(_duck(events.SEASONAL_DECOMPOSE_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # decomposition identity holds exactly as evaluated
+        lhs = (got["n_events"].astype(float) - got["trend"]) - got["seasonal"]
+        assert np.array_equal(lhs.to_numpy(), got["resid"].to_numpy())
+
+    def test_seasonal_decompose_short_series_excluded(self):
+        # a type with < 25 gap-filled hours contributes no rows
+        import unittest.mock as um
+
+        hourly = pd.DataFrame(
+            {
+                "event_type": "short",
+                "bucket": pd.date_range("2024-01-01", periods=10, freq="1h"),
+                "n_events": np.arange(10),
+            }
+        )
+        with um.patch.object(events, "rollup_hourly_gapfill", lambda sf: hourly):
+            out = events.hourly_seasonal_decompose("unused")
+        assert len(out) == 0
+
+    def test_mann_kendall_constant_series_excluded(self):
+        # all days tied (n0 == n1): tau/z undefined -> excluded, as in SQL
+        import unittest.mock as um
+
+        hourly = pd.DataFrame(
+            {
+                "event_type": "flat",
+                "bucket": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+                "n_events": [5, 5, 5],
+            }
+        )
+        with um.patch.object(events, "rollup_hourly_gapfill", lambda sf: hourly):
+            out = events.daily_mann_kendall("unused")
+        assert len(out) == 0
