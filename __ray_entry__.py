@@ -2015,6 +2015,33 @@ def _q_multimodal_decode_real(sf_dir: str):
     return ds.map_batches(digest, batch_format="pandas")
 
 
+def _q_multimodal_decode_gif(sf_dir: str):
+    """REAL GIF decode: own-LZW payloads (codec/gif.py) decoded by the
+    image stage; thumbnails digested for hashability. The golden check
+    recomputes pixel means from the PRE-ENCODE source arrays (same
+    seed), never via the decoder — a decoder bug cannot self-verify."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dtaidistance_ray.stages.multimodal import decode_images, synth_media_table_gif
+
+    ds = decode_images(rd.from_arrow(synth_media_table_gif(60, seed=17)), thumb=4)
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["thumb_crc"] = [
+            zlib.crc32(np.asarray(v, dtype=np.float64).round(4).tobytes())
+            for v in batch["thumb_vec"]
+        ]
+        batch["thumb_crc"] = batch["thumb_crc"].astype("int64")
+        batch["pixel_mean"] = batch["pixel_mean"].round(6)
+        return batch[["media_id", "thumb_crc", "pixel_mean"]]
+
+    return ds.map_batches(digest, batch_format="pandas")
+
+
 def _q_multimodal_audio_features(sf_dir: str):
     """REAL audio decode: WAV PCM16 payloads -> rms / zero-crossing
     rate / dominant frequency (numpy FFT)."""
@@ -2250,6 +2277,7 @@ GOLDEN_QUERIES = (
     "multimodal_decode_real",
     "multimodal_audio_features",
     "multimodal_audio_g711",
+    "multimodal_decode_gif",
     "ann_ivf_topk",
     "ann_pq_topk",
     "tokens_rollup_payload_crc",
@@ -2387,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_real": _q_multimodal_decode_real,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_audio_g711": _q_multimodal_audio_g711,
+        "multimodal_decode_gif": _q_multimodal_decode_gif,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,
         # vocabulary analytics (corpus-scale text ops)

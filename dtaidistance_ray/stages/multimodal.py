@@ -13,7 +13,10 @@ and WAV (PCM16) are decoded/encoded here in pure NumPy byte parsing
 codecs. PNG (zlib inflate + all five scanline filters, incl. Paeth) is
 also decoded for real with stdlib zlib + NumPy, as is baseline JPEG
 (sequential DCT, Huffman entropy coding, 4:4:4 / 4:2:0 — see
-codec/jpeg.py). Compressed audio is real too: G.711 mu-law/A-law and
+codec/jpeg.py), and GIF87a/89a (own LZW with variable code widths,
+interlace, local/global palettes — codec/gif.py, anchored to a
+hand-constructed spec-level byte fixture in tests). Compressed audio
+is real too: G.711 mu-law/A-law and
 IMA ADPCM WAV payloads (format tags 7/6/0x11) decode through own
 codecs (codec/g711.py, codec/ima_adpcm.py) asserted byte-exact
 against CPython's independent `audioop` implementation in tests. The
@@ -421,6 +424,34 @@ def synth_media_table_real(n: int, seed: int = 0) -> pa.Table:
 REAL_AUDIO_CODECS = frozenset({"wav", "ulaw", "alaw", "adpcm"})
 
 
+def synth_media_table_gif(n: int, seed: int = 0) -> pa.Table:
+    """Image corpus of REAL GIF payloads: seeded palette-indexed frames
+    LZW-compressed by the own encoder (codec/gif.py); every third row
+    uses a smooth gradient index pattern (stresses the LZW dictionary)
+    and a sub-256-color palette."""
+    from ..codec.gif import encode_gif
+
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")}
+    for i in range(n):
+        h = int(rng.integers(4, 48))
+        w = int(rng.integers(4, 48))
+        ncol = int(rng.integers(2, 257))
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        if i % 3 == 0:
+            idx = (np.add.outer(np.arange(h), np.arange(w)) % ncol).astype(np.uint8)
+        else:
+            idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+        rows["media_id"].append(f"g{i:08d}")
+        rows["media_type"].append("image")
+        rows["payload"].append(encode_gif(idx, pal))
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(0)
+        rows["codec"].append("gif")
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def synth_audio_table_g711(n: int, seed: int = 0) -> pa.Table:
     """Audio corpus of REAL compressed payloads: seeded waveforms
     encoded as G.711 mu-law / A-law and IMA ADPCM WAV files (format
@@ -493,7 +524,7 @@ class DecodeImage:
     feature column. batch_size must be SMALL (payloads are large);
     callers pass e.g. batch_size=32, concurrency=(2, 8), num_cpus=1."""
 
-    REAL_CODECS = {"bmp", "ppm", "png", "jpeg"}
+    REAL_CODECS = {"bmp", "ppm", "png", "jpeg", "gif"}
 
     def __init__(self, thumb: int = 8, use_real_codec: bool = False):
         self.thumb = thumb
@@ -514,6 +545,10 @@ class DecodeImage:
             from ..codec.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if codec == "gif":
+            from ..codec.gif import decode_gif
+
+            return decode_gif(payload)
         raise NotImplementedError(
             f"codec {codec!r} needs an external library (not in this "
             "container); install the codec lib and wire it here (payload -> HxWx3 uint8)"

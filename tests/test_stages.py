@@ -371,6 +371,78 @@ class TestRealMediaCodecs:
         assert ((out["rms"] - 0.2589).abs() < 0.01).all()
         assert out["dominant_hz"].between(90, 2100).all()
 
+    def test_gif_roundtrip_and_spec_fixture(self):
+        """Own GIF LZW codec: palette round-trips (random + gradient
+        content, dictionary reset past 4096 entries, cScSc case), and a
+        HAND-CONSTRUCTED byte-level GIF built directly from the spec
+        (3->4 bit width boundary) — the decoder is anchored to the wire
+        format, not just to our encoder."""
+        import struct
+
+        from dtaidistance_ray.codec.gif import decode_gif, encode_gif
+
+        rng = np.random.default_rng(0)
+        for trial in range(8):
+            h, w = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+            ncol = int(rng.integers(2, 257))
+            pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+            idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+            if trial % 3 == 0:
+                idx = (np.add.outer(np.arange(h), np.arange(w)) % ncol).astype(np.uint8)
+            np.testing.assert_array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+        # dictionary reset (>4096 entries) and the cScSc special case
+        idx = np.tile(np.arange(256, dtype=np.uint8), (300, 4))
+        pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+        runs = np.array([[1, 1, 1, 1, 1, 1, 1, 1]], dtype=np.uint8)
+        np.testing.assert_array_equal(decode_gif(encode_gif(runs, pal[:4])), pal[:4][runs])
+
+        # hand-built fixture: 2x2 image, 4-color palette, min code size
+        # 2; LZW codes clear(4) 0 1 2 3 eoi(5) with the width growing
+        # 3->4 bits after the table reaches 8 entries (per spec)
+        def bitpack(codes_widths):
+            acc = nb = 0
+            out = bytearray()
+            for c, wd in codes_widths:
+                acc |= c << nb
+                nb += wd
+                while nb >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nb -= 8
+            if nb:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        data = bitpack([(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)])
+        gif = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+        gif += bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+        gif += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        gif += bytes([2, len(data)]) + data + bytes([0, 0x3B])
+        want = np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+        np.testing.assert_array_equal(decode_gif(gif), want)
+
+    def test_gif_interlaced(self):
+        """Interlace flag: rows arrive in the 8/8/4/2 pass order and
+        must be reassembled."""
+        import struct
+
+        from dtaidistance_ray.codec.gif import _lzw_encode, decode_gif
+
+        rng = np.random.default_rng(4)
+        h, w = 9, 5
+        idx = (np.add.outer(np.arange(h) * 3, np.arange(w)) % 16).astype(np.uint8)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s, h, st)]
+        body = _lzw_encode(idx[np.array(order)].reshape(-1), 4)
+        gif = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0) + pal.tobytes()
+        gif += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40) + bytes([4])
+        for i in range(0, len(body), 255):
+            ch = body[i : i + 255]
+            gif += bytes([len(ch)]) + ch
+        gif += bytes([0, 0x3B])
+        np.testing.assert_array_equal(decode_gif(gif), pal[idx])
+
     def test_g711_exhaustive_vs_audioop(self):
         """Own mu-law/A-law tables vs CPython's independent C
         implementation: ALL 256 code bytes decode equal, ALL 65536

@@ -463,6 +463,32 @@ def check_multimodal_audio(got: pd.DataFrame):
     return "direct WAV decode + numpy recompute of rms / dominant frequency"
 
 
+def check_multimodal_decode_gif(got: pd.DataFrame):
+    """Independent recompute: regenerate the SOURCE palette/index
+    arrays from the corpus seed (the encoder's inputs, no decoder
+    involved) and compare pixel means — a decode_gif bug cannot
+    self-verify through this check."""
+    rng = np.random.default_rng(17)
+    want = {}
+    for i in range(60):
+        h = int(rng.integers(4, 48))
+        w = int(rng.integers(4, 48))
+        ncol = int(rng.integers(2, 257))
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        if i % 3 == 0:
+            idx = (np.add.outer(np.arange(h), np.arange(w)) % ncol).astype(np.uint8)
+        else:
+            idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+        want[f"g{i:08d}"] = float(pal[idx].mean())
+    assert len(got) == 60
+    for mid, pm in zip(got["media_id"], got["pixel_mean"]):
+        assert abs(want[mid] - pm) < 1e-5, mid
+    return (
+        "pixel-mean equality with the pre-encode source arrays regenerated from the "
+        "corpus seed (decoder-independent); spec-level byte fixture in tests/test_stages.py"
+    )
+
+
 def check_multimodal_audio_g711(got: pd.DataFrame):
     """Independent decode: CPython's audioop (a separate C
     implementation of G.711 and IMA ADPCM) undoes the companding —
@@ -814,6 +840,7 @@ CHECKS = {
     "multimodal_decode_real": check_multimodal_decode_real,
     "multimodal_audio_features": check_multimodal_audio,
     "multimodal_audio_g711": check_multimodal_audio_g711,
+    "multimodal_decode_gif": check_multimodal_decode_gif,
     "warping_path_lowmem_tokens": check_warping_path_lowmem,
     "warping_path_prob_tokens": check_warping_path_prob,
     "dtw_weighted_matrix": check_dtw_weighted_matrix,
