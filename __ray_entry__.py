@@ -2042,6 +2042,19 @@ def _q_multimodal_decode_gif(sf_dir: str):
     return ds.map_batches(digest, batch_format="pandas")
 
 
+def _q_multimodal_gif_frames(sf_dir: str):
+    """REAL video frame sampling: animated-GIF payloads decoded frame
+    by frame (per-frame GCE delays define the timeline); the frame
+    displayed at each 200 ms tick is digested from its composed RGB
+    canvas. Golden verified against the pre-encode source frames
+    regenerated from the corpus seed (decoder-independent)."""
+    import ray.data as rd
+
+    from dtaidistance_ray.stages.multimodal import sample_video_frames, synth_video_table_gif
+
+    return sample_video_frames(rd.from_arrow(synth_video_table_gif(40, seed=19)), every_ms=200)
+
+
 def _q_multimodal_audio_features(sf_dir: str):
     """REAL audio decode: WAV PCM16 payloads -> rms / zero-crossing
     rate / dominant frequency (numpy FFT)."""
@@ -2278,6 +2291,7 @@ GOLDEN_QUERIES = (
     "multimodal_audio_features",
     "multimodal_audio_g711",
     "multimodal_decode_gif",
+    "multimodal_gif_frames",
     "ann_ivf_topk",
     "ann_pq_topk",
     "tokens_rollup_payload_crc",
@@ -2416,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_audio_g711": _q_multimodal_audio_g711,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
+        "multimodal_gif_frames": _q_multimodal_gif_frames,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,
         # vocabulary analytics (corpus-scale text ops)

@@ -225,3 +225,113 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     out.append(0)  # block terminator
     out.append(0x3B)  # trailer
     return bytes(out)
+
+
+def encode_gif_animated(frames, palette: np.ndarray, delays_ms=None) -> bytes:
+    """Animated GIF89a: list of (h, w) uint8 index frames (all the same
+    shape) + shared palette; per-frame graphic-control extensions carry
+    the delays (centisecond resolution, as the format defines)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = frames[0].shape
+    ncol = len(palette)
+    pal_bits = max(1, int(np.ceil(np.log2(max(ncol, 2)))))
+    pal_size = 1 << pal_bits
+    pal = np.zeros((pal_size, 3), dtype=np.uint8)
+    pal[:ncol] = palette
+    if delays_ms is None:
+        delays_ms = [100] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    min_code_size = max(2, pal_bits)
+    for frame, delay in zip(frames, delays_ms):
+        # graphic control: disposal=1 (leave), no transparency
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, max(0, int(delay) // 10), 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code_size)
+        data = _lzw_encode(frame.reshape(-1), min_code_size)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """All frames of a GIF payload -> list of (delay_ms, (H, W, 3)
+    uint8 RGB) composed onto the logical-screen canvas: sub-rectangle
+    frames overlay the previous canvas (disposal 1), disposal 2
+    restores the background color, transparent pixels keep the
+    underlying canvas."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(payload, dtype=np.uint8, count=gct_size * 3, offset=pos).reshape(-1, 3)
+        pos += gct_size * 3
+    bg_rgb = global_pal[bg] if global_pal is not None and bg < len(global_pal) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames = []
+    delay_ms = 0
+    transparent = -1
+    disposal = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                gflags, delay_cs, tidx = struct.unpack_from("<BHB", payload, pos + 1)
+                delay_ms = delay_cs * 10
+                transparent = tidx if gflags & 0x01 else -1
+                disposal = (gflags >> 2) & 0x07
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            x, y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = global_pal
+            if iflags & 0x80:
+                lct_size = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload, dtype=np.uint8, count=lct_size * 3, offset=pos).reshape(-1, 3)
+                pos += lct_size * 3
+            if pal is None:
+                raise ValueError("no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                n = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + n])
+                pos += 1 + n
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
+            if iflags & 0x40:
+                idx = _deinterlace(idx, h)
+            region = canvas[y : y + h, x : x + w]
+            rgb = pal[idx]
+            if transparent >= 0:
+                opaque = idx != transparent
+                region[opaque] = rgb[opaque]
+            else:
+                region[:] = rgb
+            frames.append((delay_ms, canvas.copy()))
+            if disposal == 2:  # restore background in the frame rect
+                canvas[y : y + h, x : x + w] = bg_rgb
+            delay_ms = 0
+            transparent = -1
+            disposal = 0
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("no image frame")
+    return frames

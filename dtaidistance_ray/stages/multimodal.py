@@ -452,6 +452,32 @@ def synth_media_table_gif(n: int, seed: int = 0) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_video_table_gif(n: int, seed: int = 0) -> pa.Table:
+    """Video corpus of REAL animated-GIF payloads: seeded index frames
+    with varying per-frame delays, LZW-compressed by the own encoder.
+    duration_ms is the true sum of frame delays."""
+    from ..codec.gif import encode_gif_animated
+
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")}
+    for i in range(n):
+        h = int(rng.integers(6, 24))
+        w = int(rng.integers(6, 24))
+        nframes = int(rng.integers(2, 9))
+        ncol = int(rng.integers(2, 65))
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        frames = [rng.integers(0, ncol, size=(h, w), dtype=np.uint8) for _ in range(nframes)]
+        delays = (rng.integers(5, 40, size=nframes) * 10).tolist()  # whole centiseconds
+        rows["media_id"].append(f"v{i:08d}")
+        rows["media_type"].append("video")
+        rows["payload"].append(encode_gif_animated(frames, pal, delays))
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(int(sum(delays)))
+        rows["codec"].append("gif")
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def synth_audio_table_g711(n: int, seed: int = 0) -> pa.Table:
     """Audio corpus of REAL compressed payloads: seeded waveforms
     encoded as G.711 mu-law / A-law and IMA ADPCM WAV files (format
@@ -586,14 +612,35 @@ class DecodeImage:
 
 class SampleFrames:
     """Video frame sampling stage (every k-th second): emits one row per
-    sampled frame (flat_map-shaped expansion via map_batches)."""
+    sampled frame (flat_map-shaped expansion via map_batches).
+
+    Animated GIF payloads sample for REAL: the frame displayed at each
+    tick t = k*every_ms (per-frame GCE delays define the timeline) is
+    decoded (codec/gif.py) and digested from its composed RGB canvas.
+    Opaque codecs (h264) keep the deterministic fake digest so the
+    plumbing path is exercised either way."""
 
     def __init__(self, every_ms: int = 5000):
         self.every_ms = every_ms
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..codec.gif import decode_gif_frames
+
         rows = []
-        for mid, payload, dur in zip(batch["media_id"], batch["payload"], batch["duration_ms"]):
+        codecs = batch["codec"] if "codec" in batch.columns else [""] * len(batch)
+        for mid, payload, dur, codec in zip(
+            batch["media_id"], batch["payload"], batch["duration_ms"], codecs
+        ):
+            if codec == "gif":
+                frames = decode_gif_frames(bytes(payload))
+                delays = np.array([d for d, _ in frames], dtype=np.int64)
+                starts = np.concatenate([[0], np.cumsum(delays)[:-1]])
+                total = int(delays.sum())
+                for t in range(0, max(total, 1), self.every_ms):
+                    fi = int(np.searchsorted(starts, t, side="right")) - 1
+                    digest = hashlib.blake2b(frames[fi][1].tobytes(), digest_size=8).hexdigest()
+                    rows.append((mid, t, digest))
+                continue
             for t in range(0, int(dur), self.every_ms):
                 rows.append((mid, t, hashlib.blake2b(payload + t.to_bytes(4, "big"), digest_size=8).hexdigest()))
         return pd.DataFrame(rows, columns=["media_id", "frame_ms", "frame_digest"])

@@ -443,6 +443,75 @@ class TestRealMediaCodecs:
         gif += bytes([0, 0x3B])
         np.testing.assert_array_equal(decode_gif(gif), pal[idx])
 
+    def test_gif_animated_roundtrip(self):
+        """Animated GIF: per-frame delays survive the GCE round-trip
+        (centisecond resolution) and every composed frame equals its
+        source array."""
+        from dtaidistance_ray.codec.gif import decode_gif_frames, encode_gif_animated
+
+        rng = np.random.default_rng(2)
+        pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+        frames = [rng.integers(0, 64, size=(12, 17), dtype=np.uint8) for _ in range(5)]
+        out = decode_gif_frames(encode_gif_animated(frames, pal, delays_ms=[50, 100, 150, 200, 250]))
+        assert [d for d, _ in out] == [50, 100, 150, 200, 250]
+        for (_, got), idx in zip(out, frames):
+            np.testing.assert_array_equal(got, pal[idx])
+
+    def test_gif_animated_composition(self):
+        """Hand-built multi-frame GIF exercising the composition rules:
+        a sub-rectangle frame overlays the previous canvas, transparent
+        pixels keep the underlying canvas, disposal=2 restores the
+        background color in the frame rect."""
+        import struct
+
+        from dtaidistance_ray.codec.gif import _lzw_encode, decode_gif_frames
+
+        pal = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+
+        def img_block(x, y, w, h, idx, gce_flags=0x04, delay_cs=10, tidx=0):
+            out = struct.pack("<BBBBHBB", 0x21, 0xF9, 4, gce_flags, delay_cs, tidx, 0)
+            out += struct.pack("<BHHHHB", 0x2C, x, y, w, h, 0)
+            data = _lzw_encode(np.asarray(idx, dtype=np.uint8).reshape(-1), 2)
+            out += bytes([2, len(data)]) + data + bytes([0])
+            return out
+
+        gif = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0) + pal.tobytes()
+        # frame 1: full screen of color 1, disposal 2 (restore bg after)
+        gif += img_block(0, 0, 4, 4, np.full((4, 4), 1), gce_flags=(2 << 2))
+        # frame 2: 2x2 overlay at (1,1) of color 2 with index 3 transparent
+        ov = np.array([[2, 3], [3, 2]])
+        gif += img_block(1, 1, 2, 2, ov, gce_flags=0x04 | 0x01, tidx=3)
+        gif += bytes([0x3B])
+        frames = decode_gif_frames(gif)
+        assert len(frames) == 2
+        np.testing.assert_array_equal(frames[0][1], np.broadcast_to(pal[1], (4, 4, 3)))
+        # after disposal 2 the canvas is background (color 0); the
+        # overlay paints (1,1) and (2,2) green, transparency keeps bg
+        want = np.broadcast_to(pal[0], (4, 4, 3)).copy()
+        want[1, 1] = pal[2]
+        want[2, 2] = pal[2]
+        np.testing.assert_array_equal(frames[1][1], want)
+
+    def test_sample_frames_real_gif(self, ray_session):
+        import ray.data as rd
+        from dtaidistance_ray.stages.multimodal import sample_video_frames, synth_video_table_gif
+
+        t = synth_video_table_gif(6, seed=3)
+        out = sample_video_frames(rd.from_arrow(t), every_ms=200).to_pandas()
+        # ticks are 200ms-spaced within each payload's true duration
+        df = t.to_pandas().set_index("media_id")
+        for mid, g in out.groupby("media_id"):
+            dur = int(df.loc[mid]["duration_ms"])
+            assert list(g["frame_ms"]) == list(range(0, max(dur, 1), 200))
+        # digests are of real decoded pixels: stable across re-runs
+        import pandas as pd
+
+        out2 = sample_video_frames(rd.from_arrow(t), every_ms=200).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values(["media_id", "frame_ms"]).reset_index(drop=True),
+            out2.sort_values(["media_id", "frame_ms"]).reset_index(drop=True),
+        )
+
     def test_g711_exhaustive_vs_audioop(self):
         """Own mu-law/A-law tables vs CPython's independent C
         implementation: ALL 256 code bytes decode equal, ALL 65536

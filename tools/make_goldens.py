@@ -489,6 +489,37 @@ def check_multimodal_decode_gif(got: pd.DataFrame):
     )
 
 
+def check_multimodal_gif_frames(got: pd.DataFrame):
+    """Independent recompute: regenerate the SOURCE frame arrays and
+    delays from the corpus seed, replay the tick->frame mapping and
+    digest pal[idx] directly — no GIF decoding involved."""
+    import hashlib
+
+    rng = np.random.default_rng(19)
+    want = {}
+    for i in range(40):
+        h = int(rng.integers(6, 24))
+        w = int(rng.integers(6, 24))
+        nframes = int(rng.integers(2, 9))
+        ncol = int(rng.integers(2, 65))
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        frames = [rng.integers(0, ncol, size=(h, w), dtype=np.uint8) for _ in range(nframes)]
+        delays = (rng.integers(5, 40, size=nframes) * 10).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(delays)[:-1]])
+        total = int(delays.sum())
+        for t in range(0, max(total, 1), 200):
+            fi = int(np.searchsorted(starts, t, side="right")) - 1
+            dig = hashlib.blake2b(pal[frames[fi]].tobytes(), digest_size=8).hexdigest()
+            want[(f"v{i:08d}", t)] = dig
+    assert len(got) == len(want), (len(got), len(want))
+    for mid, t, dig in zip(got["media_id"], got["frame_ms"], got["frame_digest"]):
+        assert want[(mid, int(t))] == dig, (mid, t)
+    return (
+        "frame digests recomputed from the pre-encode source frames + delays "
+        "regenerated from the corpus seed (decoder-independent tick replay)"
+    )
+
+
 def check_multimodal_audio_g711(got: pd.DataFrame):
     """Independent decode: CPython's audioop (a separate C
     implementation of G.711 and IMA ADPCM) undoes the companding —
@@ -841,6 +872,7 @@ CHECKS = {
     "multimodal_audio_features": check_multimodal_audio,
     "multimodal_audio_g711": check_multimodal_audio_g711,
     "multimodal_decode_gif": check_multimodal_decode_gif,
+    "multimodal_gif_frames": check_multimodal_gif_frames,
     "warping_path_lowmem_tokens": check_warping_path_lowmem,
     "warping_path_prob_tokens": check_warping_path_prob,
     "dtw_weighted_matrix": check_dtw_weighted_matrix,
