@@ -2042,6 +2042,21 @@ def _q_multimodal_decode_gif(sf_dir: str):
     return ds.map_batches(digest, batch_format="pandas")
 
 
+def _q_events_profile_dtw_anomaly(sf_dir: str):
+    """DTW daily-profile anomaly detection over events: z-normalized
+    24h count profiles per (type, day), DBA barycenter per type, banded
+    DTW distance to it, top-5 anomalous days. The engine's own elastic
+    kernels on the relational table; golden verified against the
+    reference dtaidistance library (dtw.distance +
+    dtw_barycenter.dba_loop) over a DuckDB-derived grid."""
+    from dtaidistance_ray.stages import events
+
+    out = events.profile_dtw_anomaly(sf_dir)
+    out = out.copy()
+    out["dist"] = out["dist"].round(9)
+    return out
+
+
 def _q_multimodal_gif_frames(sf_dir: str):
     """REAL video frame sampling: animated-GIF payloads decoded frame
     by frame (per-frame GCE delays define the timeline); the frame
@@ -2292,6 +2307,7 @@ GOLDEN_QUERIES = (
     "multimodal_audio_g711",
     "multimodal_decode_gif",
     "multimodal_gif_frames",
+    "events_profile_dtw_anomaly",
     "ann_ivf_topk",
     "ann_pq_topk",
     "tokens_rollup_payload_crc",
@@ -2431,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_g711": _q_multimodal_audio_g711,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_gif_frames": _q_multimodal_gif_frames,
+        "events_profile_dtw_anomaly": _q_events_profile_dtw_anomaly,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,
         # vocabulary analytics (corpus-scale text ops)

@@ -32,11 +32,20 @@ def dba_partial(
     seqs: Iterable[np.ndarray],
     c: np.ndarray,
     settings: Optional[DTWSettings] = None,
+    use_batch: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One partition's contribution to a DBA sweep: (sum[t], count[t]).
 
     Dispatches to the batched vectorized DP (kernels.dba_batch) when the
-    settings allow; results are bit-identical either way."""
+    settings allow. Results are bit-identical to the sequential kernel
+    for INTEGER-valued members (DP cells are exact, so every tied
+    choice ties in both kernels — the token-table guarantee the rollup
+    relies on). Float members whose DP develops EXACT value ties can
+    resolve them to different equally-optimal warping paths in the
+    batched prefix-scan DP (its cells may differ from the sequential
+    recurrence in ULPs, flipping strict-< tie outcomes); callers that
+    need reference-exact float paths pass ``use_batch=False``
+    (regression: tests/test_kernel_parity.py tied-float case)."""
     # zero-length members have no warping path and contribute nothing
     # (same exclusion as the scan path, kernels/dba_scan.py)
     seqs = [s for s in seqs if len(s) > 0]
@@ -44,7 +53,7 @@ def dba_partial(
 
     if len(c) == 0:
         return np.zeros(0, dtype=np.float64), np.zeros(0, dtype=np.int64)
-    if seqs and batch_supported(settings):
+    if seqs and use_batch and batch_supported(settings):
         return batched_dba_partial(seqs, np.asarray(c, dtype=np.float64), settings)
     t = len(c)
     sums = np.zeros(t, dtype=np.float64)
@@ -104,9 +113,10 @@ def dba(
     seqs: List[np.ndarray],
     c: np.ndarray,
     settings: Optional[DTWSettings] = None,
+    use_batch: bool = True,
 ) -> np.ndarray:
     """One full DBA sweep (single partition)."""
-    return dba_finalize(*dba_partial(seqs, c, settings))
+    return dba_finalize(*dba_partial(seqs, c, settings, use_batch=use_batch))
 
 
 def dba_loop(
@@ -116,6 +126,7 @@ def dba_loop(
     thr: Optional[float] = 0.001,
     keep_averages: bool = False,
     settings: Optional[DTWSettings] = None,
+    use_batch: bool = True,
 ):
     """Iterate DBA until max_it or mean abs change <= thr
     (reference dtw_barycenter.py:66-165, convergence at 149-160).
@@ -133,7 +144,7 @@ def dba_loop(
     for _ in range(max_it):
         if len(c) == 0:
             break  # empty center: nothing to average into
-        avg = dba(seqs, c, settings=settings)
+        avg = dba(seqs, c, settings=settings, use_batch=use_batch)
         if keep_averages:
             avgs.append(avg)
         if thr is not None and c is not None:

@@ -3137,3 +3137,69 @@ SELECT t.event_type, t.bucket, t.y AS n_events,
 FROM trended t JOIN seas s
   ON t.event_type = s.event_type AND t.hod = s.hod
 """
+
+
+def profile_dtw_anomaly(sf_dir: str, window: int = 4, max_it: int = 10, k: int = 5):
+    """DTW daily-profile anomaly detection — the engine's own elastic
+    kernels applied to the events table: each full day's 24-hour
+    gap-filled count profile is z-normalized (shape, not volume), a
+    DBA barycenter per event_type summarizes the typical diurnal
+    shape (seeded at the first full day, reference dba_loop
+    semantics), and each day is scored by its banded DTW distance to
+    the barycenter; the k most anomalous days per type are emitted.
+    Golden verified against the reference dtaidistance library
+    (dtw.distance + dtw_barycenter.dba_loop) in tools/make_goldens.py.
+
+    Scale shape: raw events -> grid is the distributed combiner +
+    fan-in tree; profiles are key-space-bounded (#types x #days x 24)
+    so the DBA/DTW pass is a bounded per-type vectorized loop — the
+    same structure the flagship runs distributed when the key-space
+    is unbounded."""
+    from ..kernels.dba import dba_loop
+    from ..kernels.elastic import distance as dtw_distance
+    from ..settings import DTWSettings
+
+    hourly = rollup_hourly_gapfill(sf_dir)
+    settings = DTWSettings(window=window)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        day = g["bucket"].dt.floor("D")
+        cols = ["event_type", "day", "rnk", "dist"]
+        profs, days = [], []
+        for d, gd in g.groupby(day, sort=True):
+            if len(gd) != 24:
+                continue  # partial first/last day
+            x = gd["n_events"].to_numpy(np.float64)
+            sd = x.std()
+            if sd == 0:
+                continue  # flat day: shape undefined
+            profs.append((x - x.mean()) / sd)
+            days.append(d)
+        if not profs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "day": pd.Series(dtype="datetime64[us]"),
+                    "rnk": pd.Series(dtype="int64"),
+                    "dist": pd.Series(dtype="float64"),
+                }
+            )
+        # use_batch=False: z-normalized count profiles carry EXACT
+        # float DP ties; the sequential kernel resolves them with
+        # reference-identical warping paths (see dba_partial docstring)
+        center = dba_loop(
+            profs, c=profs[0], max_it=max_it, thr=0.001, settings=settings, use_batch=False
+        )
+        dists = np.array([dtw_distance(p, center, settings) for p in profs])
+        order = np.lexsort((np.arange(len(dists)), -dists))[:k]  # d desc, day asc
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "day": [days[i] for i in order],
+                "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
+                "dist": dists[order],
+            }
+        )[cols]
+
+    return _per_type(hourly, score)

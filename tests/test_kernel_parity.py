@@ -236,6 +236,26 @@ class TestDBAParity:
         theirs = ref_dba.dba_loop(seqs, max_it=3, window=5)
         np.testing.assert_allclose(ours, np.asarray(theirs), rtol=1e-10)
 
+    def test_dba_tied_floats_sequential_parity(self):
+        """Float members whose DP develops EXACT value ties (here:
+        z-normalized small-integer count profiles — many repeated
+        values) must produce reference-identical barycenters through
+        the SEQUENTIAL path (use_batch=False). The batched prefix-scan
+        DP may resolve such ties to different equally-optimal warping
+        paths (documented in dba_partial); this pins the escape hatch
+        the events_profile_dtw_anomaly golden relies on."""
+        rng = np.random.default_rng(31)
+        profs = []
+        for _ in range(12):
+            x = rng.integers(0, 6, size=24).astype(np.float64)  # heavy ties
+            if x.std() == 0:
+                x[0] += 1
+            profs.append((x - x.mean()) / x.std())
+        s = DTWSettings(window=4)
+        ours = dba_loop(profs, c=profs[0], max_it=10, thr=0.001, settings=s, use_batch=False)
+        theirs = ref_dba.dba_loop(profs, c=profs[0], max_it=10, thr=0.001, window=4)
+        np.testing.assert_allclose(ours, np.asarray(theirs), rtol=1e-12)
+
     def test_dba_partial_merge_invariance(self):
         # partition the members arbitrarily -> identical merged result
         from dtaidistance_ray.kernels import dba_finalize, dba_merge, dba_partial

@@ -489,6 +489,56 @@ def check_multimodal_decode_gif(got: pd.DataFrame):
     )
 
 
+def check_profile_dtw_anomaly(got: pd.DataFrame):
+    """Reference recompute: the gap-filled hourly grid is re-derived
+    by DuckDB (the engine's gapfill SQL oracle), then the reference
+    dtaidistance library runs the whole scoring chain —
+    dtw_barycenter.dba_loop for the per-type barycenter and
+    dtw.distance(window=4) for the day scores."""
+    import duckdb
+
+    from dtaidistance import dtw as ref_dtw
+    from dtaidistance import dtw_barycenter as ref_dba
+
+    from dtaidistance_ray.stages.events import ROLLUP_GAPFILL_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    grid = con.execute(ROLLUP_GAPFILL_SQL).df()
+    want_rows = []
+    for et, g in grid.groupby("event_type", sort=True):
+        g = g.sort_values("bucket", kind="mergesort")
+        profs, days = [], []
+        for d, gd in g.groupby(g["bucket"].dt.floor("D"), sort=True):
+            if len(gd) != 24:
+                continue
+            x = gd["n_events"].to_numpy(np.float64)
+            if x.std() == 0:
+                continue
+            profs.append((x - x.mean()) / x.std())
+            days.append(d)
+        if not profs:
+            continue
+        center = ref_dba.dba_loop(profs, c=profs[0], max_it=10, thr=0.001, window=4)
+        dists = np.array([ref_dtw.distance(p, center, window=4) for p in profs])
+        order = np.lexsort((np.arange(len(dists)), -dists))[:5]
+        for rnk, i in enumerate(order, 1):
+            want_rows.append((et, days[i], rnk, dists[i]))
+    assert len(want_rows) == len(got), (len(want_rows), len(got))
+    got_s = got.sort_values(["event_type", "rnk"]).reset_index(drop=True)
+    want_rows.sort(key=lambda r: (r[0], r[2]))
+    for (et, day, rnk, d), (_, row) in zip(want_rows, got_s.iterrows()):
+        assert row["event_type"] == et and int(row["rnk"]) == rnk
+        assert pd.Timestamp(row["day"]) == pd.Timestamp(day), (et, rnk)
+        assert abs(row["dist"] - d) < 5e-6, (et, rnk, row["dist"], d)
+    return (
+        "reference dtaidistance dba_loop + dtw.distance(window=4) over a "
+        "DuckDB-derived gap-filled grid (full chain recompute)"
+    )
+
+
 def check_multimodal_gif_frames(got: pd.DataFrame):
     """Independent recompute: regenerate the SOURCE frame arrays and
     delays from the corpus seed, replay the tick->frame mapping and
@@ -873,6 +923,7 @@ CHECKS = {
     "multimodal_audio_g711": check_multimodal_audio_g711,
     "multimodal_decode_gif": check_multimodal_decode_gif,
     "multimodal_gif_frames": check_multimodal_gif_frames,
+    "events_profile_dtw_anomaly": check_profile_dtw_anomaly,
     "warping_path_lowmem_tokens": check_warping_path_lowmem,
     "warping_path_prob_tokens": check_warping_path_prob,
     "dtw_weighted_matrix": check_dtw_weighted_matrix,
