@@ -37,15 +37,14 @@ def dba_partial(
     """One partition's contribution to a DBA sweep: (sum[t], count[t]).
 
     Dispatches to the batched vectorized DP (kernels.dba_batch) when the
-    settings allow. Results are bit-identical to the sequential kernel
-    for INTEGER-valued members (DP cells are exact, so every tied
-    choice ties in both kernels — the token-table guarantee the rollup
-    relies on). Float members whose DP develops EXACT value ties can
-    resolve them to different equally-optimal warping paths in the
-    batched prefix-scan DP (its cells may differ from the sequential
-    recurrence in ULPs, flipping strict-< tie outcomes); callers that
-    need reference-exact float paths pass ``use_batch=False``
-    (regression: tests/test_kernel_parity.py tied-float case)."""
+    settings allow; results are bit-identical either way, INCLUDING on
+    float members whose DP develops exact value ties: the batched scan
+    verifies/patches each row against the sequential recurrence
+    (elastic._minplus_scan fixpoint technique) and breaks traceback
+    ties in sqrt space like the reference best_path, so tied cells tie
+    — and resolve — identically in both kernels (regression:
+    tests/test_kernel_parity.py tied-float case). ``use_batch=False``
+    forces the sequential path (debugging escape)."""
     # zero-length members have no warping path and contribute nothing
     # (same exclusion as the scan path, kernels/dba_scan.py)
     seqs = [s for s in seqs if len(s) > 0]

@@ -115,22 +115,51 @@ def batched_traceback_choices(
         e = np.minimum(diag, up)
         h = np.where(valid, cost + e, INF)
         cpen = cost + penalty
-        # in-row left chain: f[j] = min(h[j], f[j-1] + cpen[j]) — exact
-        # prefix min-plus scan (cumsum + running min)
+        # in-row left chain: f[j] = min(h[j], (f[j-1]+penalty)+cost[j])
+        # — algebraic prefix min-plus scan (cumsum + running min), then
+        # VERIFIED against the sequential recurrence and patched where
+        # the scan's rounding differs (same fixpoint technique as
+        # kernels/elastic._minplus_scan) so every DP cell is
+        # BIT-identical to the sequential/reference recurrence — tied
+        # float cells tie in both kernels.
         Ssum = np.cumsum(cpen, axis=1)
         f = Ssum + np.minimum.accumulate(h - Ssum, axis=1)
         f = np.where(valid, f, INF)
+        f[:, 0] = h[:, 0]  # no left neighbor at j=0; scan can perturb it
+        if penalty:
+            cand = (f[:, :-1] + penalty) + cost[:, 1:]
+        else:
+            cand = f[:, :-1] + cost[:, 1:]
+        want = np.minimum(h[:, 1:], cand)
+        want = np.where(valid[:, 1:], want, INF)
+        bad_rows = np.unique(np.nonzero(f[:, 1:] != want)[0])
+        for k in bad_rows:
+            fk, hk, ck = f[k], h[k], cost[k]
+            prev_v = fk[0]
+            for j in range(1, M):
+                v = (prev_v + penalty) + ck[j] if penalty else prev_v + ck[j]
+                hv = hk[j]
+                prev_v = v if v < hv else hv
+                if not valid[k, j]:
+                    prev_v = INF
+                fk[j] = prev_v
         cur[:, 0] = INF
         cur[:, 1:] = f
-        # traceback direction, un-penalized neighbor values (reference
-        # best_path default), diag > up > left tie preference
+        # traceback direction: the reference best_path compares the
+        # SQRT-space paths matrix (warping_paths applies sqrt per
+        # cell) with un-penalized neighbors and diag > up > left tie
+        # preference — compare sqrt values so near-ties that collapse
+        # to equality after sqrt resolve identically
         up_nop = prev[:, 1:]
         left_nop = np.empty_like(f)
         left_nop[:, 0] = INF
         left_nop[:, 1:] = f[:, :-1]
-        ch = np.where(up_nop < diag, 1, 0).astype(np.int8)
-        best_du = np.minimum(diag, up_nop)
-        choice[:, i + 1, 1:] = np.where(left_nop < best_du, 2, ch)
+        sd = np.sqrt(diag)
+        su = np.sqrt(up_nop)
+        sl = np.sqrt(left_nop)
+        ch = np.where(su < sd, 1, 0).astype(np.int8)
+        best_du = np.minimum(sd, su)
+        choice[:, i + 1, 1:] = np.where(sl < best_du, 2, ch)
         prev, cur = cur, prev
     return choice, prev, lens
 

@@ -3185,12 +3185,10 @@ def profile_dtw_anomaly(sf_dir: str, window: int = 4, max_it: int = 10, k: int =
                     "dist": pd.Series(dtype="float64"),
                 }
             )
-        # use_batch=False: z-normalized count profiles carry EXACT
-        # float DP ties; the sequential kernel resolves them with
-        # reference-identical warping paths (see dba_partial docstring)
-        center = dba_loop(
-            profs, c=profs[0], max_it=max_it, thr=0.001, settings=settings, use_batch=False
-        )
+        # z-normalized count profiles carry EXACT float DP ties; the
+        # batched kernel resolves them reference-identically (verified
+        # row patch + sqrt-space tie rule, see dba_partial docstring)
+        center = dba_loop(profs, c=profs[0], max_it=max_it, thr=0.001, settings=settings)
         dists = np.array([dtw_distance(p, center, settings) for p in profs])
         order = np.lexsort((np.arange(len(dists)), -dists))[:k]  # d desc, day asc
         return pd.DataFrame(

@@ -242,8 +242,10 @@ class TestDBAParity:
         values) must produce reference-identical barycenters through
         the SEQUENTIAL path (use_batch=False). The batched prefix-scan
         DP may resolve such ties to different equally-optimal warping
-        paths (documented in dba_partial); this pins the escape hatch
-        the events_profile_dtw_anomaly golden relies on."""
+        paths unless its rows are verified/patched and its tie rule
+        matches (documented in dba_partial); this pins BOTH paths
+        against the reference on the tied-float corpus the
+        events_profile_dtw_anomaly golden exercises."""
         rng = np.random.default_rng(31)
         profs = []
         for _ in range(12):
@@ -252,9 +254,14 @@ class TestDBAParity:
                 x[0] += 1
             profs.append((x - x.mean()) / x.std())
         s = DTWSettings(window=4)
-        ours = dba_loop(profs, c=profs[0], max_it=10, thr=0.001, settings=s, use_batch=False)
-        theirs = ref_dba.dba_loop(profs, c=profs[0], max_it=10, thr=0.001, window=4)
-        np.testing.assert_allclose(ours, np.asarray(theirs), rtol=1e-12)
+        theirs = np.asarray(ref_dba.dba_loop(profs, c=profs[0], max_it=10, thr=0.001, window=4))
+        seq = dba_loop(profs, c=profs[0], max_it=10, thr=0.001, settings=s, use_batch=False)
+        np.testing.assert_allclose(seq, theirs, rtol=1e-12)
+        # the BATCHED kernel must agree bit-for-bit too: its rows are
+        # verified/patched against the sequential recurrence and its
+        # traceback breaks ties in sqrt space like reference best_path
+        bat = dba_loop(profs, c=profs[0], max_it=10, thr=0.001, settings=s)
+        np.testing.assert_array_equal(bat, seq)
 
     def test_dba_partial_merge_invariance(self):
         # partition the members arbitrarily -> identical merged result
