@@ -96,26 +96,41 @@ def _deinterlace(idx: np.ndarray, h: int) -> np.ndarray:
     return idx[rows]
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """First frame of a GIF87a/89a payload -> (h, w, 3) uint8 RGB."""
+def _parse_header(payload: bytes):
+    """Header + logical screen descriptor + global color table."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     global_pal = None
     if flags & 0x80:
         gct_size = 2 << (flags & 0x07)
         global_pal = np.frombuffer(payload, dtype=np.uint8, count=gct_size * 3, offset=pos).reshape(-1, 3)
         pos += gct_size * 3
+    return sw, sh, bg, global_pal, pos
+
+
+def _iter_frames(payload: bytes, pos: int, global_pal):
+    """Shared container walker: yields one tuple per image frame —
+    (x, y, idx array, palette, delay_ms, transparent idx, disposal).
+    Both decode_gif and decode_gif_frames consume this, so container
+    parsing cannot diverge between the single- and multi-frame paths."""
+    delay_ms, transparent, disposal = 0, -1, 0
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                gflags, delay_cs, tidx = struct.unpack_from("<BHB", payload, pos + 1)
+                delay_ms = delay_cs * 10
+                transparent = tidx if gflags & 0x01 else -1
+                disposal = (gflags >> 2) & 0x07
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            x, y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
             pal = global_pal
             if iflags & 0x80:
@@ -131,14 +146,24 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 n = payload[pos]
                 chunks.append(payload[pos + 1 : pos + 1 + n])
                 pos += 1 + n
+            pos += 1
             idx = _lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
             if iflags & 0x40:
                 idx = _deinterlace(idx, h)
-            return pal[idx]
+            yield x, y, idx, pal, delay_ms, transparent, disposal
+            delay_ms, transparent, disposal = 0, -1, 0
         elif b == 0x3B:  # trailer
-            break
+            return
         else:
             raise ValueError(f"bad GIF block 0x{b:02x}")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a payload -> (h, w, 3) uint8 RGB
+    (the image-descriptor rect, uncomposed)."""
+    _sw, _sh, _bg, global_pal, pos = _parse_header(payload)
+    for _x, _y, idx, pal, _d, _t, _disp in _iter_frames(payload, pos, global_pal):
+        return pal[idx]
     raise ValueError("no image frame")
 
 
@@ -171,8 +196,7 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     next_code = eoi + 1
     w.write(clear, width)
     prev = -1  # current prefix CODE
-    for v in indices.astype(np.int64):
-        v = int(v)
+    for v in np.asarray(indices, dtype=np.int64).tolist():
         if prev < 0:
             prev = v
             continue
@@ -263,75 +287,33 @@ def encode_gif_animated(frames, palette: np.ndarray, delays_ms=None) -> bytes:
 def decode_gif_frames(payload: bytes):
     """All frames of a GIF payload -> list of (delay_ms, (H, W, 3)
     uint8 RGB) composed onto the logical-screen canvas: sub-rectangle
-    frames overlay the previous canvas (disposal 1), disposal 2
-    restores the background color, transparent pixels keep the
-    underlying canvas."""
-    if payload[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF payload")
-    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
-    pos = 13
-    global_pal = None
-    if flags & 0x80:
-        gct_size = 2 << (flags & 0x07)
-        global_pal = np.frombuffer(payload, dtype=np.uint8, count=gct_size * 3, offset=pos).reshape(-1, 3)
-        pos += gct_size * 3
+    frames overlay the previous canvas (disposal 0/1), disposal 2
+    restores the background color in the frame rect, disposal 3
+    restores the pre-frame canvas, transparent pixels keep the
+    underlying canvas. Frame rects extending past the logical screen
+    are clipped (as the spec permits renderers to do)."""
+    sw, sh, bg, global_pal, pos = _parse_header(payload)
     bg_rgb = global_pal[bg] if global_pal is not None and bg < len(global_pal) else np.zeros(3, np.uint8)
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
     frames = []
-    delay_ms = 0
-    transparent = -1
-    disposal = 0
-    while pos < len(payload):
-        b = payload[pos]
-        if b == 0x21:
-            label = payload[pos + 1]
-            pos += 2
-            if label == 0xF9 and payload[pos] >= 4:  # graphic control
-                gflags, delay_cs, tidx = struct.unpack_from("<BHB", payload, pos + 1)
-                delay_ms = delay_cs * 10
-                transparent = tidx if gflags & 0x01 else -1
-                disposal = (gflags >> 2) & 0x07
-            while payload[pos] != 0:
-                pos += 1 + payload[pos]
-            pos += 1
-        elif b == 0x2C:
-            x, y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
-            pos += 10
-            pal = global_pal
-            if iflags & 0x80:
-                lct_size = 2 << (iflags & 0x07)
-                pal = np.frombuffer(payload, dtype=np.uint8, count=lct_size * 3, offset=pos).reshape(-1, 3)
-                pos += lct_size * 3
-            if pal is None:
-                raise ValueError("no color table")
-            min_code_size = payload[pos]
-            pos += 1
-            chunks = []
-            while payload[pos] != 0:
-                n = payload[pos]
-                chunks.append(payload[pos + 1 : pos + 1 + n])
-                pos += 1 + n
-            pos += 1
-            idx = _lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
-            if iflags & 0x40:
-                idx = _deinterlace(idx, h)
-            region = canvas[y : y + h, x : x + w]
-            rgb = pal[idx]
-            if transparent >= 0:
-                opaque = idx != transparent
-                region[opaque] = rgb[opaque]
-            else:
-                region[:] = rgb
-            frames.append((delay_ms, canvas.copy()))
-            if disposal == 2:  # restore background in the frame rect
-                canvas[y : y + h, x : x + w] = bg_rgb
-            delay_ms = 0
-            transparent = -1
-            disposal = 0
-        elif b == 0x3B:
-            break
+    for x, y, idx, pal, delay_ms, transparent, disposal in _iter_frames(payload, pos, global_pal):
+        # clip the frame rect to the logical screen
+        vis_h = max(0, min(idx.shape[0], sh - y))
+        vis_w = max(0, min(idx.shape[1], sw - x))
+        idx_v = idx[:vis_h, :vis_w]
+        saved = canvas[y : y + vis_h, x : x + vis_w].copy() if disposal == 3 else None
+        region = canvas[y : y + vis_h, x : x + vis_w]
+        rgb = pal[idx_v]
+        if transparent >= 0:
+            opaque = idx_v != transparent
+            region[opaque] = rgb[opaque]
         else:
-            raise ValueError(f"bad GIF block 0x{b:02x}")
+            region[:] = rgb
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:  # restore background in the frame rect
+            canvas[y : y + vis_h, x : x + vis_w] = bg_rgb
+        elif disposal == 3:  # restore the pre-frame canvas
+            canvas[y : y + vis_h, x : x + vis_w] = saved
     if not frames:
         raise ValueError("no image frame")
     return frames

@@ -215,6 +215,17 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _dense_hourly_frame(g: pd.DataFrame, value_col: str) -> pd.DataFrame:
+    """Dense per-type hourly grid over the type's [min, max] span with
+    ``value_col`` left-joined (NaN where the hour is missing) — the
+    shared scaffold of every gap-fill mode (zero/lerp/LOCF)."""
+    g = g.sort_values("bucket")
+    grid = pd.date_range(g["bucket"].min(), g["bucket"].max(), freq="1h")
+    out = pd.DataFrame({"bucket": grid})
+    out["event_type"] = g["event_type"].iloc[0]
+    return out.merge(g[["bucket", value_col]], on="bucket", how="left")
+
+
 def rollup_hourly_gapfill(sf_dir: str):
     """Hourly counts per event_type with missing hours filled
     (n_events = 0) over each type's [min, max] hour range.
@@ -249,11 +260,7 @@ def rollup_hourly_gapfill(sf_dir: str):
     )
 
     def fill(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket")
-        grid = pd.date_range(g["bucket"].min(), g["bucket"].max(), freq="1h")
-        out = pd.DataFrame({"bucket": grid})
-        out["event_type"] = g["event_type"].iloc[0]
-        out = out.merge(g[["bucket", "n_events"]], on="bucket", how="left")
+        out = _dense_hourly_frame(g, "n_events")
         out["n_events"] = out["n_events"].fillna(0).astype("int64")
         return out[["event_type", "bucket", "n_events"]]
 
@@ -960,11 +967,7 @@ def rollup_hourly_lerp(sf_dir: str):
     hourly = _hourly_partials_df(sf_dir)
 
     def fill(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket")
-        grid = pd.date_range(g["bucket"].min(), g["bucket"].max(), freq="1h")
-        out = pd.DataFrame({"bucket": grid})
-        out["event_type"] = g["event_type"].iloc[0]
-        out = out.merge(g[["bucket", "cents"]], on="bucket", how="left")
+        out = _dense_hourly_frame(g, "cents")
         # epoch hours via a second-resolution cast (unit-safe: the
         # Arrow round-trip may hand us us- or ns-precision datetimes)
         h = (out["bucket"].astype("datetime64[s]").astype("int64") // 3600).to_numpy(np.int64)
@@ -2873,11 +2876,7 @@ def rollup_hourly_locf(sf_dir: str):
     hourly = _hourly_partials_df(sf_dir)
 
     def fill(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket")
-        grid = pd.date_range(g["bucket"].min(), g["bucket"].max(), freq="1h")
-        out = pd.DataFrame({"bucket": grid})
-        out["event_type"] = g["event_type"].iloc[0]
-        out = out.merge(g[["bucket", "cents"]], on="bucket", how="left")
+        out = _dense_hourly_frame(g, "cents")
         h = (out["bucket"].astype("datetime64[s]").astype("int64") // 3600).to_numpy(np.int64)
         present = out["cents"].notna().to_numpy()
         c = out["cents"].to_numpy(np.float64)

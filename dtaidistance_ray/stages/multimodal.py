@@ -324,6 +324,8 @@ def decode_wav(payload: bytes):
         elif cid == b"fact":
             fact_samples = struct.unpack_from("<I", payload, pos + 8)[0]
         elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
             raw = payload[pos + 8 : pos + 8 + size]
             if fmt == 1:
                 return np.frombuffer(raw, dtype="<i2", count=size // 2), rate
@@ -331,7 +333,9 @@ def decode_wav(payload: bytes):
                 from ..codec.g711 import alaw_decode, ulaw_decode
 
                 dec = ulaw_decode(raw) if fmt == 7 else alaw_decode(raw)
-                return dec[: fact_samples if fact_samples else len(dec)], rate
+                # fact (when present) is authoritative, INCLUDING 0:
+                # tools may pad the data chunk of an empty recording
+                return dec[: fact_samples if fact_samples is not None else len(dec)], rate
             from ..codec.ima_adpcm import decode_wav_blocks
 
             spb = (block_align - 4) * 2 + 1

@@ -492,6 +492,61 @@ class TestRealMediaCodecs:
         want[2, 2] = pal[2]
         np.testing.assert_array_equal(frames[1][1], want)
 
+    def test_gif_disposal3_and_clipping(self):
+        """Disposal 3 restores the pre-frame canvas; frame rects past
+        the logical screen are clipped, not an error."""
+        import struct
+
+        from dtaidistance_ray.codec.gif import _lzw_encode, decode_gif_frames
+
+        pal = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+
+        def img_block(x, y, w, h, idx, gce_flags=0x04, delay_cs=10, tidx=0):
+            out = struct.pack("<BBBBHBB", 0x21, 0xF9, 4, gce_flags, delay_cs, tidx, 0)
+            out += struct.pack("<BHHHHB", 0x2C, x, y, w, h, 0)
+            data = _lzw_encode(np.asarray(idx, dtype=np.uint8).reshape(-1), 2)
+            out += bytes([2, len(data)]) + data + bytes([0])
+            return out
+
+        gif = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0) + pal.tobytes()
+        # frame 1: full screen color 1; frame 2: overlay color 2 at
+        # (1,1) with disposal 3 (restore previous after); frame 3:
+        # 3x3 rect anchored at (2,2) — extends past the screen, clipped
+        gif += img_block(0, 0, 4, 4, np.full((4, 4), 1))
+        gif += img_block(1, 1, 2, 2, np.full((2, 2), 2), gce_flags=(3 << 2))
+        gif += img_block(2, 2, 3, 3, np.full((3, 3), 3))
+        gif += bytes([0x3B])
+        frames = decode_gif_frames(gif)
+        assert len(frames) == 3
+        f1 = np.broadcast_to(pal[1], (4, 4, 3)).copy()
+        np.testing.assert_array_equal(frames[0][1], f1)
+        f2 = f1.copy()
+        f2[1:3, 1:3] = pal[2]
+        np.testing.assert_array_equal(frames[1][1], f2)
+        # disposal 3 restored frame 1 before frame 3's clipped overlay
+        f3 = f1.copy()
+        f3[2:4, 2:4] = pal[3]
+        np.testing.assert_array_equal(frames[2][1], f3)
+
+    def test_wav_fact_zero_and_data_before_fmt(self):
+        """fact=0 is authoritative (empty recording, padded data); a
+        data chunk before fmt raises a clear error."""
+        import struct
+
+        from dtaidistance_ray.stages.multimodal import decode_wav, encode_wav_g711
+
+        wav = bytearray(encode_wav_g711(np.zeros(0, dtype=np.int16), 8000, "ulaw"))
+        # pad the data chunk with 4 garbage companded bytes
+        di = bytes(wav).rindex(b"data")
+        wav[di + 4 : di + 8] = struct.pack("<I", 4)
+        wav += b"\x55\x55\x55\x55"
+        wav[4:8] = struct.pack("<I", len(wav) - 8)
+        dec, rate = decode_wav(bytes(wav))
+        assert len(dec) == 0 and rate == 8000
+        bad = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"data" + struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="before fmt"):
+            decode_wav(bad)
+
     def test_sample_frames_real_gif(self, ray_session):
         import ray.data as rd
         from dtaidistance_ray.stages.multimodal import sample_video_frames, synth_video_table_gif
