@@ -2354,6 +2354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events_hourly_locf": events.rollup_hourly_locf,
         "events_daily_mann_kendall": events.daily_mann_kendall,
         "events_seasonal_decompose": events.hourly_seasonal_decompose,
+        "events_rate_limit_audit": events.rate_limit_audit,
+        "events_value_benford": events.value_benford,
         "events_hourly_ewma": events.hourly_ewma,
         "events_hourly_xcorr_lags": events.hourly_xcorr_lags,
         "events_hourly_cusum": events.hourly_cusum_changepoints,
@@ -2519,6 +2521,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events_hourly_locf": events.ROLLUP_LOCF_SQL,
         "events_daily_mann_kendall": events.MANN_KENDALL_SQL,
         "events_seasonal_decompose": events.SEASONAL_DECOMPOSE_SQL,
+        "events_rate_limit_audit": events.RATE_LIMIT_SQL,
+        "events_value_benford": events.VALUE_BENFORD_SQL,
         "events_hourly_ewma": events.HOURLY_EWMA_SQL,
         "events_hourly_xcorr_lags": events.HOURLY_XCORR_SQL,
         "events_hourly_cusum": events.HOURLY_CUSUM_SQL,

@@ -3200,3 +3200,195 @@ def profile_dtw_anomaly(sf_dir: str, window: int = 4, max_it: int = 10, k: int =
         )[cols]
 
     return _per_type(hourly, score)
+
+
+def rate_limit_audit(sf_dir: str, quota_per_day: int = 2, k: int = 20):
+    """Rate-limit / abuse audit: count events per (user, day), flag
+    days above the quota, and emit the top-k offending users by number
+    of over-quota days (ties: higher peak daily rate, then lower
+    user_id). The per-(user, day) key-space is unbounded, so the
+    physical plan is the unbounded-key one: per-block Arrow combiner
+    partials -> Ray hash groupby-aggregate -> per-block pre-top-k ->
+    global sort.limit — the driver never holds the (user, day) table.
+
+    Exactness: counts are exact int64; the ranking is integer-ordered.
+    An input where nobody exceeds the quota yields an empty result
+    (every stage is empty-block-safe)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_events(sf_dir, columns=["ts", "user_id"])
+    cols = {"user_id": "int64", "minutes_over": "int64", "peak_per_day": "int64"}
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day").combine_chunks().to_numpy()
+        uid = b["user_id"].combine_chunks().to_numpy()
+        ud, dinv = np.unique(day, return_inverse=True)
+        key = uid * len(ud) + dinv
+        _, starts, uk = _grouped_reduceat(key)
+        return pa.table(
+            {
+                "user_id": (uk // len(ud)).astype(np.int64),
+                "day": pa.array(ud[uk % len(ud)]),
+                "n": np.diff(np.r_[starts, len(key)]).astype(np.int64),
+            }
+        )
+
+    per_day = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def over(b: pd.DataFrame) -> pd.DataFrame:
+        if "n" not in b.columns or not len(b):
+            return empty()
+        b = b[b["n"] > quota_per_day]
+        if not len(b):
+            return empty()
+        g = b.groupby("user_id", as_index=False).agg(
+            minutes_over=("n", "size"), peak_per_day=("n", "max")
+        )
+        return g.astype(cols)
+
+    offenders = (
+        per_day.map_batches(over, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            Sum("minutes_over", alias_name="days_over"),
+            Max("peak_per_day", alias_name="peak_per_day"),
+        )
+    )
+
+    order_cols = ["days_over", "peak_per_day", "user_id"]
+
+    def pre_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b) or "days_over" not in b.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("user_id", "days_over", "peak_per_day")}
+            )
+        return b.sort_values(order_cols, ascending=[False, False, True], kind="mergesort").head(k)
+
+    out = offenders.map_batches(pre_topk, batch_format="pandas").to_pandas()
+    if not len(out):
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("user_id", "days_over", "peak_per_day")}
+        )
+    out = (
+        out.sort_values(order_cols, ascending=[False, False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["user_id", "days_over", "peak_per_day"]]
+
+
+RATE_LIMIT_SQL_TMPL = """
+WITH per_day AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), offenders AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS days_over,
+         CAST(max(n) AS BIGINT) AS peak_per_day
+  FROM per_day WHERE n > {quota}
+  GROUP BY 1
+)
+SELECT user_id, days_over, peak_per_day
+FROM offenders
+ORDER BY days_over DESC, peak_per_day DESC, user_id ASC
+LIMIT {k}
+"""
+
+RATE_LIMIT_SQL = RATE_LIMIT_SQL_TMPL.format(quota=2, k=20)
+
+
+def value_benford(sf_dir: str):
+    """Benford first-digit audit over event values — the classic
+    fabricated-data / instrumentation-bug screen: distribution of the
+    leading digit of |value| in cents (values with |cents| = 0
+    excluded), per event_type, with the Benford expectation
+    log10(1 + 1/d) and the absolute deviation.
+
+    Exactness: digit counts are exact int64 from integer cents; the
+    share and expectation are single f64 divisions / log10 calls in
+    the same operation order both sides.
+
+    Scale shape: map-only per-block (type, digit) bincount partials
+    (bounded key-space: #types x 9) merged by the fan-in tree."""
+    ds = read_events(sf_dir, columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = pc.dictionary_encode(b["event_type"]).combine_chunks()
+        codes = et.indices.to_numpy().astype(np.int64)
+        cents = np.abs(np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64))
+        keep = cents > 0
+        codes = codes[keep]
+        c = cents[keep]
+        # leading digit via string-free arithmetic: divide by 10 until < 10
+        while c.size and c.max() >= 10:
+            big = c >= 10
+            c = np.where(big, c // 10, c)
+        key = codes * 9 + (c - 1)
+        _, starts, uk = _grouped_reduceat(key)
+        return pa.table(
+            {
+                "event_type": et.dictionary.take(pa.array(uk // 9)),
+                "digit": (uk % 9 + 1).astype(np.int64),
+                "n": np.diff(np.r_[starts, len(key)]).astype(np.int64),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    df = merge_partials(parts, ["event_type", "digit"], {"n": "sum"})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        # dense 1..9 grid so absent digits show share 0
+        out = pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64)})
+        out["event_type"] = g["event_type"].iloc[0]
+        out = out.merge(g[["digit", "n"]], on="digit", how="left")
+        out["n"] = out["n"].fillna(0).astype("int64")
+        total = np.int64(out["n"].sum())
+        out["share"] = out["n"].to_numpy(np.float64) / np.float64(total)
+        out["benford"] = np.log10(1.0 + 1.0 / out["digit"].to_numpy(np.float64))
+        out["abs_dev"] = np.abs(out["share"].to_numpy() - out["benford"].to_numpy())
+        return out[["event_type", "digit", "n", "share", "benford", "abs_dev"]]
+
+    return _per_type(df, finalize)
+
+
+VALUE_BENFORD_SQL = """
+WITH cents AS (
+  SELECT event_type, abs(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events
+), digits AS (
+  SELECT event_type,
+         CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents WHERE c > 0
+), counts AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+  FROM digits GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM counts GROUP BY 1
+), expect(digit, benford) AS (
+  -- log10(1 + 1/d) as shortest-round-trip double literals so both
+  -- engines carry the IDENTICAL doubles (libm log10 differs by 1 ulp
+  -- between numpy and DuckDB for some digits)
+  VALUES (1, 0.3010299956639812),\n         (2, 0.17609125905568124),\n         (3, 0.12493873660829992),\n         (4, 0.09691001300805642),\n         (5, 0.07918124604762482),\n         (6, 0.06694678963061323),\n         (7, 0.05799194697768673),\n         (8, 0.05115252244738129),\n         (9, 0.04575749056067514)
+), grid AS (
+  SELECT t.event_type, e.digit, e.benford, t.total
+  FROM totals t CROSS JOIN expect e
+)
+SELECT g.event_type, g.digit,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(g.total AS DOUBLE) AS share,
+       g.benford AS benford,
+       abs(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(g.total AS DOUBLE) - g.benford) AS abs_dev
+FROM grid g LEFT JOIN counts c
+  ON g.event_type = c.event_type AND g.digit = c.digit
+"""

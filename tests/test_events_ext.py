@@ -588,3 +588,25 @@ class TestSession10Timeseries:
         with um.patch.object(events, "rollup_hourly_gapfill", lambda sf: hourly):
             out = events.daily_mann_kendall("unused")
         assert len(out) == 0
+
+    def test_rate_limit_audit(self, ray_session):
+        got = _canon(_run(events.rate_limit_audit))
+        want = _canon(_duck(events.RATE_LIMIT_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        if len(got):
+            assert (got["peak_per_day"] > 2).all()
+
+    def test_rate_limit_audit_empty_when_quota_high(self, ray_session):
+        # nobody exceeds an absurd quota: every stage must tolerate
+        # empty blocks and the result is a typed empty frame
+        out = events.rate_limit_audit(SF, quota_per_day=10**6)
+        assert len(out) == 0
+        assert list(out.columns) == ["user_id", "days_over", "peak_per_day"]
+
+    def test_value_benford(self, ray_session):
+        got = _canon(_run(events.value_benford))
+        want = _canon(_duck(events.VALUE_BENFORD_SQL))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # shares sum to 1 per type; benford column is the exact table
+        for _, g in got.groupby("event_type"):
+            assert abs(g["share"].sum() - 1.0) < 1e-12
