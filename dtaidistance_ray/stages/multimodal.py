@@ -275,14 +275,17 @@ def encode_wav_g711(samples: np.ndarray, rate: int = 8000, law: str = "ulaw") ->
 
     fmt_tag = 7 if law == "ulaw" else 6
     data = (ulaw_encode if law == "ulaw" else alaw_encode)(samples)
+    # RIFF chunks are word-aligned: an odd data chunk carries a pad
+    # byte NOT counted in its size (readers rely on fact for length)
+    pad = b"\x00" if len(data) % 2 else b""
     hdr = struct.pack(
         "<4sI4s4sIHHIIHHH4sII4sI",
-        b"RIFF", 50 + len(data), b"WAVE",
+        b"RIFF", 50 + len(data) + len(pad), b"WAVE",
         b"fmt ", 18, fmt_tag, 1, rate, rate, 1, 8, 0,
         b"fact", 4, len(data),
         b"data", len(data),
     )
-    return hdr + data
+    return hdr + data + pad
 
 
 def encode_wav_ima_adpcm(samples: np.ndarray, rate: int = 8000, block_align: int = 256) -> bytes:
