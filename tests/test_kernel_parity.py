@@ -263,6 +263,28 @@ class TestDBAParity:
         bat = dba_loop(profs, c=profs[0], max_it=10, thr=0.001, settings=s)
         np.testing.assert_array_equal(bat, seq)
 
+    def test_dba_batched_bitexact_random_floats(self):
+        """The batched DP's fixpoint refinement makes it bit-identical
+        to the sequential kernel on ARBITRARY float inputs (not just
+        integer tokens): same sums, same counts, any window."""
+        from dtaidistance_ray.kernels.dba_batch import batched_dba_partial
+        from dtaidistance_ray.kernels import warping_path
+
+        rng = np.random.default_rng(41)
+        for _ in range(4):
+            c = rng.normal(size=int(rng.integers(16, 80)))
+            seqs = [rng.normal(size=int(rng.integers(8, 100))) for _ in range(30)]
+            s = DTWSettings(window=int(rng.integers(2, 16)))
+            sb, cb = batched_dba_partial(seqs, c, s)
+            sums = np.zeros(len(c))
+            cnts = np.zeros(len(c), dtype=np.int64)
+            for p_ in seqs:
+                for i, j in warping_path(c, p_, settings=s):
+                    sums[i] += p_[j]
+                    cnts[i] += 1
+            np.testing.assert_array_equal(sb, sums)
+            np.testing.assert_array_equal(cb, cnts)
+
     def test_dba_partial_merge_invariance(self):
         # partition the members arbitrarily -> identical merged result
         from dtaidistance_ray.kernels import dba_finalize, dba_merge, dba_partial
