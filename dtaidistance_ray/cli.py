@@ -41,7 +41,39 @@ def main(argv=None) -> int:
         help="after the run (and any --expire sweep), compact every tier "
         "of --out into N shards (atomic tier swap, lineage manifests)",
     )
+    ap.add_argument(
+        "--stats",
+        action="store_true",
+        help="print store_stats of --out (manifest/parquet integrity, "
+        "per-tier spans) WITHOUT running the pipeline",
+    )
+    ap.add_argument(
+        "--serve",
+        nargs=3,
+        default=None,
+        metavar=("SOURCE", "LO_HOUR", "HI_HOUR"),
+        help="serve [LO_HOUR, HI_HOUR) tier-0 hours for SOURCE from the "
+        "--out store (finest-retained-tier per hour) WITHOUT running "
+        "the pipeline; prints one JSON row per hour",
+    )
     args = ap.parse_args(argv)
+
+    # store-maintenance verbs operate on an existing store, Ray-free
+    if args.stats or args.serve:
+        if not args.out:
+            ap.error("--stats/--serve require --out")
+        result = {}
+        if args.stats:
+            from dtaidistance_ray.state.checkpoint import store_stats
+
+            result["stats"] = store_stats(args.out)
+        if args.serve:
+            from dtaidistance_ray.pipelines.serve import serve_range
+
+            source, lo, hi = args.serve[0], int(args.serve[1]), int(args.serve[2])
+            result["serve"] = serve_range(args.out, source, lo, hi).to_dict("records")
+        print(json.dumps(result, default=str))
+        return 0
 
     import ray
 

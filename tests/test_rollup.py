@@ -1205,3 +1205,30 @@ class TestTaskRetryWritePath:
             t = pd.read_parquet(f"{out}/tier=0/shard={s}/part-0.parquet")
             total += len(t)
         assert total == expect_rows
+
+
+class TestCLIMaintenanceVerbs:
+    def test_stats_and_serve_without_rerun(self, ray_session, tmp_path, capsys):
+        """--stats / --serve operate on an existing store (no pipeline
+        rerun, no Ray requirement): stats mirror store_stats, served
+        hours mirror serve_range."""
+        import json
+
+        from dtaidistance_ray.cli import main as cli_main
+        from dtaidistance_ray.pipelines.flagship import run_flagship
+        from dtaidistance_ray.sources.synth import TokenTableSpec
+        from dtaidistance_ray.state.checkpoint import store_stats
+
+        out = str(tmp_path / "cli_store")
+        spec = TokenTableSpec(num_rows=400)
+        run_flagship(spec, out_dir=out, num_shards=4)
+        assert cli_main(["--out", out, "--stats"]) == 0
+        got = json.loads(capsys.readouterr().out)
+        want = store_stats(out)
+        assert got["stats"] == json.loads(json.dumps(want, default=str))
+        t0 = [r for r in want if r["tier"] == 0][0]
+        lo = int(t0["min_bucket"])
+        assert cli_main(["--out", out, "--serve", "source_000", str(lo), str(lo + 4)]) == 0
+        served = json.loads(capsys.readouterr().out)["serve"]
+        assert [r["hour"] for r in served] == list(range(lo, lo + 4))
+        assert all(r["served_tier"] in (-1, 0, 1, 2) for r in served)
