@@ -4,7 +4,8 @@ Own implementation from the public ITU-T G.711 segment layout (the
 same algorithm family as Sun Microsystems' classic g711.c, which is
 also what CPython's `audioop` wraps). Operates at 16-bit linear scale
 so results are byte-exact with `audioop.ulaw2lin/lin2ulaw` and
-`alaw2lin/lin2alaw` at width=2 — tests/test_multimodal.py asserts
+`alaw2lin/lin2alaw` at width=2 — tests/test_stages.py
+(TestRealMediaCodecs) asserts
 exhaustive equality over all 256 code bytes and all 65536 int16
 values. `audioop` is used ONLY as the independent test oracle; the
 tables below are built from the spec formulas, not copied.

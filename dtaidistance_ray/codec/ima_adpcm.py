@@ -174,6 +174,10 @@ def decode_wav_blocks(data: bytes, block_align: int, n_samples: int) -> np.ndarr
     while remaining > 0 and pos + 4 <= len(data):
         first = int.from_bytes(data[pos : pos + 2], "little", signed=True)
         index = data[pos + 2]
+        if index > 88:  # STEP_TABLE has 89 entries; anything else is corrupt
+            raise ValueError(
+                f"IMA ADPCM block at byte {pos}: step index {index} out of range 0..88"
+            )
         body = data[pos + 4 : pos + block_align]
         nibbles = _unpack_low_first(body)[: min(remaining, spb) - 1]
         dec, _ = decode_nibbles(nibbles, (first, index))

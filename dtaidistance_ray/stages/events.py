@@ -3218,7 +3218,7 @@ def rate_limit_audit(sf_dir: str, quota_per_day: int = 2, k: int = 20):
     from ray.data.aggregate import Max, Sum
 
     ds = read_events(sf_dir, columns=["ts", "user_id"])
-    cols = {"user_id": "int64", "minutes_over": "int64", "peak_per_day": "int64"}
+    cols = {"user_id": "int64", "days_over": "int64", "peak_per_day": "int64"}
 
     def empty() -> pd.DataFrame:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
@@ -3250,7 +3250,7 @@ def rate_limit_audit(sf_dir: str, quota_per_day: int = 2, k: int = 20):
         if not len(b):
             return empty()
         g = b.groupby("user_id", as_index=False).agg(
-            minutes_over=("n", "size"), peak_per_day=("n", "max")
+            days_over=("n", "size"), peak_per_day=("n", "max")
         )
         return g.astype(cols)
 
@@ -3258,7 +3258,7 @@ def rate_limit_audit(sf_dir: str, quota_per_day: int = 2, k: int = 20):
         per_day.map_batches(over, batch_format="pandas")
         .groupby("user_id")
         .aggregate(
-            Sum("minutes_over", alias_name="days_over"),
+            Sum("days_over", alias_name="days_over"),
             Max("peak_per_day", alias_name="peak_per_day"),
         )
     )

@@ -574,11 +574,29 @@ def check_multimodal_audio_g711(got: pd.DataFrame):
     """Independent decode: CPython's audioop (a separate C
     implementation of G.711 and IMA ADPCM) undoes the companding —
     never our own codecs — then numpy recomputes the features."""
-    import audioop
     import struct
+
+    try:
+        import audioop  # stdlib through 3.12; removed in Python 3.13 (PEP 594)
+    except ImportError as exc:  # pragma: no cover - depends on interpreter
+        raise RuntimeError(
+            "golden regeneration for multimodal_audio_g711 needs the stdlib "
+            "audioop oracle (Python <= 3.12); regenerate on an older interpreter"
+        ) from exc
 
     from dtaidistance_ray.codec import ima_adpcm as ima
     from dtaidistance_ray.stages.multimodal import synth_audio_table_g711
+
+    def _riff_chunks(wav: bytes) -> dict:
+        """Walk RIFF chunk headers (offsets can't collide with payload
+        bytes, unlike a rindex over the whole file)."""
+        chunks, pos = {}, 12
+        while pos + 8 <= len(wav):
+            cid = wav[pos : pos + 4]
+            size = struct.unpack_from("<I", wav, pos + 4)[0]
+            chunks[cid] = wav[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)  # word-aligned: odd chunks carry a pad byte
+        return chunks
 
     t = synth_audio_table_g711(90, seed=13).to_pandas().set_index("media_id")
     assert len(got) == 90
@@ -586,8 +604,9 @@ def check_multimodal_audio_g711(got: pd.DataFrame):
         row = t.loc[mid]
         wav = bytes(row["payload"])
         codec = row["codec"]
-        data = wav[wav.rindex(b"data") + 8 :]
-        n = struct.unpack_from("<I", wav, wav.rindex(b"fact") + 8)[0]
+        chunks = _riff_chunks(wav)
+        data = chunks[b"data"]
+        n = struct.unpack_from("<I", chunks[b"fact"], 0)[0]
         if codec in ("ulaw", "alaw"):
             fn = audioop.ulaw2lin if codec == "ulaw" else audioop.alaw2lin
             samples = np.frombuffer(fn(data, 2), dtype="<i2")[:n]
