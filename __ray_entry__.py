@@ -2070,6 +2070,30 @@ def _q_multimodal_gif_frames(sf_dir: str):
     return sample_video_frames(rd.from_arrow(synth_video_table_gif(40, seed=19)), every_ms=200)
 
 
+def _q_multimodal_video_mjpeg(sf_dir: str):
+    """REAL video decode: MJPEG-in-AVI payloads (codec/avi.py RIFF
+    container + codec/jpeg.py per-frame baseline JPEG). Frame ticks
+    replay the true container frame rate (incl. NTSC 30000/1001);
+    each sampled row carries the raw-chunk digest (verified by an
+    independent RIFF walk in tools/make_goldens.py) and decoded-pixel
+    mean/std (verified within JPEG-loss tolerance against the
+    pre-encode source frames regenerated from the corpus seed — a
+    fake decode cannot pass)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dtaidistance_ray.stages.multimodal import synth_video_table_mjpeg, video_frame_features
+
+    ds = video_frame_features(rd.from_arrow(synth_video_table_mjpeg(36, seed=23)), every_ms=100)
+
+    def stable(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["frame_mean"] = batch["frame_mean"].round(4)
+        batch["frame_std"] = batch["frame_std"].round(4)
+        return batch
+
+    return ds.map_batches(stable, batch_format="pandas")
+
+
 def _q_multimodal_audio_features(sf_dir: str):
     """REAL audio decode: WAV PCM16 payloads -> rms / zero-crossing
     rate / dominant frequency (numpy FFT)."""
@@ -2307,6 +2331,7 @@ GOLDEN_QUERIES = (
     "multimodal_audio_g711",
     "multimodal_decode_gif",
     "multimodal_gif_frames",
+    "multimodal_video_mjpeg",
     "events_profile_dtw_anomaly",
     "ann_ivf_topk",
     "ann_pq_topk",
@@ -2449,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_g711": _q_multimodal_audio_g711,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_gif_frames": _q_multimodal_gif_frames,
+        "multimodal_video_mjpeg": _q_multimodal_video_mjpeg,
         "events_profile_dtw_anomaly": _q_events_profile_dtw_anomaly,
         "dtw_distance_matrix": _q_dtw_distance_matrix,
         "subsequence_knn": _q_subsequence_knn,

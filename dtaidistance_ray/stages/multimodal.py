@@ -19,12 +19,18 @@ hand-constructed spec-level byte fixture in tests). Compressed audio
 is real too: G.711 mu-law/A-law and
 IMA ADPCM WAV payloads (format tags 7/6/0x11) decode through own
 codecs (codec/g711.py, codec/ima_adpcm.py) asserted byte-exact
-against CPython's independent `audioop` implementation in tests. The
-remaining compressed codecs (opus/h264) are declared stubs:
-``DecodeImage.decode_real`` raises NotImplementedError for them and
-the default path substitutes a deterministic fake decode (seeded by
-the payload hash) so the Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — is exercised end-to-end either way.
+against CPython's independent `audioop` implementation in tests.
+Video is real for animated GIF and for MJPEG-in-AVI (codec/avi.py
+RIFF container walk + per-frame baseline JPEG decode): frame
+sampling replays the true container timeline and digests/features
+come from decoded RGB. The remaining compressed codecs (opus, h264,
+heic) are declared stubs: ``DecodeImage.decode_real`` raises
+NotImplementedError for them; the image stub path substitutes a
+deterministic fake decode (seeded by the payload hash) so the
+Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is exercised end-to-end, while ``SampleFrames`` emits
+explicit ``unsupported:<codec>`` marker rows for opaque video codecs
+rather than fake frame digests.
 """
 
 from __future__ import annotations
@@ -485,6 +491,52 @@ def synth_video_table_gif(n: int, seed: int = 0) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def _mjpeg_source_frames(rng: np.random.Generator):
+    """One video's pre-encode source frames + timing, drawn from the
+    corpus RNG stream. Smooth gradients with a per-frame brightness
+    offset: JPEG-friendly (quality-90 mean error < 0.1) yet with
+    frame means spanning ~45..215, so a fake decode (uniform-random
+    pixels, mean ~127.5) cannot pass the tolerance oracle."""
+    h = int(rng.integers(2, 7)) * 8
+    w = int(rng.integers(2, 7)) * 8
+    nframes = int(rng.integers(3, 11))
+    rate, scale = [(30, 1), (25, 1), (30000, 1001), (15, 1)][int(rng.integers(0, 4))]
+    gy = np.linspace(0, float(rng.uniform(20, 60)), h)
+    gx = np.linspace(0, float(rng.uniform(20, 60)), w)
+    grad = np.add.outer(gy, gx)[:, :, None]
+    frames = []
+    for _ in range(nframes):
+        b = float(rng.uniform(40, 175))
+        px = np.clip(grad + b + rng.normal(0, 1.5, size=(h, w, 3)), 0, 255)
+        frames.append(px.astype(np.uint8))
+    return frames, rate, scale
+
+
+def synth_video_table_mjpeg(n: int, seed: int = 0) -> pa.Table:
+    """Video corpus of REAL MJPEG-in-AVI payloads: seeded gradient
+    frames JPEG-encoded by the own codec (codec/jpeg.py) and packed
+    into AVI RIFF containers (codec/avi.py) at varied frame rates
+    (incl. NTSC 30000/1001). duration_ms is the true container
+    timeline length."""
+    from ..codec.avi import encode_avi_mjpeg
+
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")}
+    for i in range(n):
+        frames, rate, scale = _mjpeg_source_frames(rng)
+        h, w, _ = frames[0].shape
+        rows["media_id"].append(f"j{i:08d}")
+        rows["media_type"].append("video")
+        rows["payload"].append(
+            encode_avi_mjpeg(frames, rate=rate, scale=scale, quality=90, subsampling="420" if i % 2 else "444")
+        )
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(int(round(len(frames) * 1000 * scale / rate)))
+        rows["codec"].append("mjpeg")
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def synth_audio_table_g711(n: int, seed: int = 0) -> pa.Table:
     """Audio corpus of REAL compressed payloads: seeded waveforms
     encoded as G.711 mu-law / A-law and IMA ADPCM WAV files (format
@@ -621,16 +673,19 @@ class SampleFrames:
     """Video frame sampling stage (every k-th second): emits one row per
     sampled frame (flat_map-shaped expansion via map_batches).
 
-    Animated GIF payloads sample for REAL: the frame displayed at each
-    tick t = k*every_ms (per-frame GCE delays define the timeline) is
-    decoded (codec/gif.py) and digested from its composed RGB canvas.
-    Opaque codecs (h264) keep the deterministic fake digest so the
-    plumbing path is exercised either way."""
+    Animated GIF and MJPEG-AVI payloads sample for REAL: the frame
+    displayed at each tick t = k*every_ms (per-frame GCE delays /
+    container frame rate define the timeline) is decoded
+    (codec/gif.py, codec/avi.py + codec/jpeg.py) and digested from
+    its composed RGB canvas. Opaque codecs (h264, opus) emit one
+    explicit ``unsupported:<codec>`` marker row per video at
+    frame_ms = -1 — never fake digests."""
 
     def __init__(self, every_ms: int = 5000):
         self.every_ms = every_ms
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..codec.avi import decode_avi_mjpeg, frame_index_at
         from ..codec.gif import decode_gif_frames
 
         rows = []
@@ -648,8 +703,14 @@ class SampleFrames:
                     digest = hashlib.blake2b(frames[fi][1].tobytes(), digest_size=8).hexdigest()
                     rows.append((mid, t, digest))
                 continue
-            for t in range(0, int(dur), self.every_ms):
-                rows.append((mid, t, hashlib.blake2b(payload + t.to_bytes(4, "big"), digest_size=8).hexdigest()))
+            if codec == "mjpeg":
+                frames, info = decode_avi_mjpeg(bytes(payload))
+                for t in range(0, max(info.duration_ms, 1), self.every_ms):
+                    fi = frame_index_at(info, t)
+                    digest = hashlib.blake2b(frames[fi].tobytes(), digest_size=8).hexdigest()
+                    rows.append((mid, t, digest))
+                continue
+            rows.append((mid, -1, f"unsupported:{codec}"))
         return pd.DataFrame(rows, columns=["media_id", "frame_ms", "frame_digest"])
 
 
@@ -660,6 +721,73 @@ def decode_images(ds, thumb: int = 8, concurrency=None, batch_size: int = 32):
     return ds.filter(expr="media_type == 'image'").map_batches(
         DecodeImage,
         fn_constructor_kwargs={"thumb": thumb},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class VideoFrameFeatures:
+    """Actor-pool stage: MJPEG-AVI payloads -> per-sampled-frame rows
+    carrying three independently verifiable facts:
+
+    - ``frame_idx`` / ``frame_ms``: tick replay off the REAL container
+      frame rate (strh dwScale/dwRate) — checkable from fps alone;
+    - ``chunk_digest``: blake2b of the raw JPEG bytes of the selected
+      ``00dc`` chunk — checkable by any independent RIFF walker
+      without a JPEG decoder;
+    - ``frame_mean`` / ``frame_std``: statistics of the DECODED RGB
+      frame — checkable within JPEG-loss tolerance against the
+      pre-encode source frames (a fake decode cannot pass).
+
+    Each sampled frame is decoded once even when several ticks land on
+    it (MJPEG frames are independent keyframes, so no inter-frame
+    state is needed — the property that makes this stage trivially
+    batch-parallel)."""
+
+    def __init__(self, every_ms: int = 250):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..codec.avi import frame_index_at, parse_avi
+        from ..codec.jpeg import decode_jpeg
+
+        every_ms = self.every_ms
+        rows = []
+        for mid, payload, codec in zip(batch["media_id"], batch["payload"], batch["codec"]):
+            if codec != "mjpeg":
+                continue
+            info = parse_avi(bytes(payload))
+            decoded: dict[int, np.ndarray] = {}
+            for t in range(0, max(info.duration_ms, 1), every_ms):
+                fi = frame_index_at(info, t)
+                if fi not in decoded:
+                    decoded[fi] = decode_jpeg(info.frame_chunks[fi])
+                px = decoded[fi]
+                rows.append(
+                    (
+                        mid,
+                        t,
+                        fi,
+                        hashlib.blake2b(info.frame_chunks[fi], digest_size=8).hexdigest(),
+                        float(px.mean()),
+                        float(px.std()),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["media_id", "frame_ms", "frame_idx", "chunk_digest", "frame_mean", "frame_std"],
+        )
+
+
+def video_frame_features(ds, every_ms: int = 250, concurrency=None, batch_size: int = 16):
+    """MJPEG video rows -> per-sampled-frame feature rows (actor pool,
+    small batches because each row fans out to many decoded frames)."""
+    concurrency = concurrency or auto_pool()
+    return ds.filter(expr="media_type == 'video'").map_batches(
+        VideoFrameFeatures,
+        fn_constructor_kwargs={"every_ms": every_ms},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -209,3 +209,98 @@ class TestJpeg:
 
         with pytest.raises(ValueError):
             decode_jpeg(b"not a jpeg")
+
+
+class TestAviMjpeg:
+    """MJPEG-in-AVI container codec (codec/avi.py). The decoder is
+    anchored to a hand-assembled spec-level byte fixture built with
+    raw struct.pack from the public Microsoft AVI RIFF layout —
+    independent of the repo's own encoder."""
+
+    @staticmethod
+    def _frames(n=4, h=16, w=24, seed=0):
+        rng = np.random.default_rng(seed)
+        grad = np.add.outer(np.linspace(0, 50, h), np.linspace(0, 50, w))[:, :, None]
+        return [
+            np.clip(grad + 40 + 35 * k + rng.normal(0, 1.5, (h, w, 3)), 0, 255).astype(np.uint8)
+            for k in range(n)
+        ]
+
+    def test_roundtrip(self):
+        from dtaidistance_ray.codec.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+        frames = self._frames()
+        avi = encode_avi_mjpeg(frames, rate=30000, scale=1001, quality=90)
+        dec, info = decode_avi_mjpeg(avi)
+        assert info.n_frames == 4 and (info.width, info.height) == (24, 16)
+        assert (info.rate, info.scale) == (30000, 1001)
+        for src, d in zip(frames, dec):
+            assert d.shape == src.shape
+            assert abs(float(src.mean()) - float(d.mean())) < 1.0
+
+    def test_frame_index_timeline(self):
+        from dtaidistance_ray.codec.avi import encode_avi_mjpeg, frame_index_at, parse_avi
+
+        avi = encode_avi_mjpeg(self._frames(5), rate=30000, scale=1001)
+        info = parse_avi(avi)
+        # frame i covers [i*1001/30, (i+1)*1001/30) ms
+        assert frame_index_at(info, 0) == 0
+        assert frame_index_at(info, 33) == 0
+        assert frame_index_at(info, 34) == 1
+        assert frame_index_at(info, 10**9) == 4  # clamped to last frame
+        assert info.duration_ms == round(5 * 1001 / 30)
+
+    def test_spec_fixture_hand_assembled(self):
+        """Container bytes laid out by hand straight from the spec:
+        interleaved audio ('01wb', to be skipped) + video stream, the
+        video declared SECOND (stream 01 -> '01dc' chunks), one frame
+        wrapped in the optional LIST 'rec ' grouping, an odd-sized
+        junk chunk exercising the pad-byte rule, and no idx1."""
+        import struct
+
+        from dtaidistance_ray.codec.avi import decode_avi_mjpeg, parse_avi
+        from dtaidistance_ray.codec.jpeg import decode_jpeg, encode_jpeg
+
+        f0, f1 = self._frames(2, h=8, w=8, seed=3)
+        j0 = encode_jpeg(f0, quality=92)
+        j1 = encode_jpeg(f1, quality=92)
+
+        def ck(cid, data):
+            return cid + struct.pack("<I", len(data)) + data + (b"\0" if len(data) % 2 else b"")
+
+        def li(ltype, payload):
+            return ck(b"LIST", ltype + payload)
+
+        # stream 0: audio (PCM); stream 1: video MJPG 8x8 @ 10 fps
+        strh_a = struct.pack("<4s4sIHHIIIIIIiI4h", b"auds", b"\0\0\0\0", 0, 0, 0, 0, 1, 8000, 0, 800, 0, -1, 1, 0, 0, 0, 0)
+        strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        strh_v = struct.pack("<4s4sIHHIIIIIIiI4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, 10, 0, 2, max(len(j0), len(j1)), -1, 0, 0, 0, 8, 8)
+        strf_v = struct.pack("<IiiHH4sIiiII", 40, 8, 8, 1, 24, b"MJPG", 8 * 8 * 3, 0, 0, 0, 0)
+        avih = struct.pack("<14I", 100000, 0, 0, 0, 2, 0, 2, 0, 8, 8, 0, 0, 0, 0)
+        hdrl = li(b"hdrl", ck(b"avih", avih) + li(b"strl", ck(b"strh", strh_a) + ck(b"strf", strf_a)) + li(b"strl", ck(b"strh", strh_v) + ck(b"strf", strf_v)))
+        movi = li(
+            b"movi",
+            ck(b"01dc", j0)
+            + ck(b"00wb", b"\x80" * 801)  # odd size: pad byte follows
+            + li(b"rec ", ck(b"00wb", b"\x80" * 800) + ck(b"01dc", j1)),
+        )
+        avi = ck(b"RIFF", b"AVI " + hdrl + movi)
+
+        info = parse_avi(avi)
+        assert (info.width, info.height) == (8, 8)
+        assert (info.rate, info.scale) == (10, 1)
+        assert info.n_frames == 2
+        assert info.frame_chunks == [j0, j1]
+        dec, _ = decode_avi_mjpeg(avi)
+        np.testing.assert_array_equal(dec[0], decode_jpeg(j0))
+        np.testing.assert_array_equal(dec[1], decode_jpeg(j1))
+
+    def test_rejects_garbage_and_shape_mismatch(self):
+        from dtaidistance_ray.codec.avi import encode_avi_mjpeg, parse_avi
+
+        with pytest.raises(ValueError):
+            parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+        with pytest.raises(ValueError):
+            encode_avi_mjpeg([])
+        with pytest.raises(ValueError):
+            encode_avi_mjpeg([np.zeros((8, 8, 3), np.uint8), np.zeros((8, 9, 3), np.uint8)])

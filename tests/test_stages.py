@@ -100,13 +100,39 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             DecodeImage(use_real_codec=True).decode_real(b"xx", "h264")
 
-    def test_frame_sampling(self, ray_session):
+    def test_frame_sampling_opaque_codecs_marked_unsupported(self, ray_session):
         import ray.data as rd
 
         t = synth_media_table(30, seed=2)
         out = sample_video_frames(rd.from_arrow(t), every_ms=10000).to_pandas()
-        assert (out["frame_ms"] % 10000 == 0).all()
+        # h264 payloads are opaque: one explicit marker row per video,
+        # never fake digests
+        assert len(out) == 10  # every 3rd row is a video
+        assert (out["frame_ms"] == -1).all()
+        assert (out["frame_digest"] == "unsupported:h264").all()
         assert out["media_id"].str.startswith("m").all()
+
+    def test_frame_sampling_mjpeg_real(self, ray_session):
+        import ray.data as rd
+
+        from dtaidistance_ray.codec.avi import decode_avi_mjpeg, frame_index_at
+        from dtaidistance_ray.stages.multimodal import synth_video_table_mjpeg
+
+        t = synth_video_table_mjpeg(12, seed=5)
+        out = sample_video_frames(rd.from_arrow(t), every_ms=100).to_pandas()
+        assert (out["frame_ms"] % 100 == 0).all()
+        # independent replay for one video: decode locally, digest the
+        # frame the timeline puts at each tick
+        pdf = t.to_pandas().set_index("media_id")
+        mid = pdf.index[0]
+        frames, info = decode_avi_mjpeg(bytes(pdf.loc[mid, "payload"]))
+        sub = out[out["media_id"] == mid].sort_values("frame_ms")
+        assert len(sub) == max(1, -(-info.duration_ms // 100))
+        import hashlib
+
+        for t_ms, dig in zip(sub["frame_ms"], sub["frame_digest"]):
+            fi = frame_index_at(info, int(t_ms))
+            assert hashlib.blake2b(frames[fi].tobytes(), digest_size=8).hexdigest() == dig
 
 
 class TestBatchedPairKernel:

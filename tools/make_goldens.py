@@ -570,6 +570,76 @@ def check_multimodal_gif_frames(got: pd.DataFrame):
     )
 
 
+def check_multimodal_video_mjpeg(got: pd.DataFrame):
+    """Three independent gates, none touching codec/avi.py or
+    codec/jpeg.py decode:
+    1. tick replay — frame_idx/frame_ms recomputed from the (rate,
+       scale) regenerated from the corpus seed (integer arithmetic);
+    2. container walk — the selected frame's raw JPEG bytes digested
+       by a local minimal RIFF walker written here (layout from the
+       public AVI spec), never the repo's parser;
+    3. real decode — frame_mean/frame_std must sit within JPEG-loss
+       tolerance of the PRE-ENCODE source frame statistics (source
+       frame means span ~45..215 by construction, so a fake decode
+       with mean ~127.5 fails)."""
+    import hashlib
+    import struct
+
+    from dtaidistance_ray.stages.multimodal import _mjpeg_source_frames, synth_video_table_mjpeg
+
+    def riff_video_chunks(avi: bytes) -> list[bytes]:
+        # minimal independent walker: find LIST movi, take NNdc chunks
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        out = []
+
+        def walk(pos, end):
+            while pos + 8 <= end:
+                cid = avi[pos : pos + 4]
+                size = struct.unpack_from("<I", avi, pos + 4)[0]
+                if cid == b"LIST" and avi[pos + 8 : pos + 12] in (b"movi", b"rec "):
+                    walk(pos + 12, pos + 8 + size)
+                elif cid[2:4] == b"dc":
+                    out.append(avi[pos + 8 : pos + 8 + size])
+                pos += 8 + size + (size & 1)
+
+        walk(12, len(avi))
+        return out
+
+    payloads = synth_video_table_mjpeg(36, seed=23).to_pandas().set_index("media_id")["payload"]
+    rng = np.random.default_rng(23)
+    want = {}
+    for i in range(36):
+        frames, rate, scale = _mjpeg_source_frames(rng)
+        mid = f"j{i:08d}"
+        chunks = riff_video_chunks(bytes(payloads.loc[mid]))
+        assert len(chunks) == len(frames), mid
+        dur = int(round(len(frames) * 1000 * scale / rate))
+        for t in range(0, max(dur, 1), 100):
+            fi = min(t * rate // (scale * 1000), len(frames) - 1)
+            src = frames[fi].astype(np.float64)
+            want[(mid, t)] = (
+                fi,
+                hashlib.blake2b(chunks[fi], digest_size=8).hexdigest(),
+                float(src.mean()),
+                float(src.std()),
+            )
+    assert len(got) == len(want), (len(got), len(want))
+    for mid, t, fi, dig, mean, std in zip(
+        got["media_id"], got["frame_ms"], got["frame_idx"], got["chunk_digest"],
+        got["frame_mean"], got["frame_std"],
+    ):
+        wfi, wdig, wmean, wstd = want[(mid, int(t))]
+        assert int(fi) == wfi, (mid, t, fi, wfi)
+        assert dig == wdig, (mid, t)
+        assert abs(mean - wmean) < 1.0, (mid, t, mean, wmean)
+        assert abs(std - wstd) < 2.0, (mid, t, std, wstd)
+    return (
+        "tick replay + raw-chunk digests via an independent minimal RIFF walker "
+        "+ decoded-frame mean/std within JPEG-loss tolerance of the pre-encode "
+        "source frames regenerated from the corpus seed (decoder-independent)"
+    )
+
+
 def check_multimodal_audio_g711(got: pd.DataFrame):
     """Independent decode: CPython's audioop (a separate C
     implementation of G.711 and IMA ADPCM) undoes the companding —
@@ -942,6 +1012,7 @@ CHECKS = {
     "multimodal_audio_g711": check_multimodal_audio_g711,
     "multimodal_decode_gif": check_multimodal_decode_gif,
     "multimodal_gif_frames": check_multimodal_gif_frames,
+    "multimodal_video_mjpeg": check_multimodal_video_mjpeg,
     "events_profile_dtw_anomaly": check_profile_dtw_anomaly,
     "warping_path_lowmem_tokens": check_warping_path_lowmem,
     "warping_path_prob_tokens": check_warping_path_prob,
