@@ -13,6 +13,8 @@ no rounding tolerance games.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -117,6 +119,60 @@ def _grouped_reduceat(key: np.ndarray):
         return order, np.array([], dtype=np.int64), sk
     starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
     return order, starts, sk[starts]
+
+
+def _arrow_grouped(b: pa.Table, key_cols, within=None):
+    """Composite grouping for an Arrow batch with NO pandas
+    conversion: string keys via dictionary CODES (Python strings are
+    never materialized), numeric/temporal keys via np.unique
+    factorization, mixed-radix composition into one int64 key, one
+    stable sort. Returns (order, starts, key_arrays): feed any value
+    column through ``np.<op>.reduceat(col[order], starts)`` for exact
+    per-group folds; ``key_arrays`` maps each key column to its
+    per-group values (Arrow array for strings, numpy otherwise),
+    ready for ``pa.table``. Generalizes _hourly_partial_arrow — the
+    combiner template every numeric partial stage shares."""
+    factors = []
+    for c in key_cols:
+        col = b[c].combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_dictionary(col.type):
+            enc = col if pa.types.is_dictionary(col.type) else pc.dictionary_encode(col)
+            factors.append((enc.indices.to_numpy().astype(np.int64), enc.dictionary, True))
+        else:
+            v = col.to_numpy(zero_copy_only=False)
+            u, inv = np.unique(v, return_inverse=True)
+            factors.append((inv.reshape(-1).astype(np.int64), u, False))
+    key = factors[0][0]
+    for codes, u, _ in factors[1:]:
+        key = key * max(len(u), 1) + codes
+    if within is None:
+        order, starts, uk = _grouped_reduceat(key)
+    else:
+        # rows ordered by (key, *within) — argmin/argmax-style partials
+        # (open/close candidates) read group boundaries as first/last
+        order = np.lexsort(tuple(reversed(within)) + (key,))
+        sk = key[order]
+        if len(sk):
+            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            uk = sk[starts]
+        else:
+            starts = np.array([], dtype=np.int64)
+            uk = sk
+    idxs = {}
+    rem = uk
+    for c, (_, u, _arrow) in list(zip(key_cols, factors))[:0:-1]:
+        n = max(len(u), 1)
+        idxs[c] = rem % n
+        rem = rem // n
+    idxs[key_cols[0]] = rem
+    key_arrays = {}
+    for c, (_, u, is_arrow) in zip(key_cols, factors):
+        key_arrays[c] = u.take(pa.array(idxs[c])) if is_arrow else u[idxs[c]]
+    return order, starts, key_arrays
+
+
+def _group_sizes(order: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    return np.diff(np.r_[starts, len(order)]).astype(np.int64)
 
 
 def _hourly_partial_arrow(b: pa.Table) -> pa.Table:
@@ -367,31 +423,39 @@ def top_users_by_value(sf_dir: str, k: int = 20):
 
     ds = read_events(sf_dir, columns=["user_id", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = _add_cents(batch)
-        return batch.groupby("user_id", as_index=False).agg(
-            cents=("value_cents", "sum"), n_events=("value", "size")
+    def partial(b: pa.Table) -> pa.Table:
+        order, starts, keys = _arrow_grouped(b, ["user_id"])
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": keys["user_id"].astype(np.int64),
+                "cents": np.add.reduceat(cents[order], starts).astype(np.int64),
+                "n_events": _group_sizes(order, starts),
+            }
         )
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events"))
     )
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["value_sum"] = batch["cents"] / 100.0
-        batch["n_events"] = batch["n_events"].astype("int64")
-        batch["user_id"] = batch["user_id"].astype("int64")
-        return batch[["user_id", "value_sum", "n_events"]]
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "value_sum": pc.divide(pc.cast(b["cents"], pa.float64()), 100.0),
+                "n_events": pc.cast(b["n_events"], pa.int64()),
+            }
+        )
 
-    def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(
-            ["value_sum", "user_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
+    def pre_topk(b: pa.Table) -> pa.Table:
+        vs = b["value_sum"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.take(pa.array(np.lexsort((uid, -vs))[:k]))
 
-    scored = agg.map_batches(finish, batch_format="pandas")
-    survivors = scored.map_batches(pre_topk, batch_format="pandas")
+    scored = agg.map_batches(finish, batch_format="pyarrow")
+    survivors = scored.map_batches(pre_topk, batch_format="pyarrow")
     return survivors.sort(["value_sum", "user_id"], descending=[True, False]).limit(k)
 
 
@@ -668,14 +732,20 @@ def top_users_per_type(sf_dir: str, k: int = 3):
 
     ds = read_events(sf_dir, columns=["event_type", "user_id", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = _add_cents(batch)
-        return batch.groupby(["event_type", "user_id"], as_index=False).agg(
-            cents=("value_cents", "sum"), n_events=("value", "size")
+    def partial(b: pa.Table) -> pa.Table:
+        order, starts, keys = _arrow_grouped(b, ["event_type", "user_id"])
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": keys["event_type"],
+                "user_id": keys["user_id"].astype(np.int64),
+                "cents": np.add.reduceat(cents[order], starts).astype(np.int64),
+                "n_events": _group_sizes(order, starts),
+            }
         )
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "user_id"])
         .aggregate(Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events"))
     )
@@ -815,35 +885,46 @@ def ohlc_hourly(sf_dir: str):
     ds = read_events(sf_dir, columns=["ts", "event_type", "event_id", "value"])
     ds = ds.map_batches(_add_hour, batch_format="pyarrow")
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(["ts", "event_id"], kind="mergesort")
-        out = b.groupby(["event_type", "bucket"], as_index=False).agg(
-            high=("value", "max"),
-            low=("value", "min"),
-            n_events=("value", "size"),
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().to_numpy()
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        # within=(ts, event_id): each group's first/last sorted row IS
+        # the block's open/close candidate (argmin/argmax by (ts, id))
+        order, starts, keys = _arrow_grouped(
+            b, ["event_type", "bucket"], within=(ts.view("i8"), eid)
         )
-        # the sort above makes keep=first/last the (ts, event_id)
-        # argmin/argmax rows — the block's open/close candidates
-        first = b.drop_duplicates(["event_type", "bucket"], keep="first")
-        last = b.drop_duplicates(["event_type", "bucket"], keep="last")
-        return out.merge(
-            first[["event_type", "bucket", "ts", "event_id", "value"]].rename(
-                columns={"ts": "open_ts", "event_id": "open_id", "value": "open"}
-            ),
-            on=["event_type", "bucket"],
-        ).merge(
-            last[["event_type", "bucket", "ts", "event_id", "value"]].rename(
-                columns={"ts": "close_ts", "event_id": "close_id", "value": "close"}
-            ),
-            on=["event_type", "bucket"],
+        ends = (np.r_[starts[1:], len(order)] - 1) if len(starts) else starts
+        fi, li = order[starts], order[ends]
+        sval = val[order]
+        return pa.table(
+            {
+                "event_type": keys["event_type"],
+                "bucket": pa.array(keys["bucket"]),
+                "high": np.maximum.reduceat(sval, starts) if len(starts) else sval[:0],
+                "low": np.minimum.reduceat(sval, starts) if len(starts) else sval[:0],
+                "n_events": _group_sizes(order, starts),
+                "open_ts": pa.array(ts[fi]),
+                "open_id": eid[fi],
+                "open": val[fi],
+                "close_ts": pa.array(ts[li]),
+                "close_id": eid[li],
+                "close": val[li],
+            }
         )
 
-    def add_merge_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        key = pd.util.hash_pandas_object(
-            b[["event_type", "bucket"]], index=False, categorize=False
+    def add_merge_bucket(b: pa.Table) -> pa.Table:
+        # content-based hash (block-local dictionary codes are NOT
+        # consistent across blocks): crc32 per unique type string,
+        # golden-ratio mix with the hour int64
+        et = pc.dictionary_encode(b["event_type"].combine_chunks())
+        codes = et.indices.to_numpy().astype(np.int64)
+        h = np.array(
+            [zlib.crc32(s.encode()) for s in et.dictionary.to_pylist()], dtype=np.uint64
         )
-        b["merge_bucket"] = (key.to_numpy(np.uint64) % 64).astype(np.int64)
-        return b
+        buck = b["bucket"].combine_chunks().to_numpy().view("i8").astype(np.uint64)
+        mix = h[codes] * np.uint64(0x9E3779B97F4A7C15) ^ buck * np.uint64(0xC2B2AE3D27D4EB4F)
+        return b.append_column("merge_bucket", pa.array((mix % 64).astype(np.int64)))
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         keys = ["event_type", "bucket"]
@@ -858,8 +939,8 @@ def ohlc_hourly(sf_dir: str):
         out["n_events"] = out["n_events"].astype("int64")
         return out[keys + ["open", "high", "low", "close", "n_events"]]
 
-    parts = ds.map_batches(partial, batch_format="pandas").map_batches(
-        add_merge_bucket, batch_format="pandas"
+    parts = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        add_merge_bucket, batch_format="pyarrow"
     )
     return parts.groupby("merge_bucket").map_groups(merge_bucket, batch_format="pandas")
 
