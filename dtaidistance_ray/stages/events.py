@@ -175,6 +175,28 @@ def _group_sizes(order: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return np.diff(np.r_[starts, len(order)]).astype(np.int64)
 
 
+def _bucket_mod(col: str, n: int, name: str = "user_bucket"):
+    """Arrow-in/out pre-shuffle bucketing stage: name = col % n.
+    Keeping the block Arrow means the groupby exchange moves Arrow
+    buffers, not pickled pandas frames."""
+
+    def add(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64) % n
+        return b.append_column(name, pa.array(v, type=pa.int64()))
+
+    return add
+
+
+def _bucket_div(col: str, width: int, name: str = "shard", offset: int = 0):
+    """Arrow-in/out range-shard stage: name = (col - offset) // width."""
+
+    def add(b: pa.Table) -> pa.Table:
+        v = (b[col].to_numpy(zero_copy_only=False).astype(np.int64) - offset) // width
+        return b.append_column(name, pa.array(v, type=pa.int64()))
+
+    return add
+
+
 def _hourly_partial_arrow(b: pa.Table) -> pa.Table:
     """Arrow-native combiner for the hourly rollup: zero-copy numpy
     views of the three pruned columns, event_type grouped via its
@@ -599,9 +621,6 @@ def session_intervals(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
     time bounds (the right side of the range join below)."""
     ds = read_events(sf_dir, columns=["ts", "user_id"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
-        return batch
 
     def intervals(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
@@ -632,7 +651,7 @@ def session_intervals(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
         return out
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(_bucket_mod("user_id", n_buckets), batch_format="pyarrow")
         .groupby("user_bucket")
         .map_groups(intervals, batch_format="pandas")
     )
@@ -662,15 +681,23 @@ def events_in_sessions(sf_dir: str, gap_s: int = 1800):
         on=("user_id",),
     )
 
-    def in_range(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = (batch["session_start"] <= batch["ts"]) & (batch["ts"] <= batch["session_end"])
-        out = batch[keep][["event_id", "user_id", "session_id", "session_start", "session_end"]].copy()
-        out["event_id"] = out["event_id"].astype("int64")
-        out["user_id"] = out["user_id"].astype("int64")
-        out["session_id"] = out["session_id"].astype("int64")
-        return out
+    def in_range(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less_equal(b["session_start"], b["ts"]),
+            pc.less_equal(b["ts"], b["session_end"]),
+        )
+        out = b.filter(keep)
+        return pa.table(
+            {
+                "event_id": pc.cast(out["event_id"], pa.int64()),
+                "user_id": pc.cast(out["user_id"], pa.int64()),
+                "session_id": pc.cast(out["session_id"], pa.int64()),
+                "session_start": out["session_start"],
+                "session_end": out["session_end"],
+            }
+        )
 
-    return joined.map_batches(in_range, batch_format="pandas")
+    return joined.map_batches(in_range, batch_format="pyarrow")
 
 
 EVENTS_IN_SESSIONS_SQL = """
@@ -977,9 +1004,6 @@ def counter_increase(sf_dir: str, n_buckets: int = 64):
     vectorized sort + diff + boolean mask (no per-user Python calls)."""
     ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "value"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["user_bucket"] = (batch["user_id"].to_numpy(np.int64)) % n_buckets
-        return batch
 
     def inc_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -1005,7 +1029,7 @@ def counter_increase(sf_dir: str, n_buckets: int = 64):
         return out[["user_id", "increase", "n_resets", "n_events"]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(_bucket_mod("user_id", n_buckets), batch_format="pyarrow")
         .groupby("user_bucket")
         .map_groups(inc_bucket, batch_format="pandas")
     )
@@ -1652,15 +1676,28 @@ def value_percentiles_daily(sf_dir: str):
 
     ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(
-            day=b["ts"].dt.floor("D"),
-            c=np.round(b["value"].to_numpy() * 100).astype(np.int64),
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"].combine_chunks(), unit="day")
+        c = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": b["event_type"].combine_chunks(),
+                "day": day,
+                "c": pa.array(c),
+            }
         )
-        return b.groupby(["event_type", "day", "c"], as_index=False).agg(cnt=("c", "size"))
+        order, starts, keys = _arrow_grouped(t, ["event_type", "day", "c"])
+        return pa.table(
+            {
+                "event_type": keys["event_type"],
+                "day": pa.array(keys["day"]),
+                "c": keys["c"],
+                "cnt": _group_sizes(order, starts),
+            }
+        )
 
     hist = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "day", "c"])
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
@@ -1722,9 +1759,6 @@ def funnel_stages(sf_dir: str, n_buckets: int = 64):
     float arithmetic to disagree with the oracle about."""
     ds = read_events(sf_dir, columns=["ts", "user_id", "event_type"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["user_bucket"] = (batch["user_id"].to_numpy(np.int64)) % n_buckets
-        return batch
 
     def funnel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.assign(us=g["ts"].astype("datetime64[us]").astype("int64"))
@@ -1766,7 +1800,7 @@ def funnel_stages(sf_dir: str, n_buckets: int = 64):
         return out[["user_id", "funnel_stage", "us_view_to_click", "us_view_to_purchase"]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(_bucket_mod("user_id", n_buckets), batch_format="pyarrow")
         .groupby("user_bucket")
         .map_groups(funnel, batch_format="pandas")
     )
@@ -1913,9 +1947,6 @@ def retention_cohorts(sf_dir: str, n_buckets: int = 64):
 
     ds = read_events(sf_dir, columns=["ts", "user_id"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
-        return batch
 
     def cohort_partial(g: pd.DataFrame) -> pd.DataFrame:
         day_ns = g["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64")
@@ -1931,7 +1962,7 @@ def retention_cohorts(sf_dir: str, n_buckets: int = 64):
         return out
 
     parts = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(_bucket_mod("user_id", n_buckets), batch_format="pyarrow")
         .groupby("user_bucket")
         .map_groups(cohort_partial, batch_format="pandas")
     )
@@ -1990,9 +2021,6 @@ def user_interarrival_stats(sf_dir: str, n_buckets: int = 64):
     per-user Python."""
     ds = read_events(sf_dir, columns=["ts", "user_id", "event_id"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
-        return batch
 
     def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -2031,7 +2059,7 @@ def user_interarrival_stats(sf_dir: str, n_buckets: int = 64):
         return out[["user_id", "n_gaps", "mean_gap_us", "p50_gap_us", "max_gap_us"]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(_bucket_mod("user_id", n_buckets), batch_format="pyarrow")
         .groupby("user_bucket")
         .map_groups(gaps_bucket, batch_format="pandas")
     )
@@ -2084,25 +2112,20 @@ def dau_wau_stickiness(sf_dir: str, n_buckets: int = 64):
 
     ds = read_events(sf_dir, columns=["ts", "user_id"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
-        return batch
 
     # global day bounds: tiny exact reduction (2 ints)
     import ray.data as rd
 
-    bounds = (
-        ds.map_batches(
-            lambda b: pd.DataFrame(
-                {
-                    "lo": [b["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64").min()],
-                    "hi": [b["ts"].dt.floor("D").astype("datetime64[ns]").astype("int64").max()],
-                }
-            ),
-            batch_format="pandas",
+    def day_bounds(b: pa.Table) -> pa.Table:
+        ns = (
+            pc.floor_temporal(b["ts"].combine_chunks(), unit="day")
+            .cast(pa.timestamp("ns"))
+            .to_numpy()
+            .view("i8")
         )
-        .to_pandas()
-    )
+        return pa.table({"lo": [int(ns.min())], "hi": [int(ns.max())]})
+
+    bounds = ds.map_batches(day_bounds, batch_format="pyarrow").to_pandas()
     day_ns = 86_400 * 10**9
     lo_d = int(bounds["lo"].min()) // day_ns
     hi_d = int(bounds["hi"].max()) // day_ns
@@ -2126,7 +2149,7 @@ def dau_wau_stickiness(sf_dir: str, n_buckets: int = 64):
         return out
 
     parts = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(_bucket_mod("user_id", n_buckets), batch_format="pyarrow")
         .groupby("user_bucket")
         .map_groups(window_partial, batch_format="pandas")
     )
@@ -2186,18 +2209,25 @@ def out_of_order_audit(sf_dir: str, shard_width: int = 1024):
 
     ds = read_events(sf_dir, columns=["ts", "event_id", "event_type"])
 
-    def p1(batch: pd.DataFrame) -> pd.DataFrame:
-        b = pd.DataFrame(
+    def p1(b: pa.Table) -> pa.Table:
+        shard = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64) // shard_width
+        us = b["ts"].combine_chunks().cast(pa.timestamp("us")).to_numpy().view("i8")
+        t = pa.table(
+            {"event_type": b["event_type"].combine_chunks(), "shard": pa.array(shard)}
+        )
+        order, starts, keys = _arrow_grouped(t, ["event_type", "shard"])
+        return pa.table(
             {
-                "event_type": batch["event_type"],
-                "shard": batch["event_id"].to_numpy(np.int64) // shard_width,
-                "us": batch["ts"].astype("datetime64[us]").astype("int64"),
+                "event_type": keys["event_type"],
+                "shard": keys["shard"],
+                "max_us": np.maximum.reduceat(us[order], starts)
+                if len(starts)
+                else us[:0],
             }
         )
-        return b.groupby(["event_type", "shard"], as_index=False).agg(max_us=("us", "max"))
 
     parts = merge_partials(
-        ds.map_batches(p1, batch_format="pandas"),
+        ds.map_batches(p1, batch_format="pyarrow"),
         ["event_type", "shard"],
         {"max_us": "max"},
     )
@@ -2210,10 +2240,6 @@ def out_of_order_audit(sf_dir: str, shard_width: int = 1024):
             incoming[(et, int(shard))] = run
             run = max(run, int(mx))
     inc_ref = ray.put(incoming)
-
-    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["shard"] = batch["event_id"].to_numpy(np.int64) // shard_width
-        return batch
 
     def shard_audit(g: pd.DataFrame) -> pd.DataFrame:
         # ray.get on the broadcast ref: per-node object-store hit, the
@@ -2246,7 +2272,7 @@ def out_of_order_audit(sf_dir: str, shard_width: int = 1024):
         )
 
     audited = (
-        ds.map_batches(add_shard, batch_format="pandas")
+        ds.map_batches(_bucket_div("event_id", shard_width, name="shard"), batch_format="pyarrow")
         .groupby(["event_type", "shard"])
         .map_groups(shard_audit, batch_format="pandas")
     )
@@ -2375,9 +2401,6 @@ def last_touch_attribution(sf_dir: str, window_s: int = 3600, n_buckets: int = 6
 
     ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "event_type"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["user_bucket"] = batch["user_id"].to_numpy(np.int64) % n_buckets
-        return batch
 
     win_us = window_s * 1_000_000
 
@@ -2405,7 +2428,7 @@ def last_touch_attribution(sf_dir: str, window_s: int = 3600, n_buckets: int = 6
         )
 
     parts = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(_bucket_mod("user_id", n_buckets), batch_format="pyarrow")
         .groupby("user_bucket")
         .map_groups(attribute, batch_format="pandas")
     )
@@ -2454,12 +2477,10 @@ def props_extract_rollup(sf_dir: str):
     distributed groupby-sum/min/max over the bounded (type x decile)
     key-space."""
     import json as _json
-    import re
 
     from ray.data.aggregate import Max, Min, Sum
 
     ds = read_events(sf_dir, columns=["event_type", "props"])
-    pat = re.compile(r'"k"\s*:\s*-?\d+')
 
     def first_top_k(s: str):
         # first top-level "k" whose value is a JSON integer, else None
@@ -2472,28 +2493,36 @@ def props_extract_rollup(sf_dir: str):
             return None
         return None
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        hit = batch["props"].str.contains(pat, na=False)
-        k = batch.loc[hit, "props"].map(first_top_k)
-        ok = k.notna()
-        b = pd.DataFrame(
-            {
-                "event_type": batch.loc[hit, "event_type"][ok],
-                "k": k[ok].astype("int64"),
-            }
+    def partial(b: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(
+            b["props"].combine_chunks(), r'"k"\s*:\s*-?\d+'
         )
+        sub = b.filter(pc.fill_null(hit, False))
+        ks = [first_top_k(s) for s in sub["props"].to_pylist()]
+        ok = np.fromiter((k is not None for k in ks), dtype=bool, count=len(ks))
+        kv = np.array([k for k in ks if k is not None], dtype=np.int64)
+        et = sub["event_type"].combine_chunks().filter(pa.array(ok))
         # SQL integer division TRUNCATES toward zero (DuckDB -4//10 = 0);
         # Python's // floors (-1) — mirror the oracle for negative k
-        kv = b["k"].to_numpy(np.int64)
-        b["k_decile"] = np.sign(kv) * (np.abs(kv) // 10)
-        out = b.groupby(["event_type", "k_decile"], as_index=False).agg(
-            n=("k", "size"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max")
+        dec = np.sign(kv) * (np.abs(kv) // 10)
+        t = pa.table({"event_type": et, "k_decile": pa.array(dec)})
+        order, starts, keys = _arrow_grouped(t, ["event_type", "k_decile"])
+        sk = kv[order]
+        empty = sk[:0]
+        return pa.table(
+            {
+                "event_type": keys["event_type"],
+                "k_decile": keys["k_decile"],
+                "n": _group_sizes(order, starts),
+                "sum_k": np.add.reduceat(sk, starts) if len(starts) else empty,
+                "min_k": np.minimum.reduceat(sk, starts) if len(starts) else empty,
+                "max_k": np.maximum.reduceat(sk, starts) if len(starts) else empty,
+            }
         )
-        return out
 
     # (type x decile) is bounded: fan-in tree merge, no all-to-all
     merged = merge_partials(
-        ds.map_batches(partial, batch_format="pandas"),
+        ds.map_batches(partial, batch_format="pyarrow"),
         ["event_type", "k_decile"],
         {"n": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"},
     )
@@ -2557,13 +2586,13 @@ def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int
     vmin, vmax = int(mm[f"min({col})"]), int(mm[f"max({col})"])
     width = max(1, (vmax - vmin + 1) // nshards)
 
-    def p1(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = (batch[col].to_numpy(np.int64) - vmin) // width
-        out = pd.DataFrame({"shard": sh}).groupby("shard", as_index=False).size()
-        return out.rename(columns={"size": "cnt"})
+    def p1(b: pa.Table) -> pa.Table:
+        sh = (b[col].to_numpy(zero_copy_only=False).astype(np.int64) - vmin) // width
+        u, cnt = np.unique(sh, return_counts=True)
+        return pa.table({"shard": u, "cnt": cnt.astype(np.int64)})
 
     parts = merge_partials(
-        users_ds.map_batches(p1, batch_format="pandas"), ["shard"], {"cnt": "sum"}
+        users_ds.map_batches(p1, batch_format="pyarrow"), ["shard"], {"cnt": "sum"}
     ).sort_values("shard", kind="mergesort")
     n = int(parts["cnt"].sum())
     offs = {}
@@ -2573,10 +2602,6 @@ def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int
         run += int(c)
     offs_ref = ray.put(offs)
 
-    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_shard"] = (batch[col].to_numpy(np.int64) - vmin) // width
-        return batch
-
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(offs_ref)[int(g["_shard"].iloc[0])]
         g = g.sort_values([col, tie_col], kind="mergesort").reset_index(drop=True)
@@ -2585,7 +2610,7 @@ def _add_global_ntile(users_ds, col: str, out_col: str, k: int = 5, nshards: int
         return g.drop(columns=["_shard"])
 
     return (
-        users_ds.map_batches(add_shard, batch_format="pandas")
+        users_ds.map_batches(_bucket_div(col, width, name="_shard", offset=vmin), batch_format="pyarrow")
         .groupby("_shard")
         .map_groups(rank_group, batch_format="pandas")
     )
@@ -2605,15 +2630,25 @@ def user_rfm_segments(sf_dir: str):
 
     ds = read_events(sf_dir, columns=["user_id", "ts", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = _add_cents(batch)
-        batch["us"] = batch["ts"].astype("datetime64[us]").astype("int64")
-        return batch.groupby("user_id", as_index=False).agg(
-            last_us=("us", "max"), f_cnt=("us", "size"), m_cents=("value_cents", "sum")
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        us = b["ts"].combine_chunks().cast(pa.timestamp("us")).to_numpy().view("i8")
+        order, starts, keys = _arrow_grouped(b, ["user_id"])
+        return pa.table(
+            {
+                "user_id": keys["user_id"].astype(np.int64),
+                "last_us": np.maximum.reduceat(us[order], starts)
+                if len(starts)
+                else us[:0],
+                "f_cnt": _group_sizes(order, starts),
+                "m_cents": np.add.reduceat(cents[order], starts)
+                if len(starts)
+                else cents[:0],
+            }
         )
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(
             Max("last_us", alias_name="last_us"),
@@ -2623,23 +2658,35 @@ def user_rfm_segments(sf_dir: str):
     )
     gmax = int(agg.aggregate(Max("last_us"))["max(last_us)"])
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        for c in ("user_id", "last_us", "f_cnt", "m_cents"):
-            batch[c] = batch[c].astype("int64")
-        batch["r_hours"] = (gmax - batch["last_us"]) // 3_600_000_000
-        return batch[["user_id", "r_hours", "f_cnt", "m_cents"]]
+    def finish(b: pa.Table) -> pa.Table:
+        last_us = b["last_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "r_hours": (gmax - last_us) // 3_600_000_000,
+                "f_cnt": pc.cast(b["f_cnt"], pa.int64()),
+                "m_cents": pc.cast(b["m_cents"], pa.int64()),
+            }
+        )
 
-    users = agg.map_batches(finish, batch_format="pandas")
+    users = agg.map_batches(finish, batch_format="pyarrow")
     for col, out in (("r_hours", "r_q"), ("f_cnt", "f_q"), ("m_cents", "m_q")):
         users = _add_global_ntile(users, col, out)
 
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["m_value"] = batch["m_cents"] / 100.0
-        for c in ("r_q", "f_q", "m_q"):
-            batch[c] = batch[c].astype("int64")
-        return batch[["user_id", "r_hours", "f_cnt", "m_value", "r_q", "f_q", "m_q"]]
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "r_hours": b["r_hours"],
+                "f_cnt": b["f_cnt"],
+                "m_value": pc.divide(pc.cast(b["m_cents"], pa.float64()), 100.0),
+                "r_q": pc.cast(b["r_q"], pa.int64()),
+                "f_q": pc.cast(b["f_q"], pa.int64()),
+                "m_q": pc.cast(b["m_q"], pa.int64()),
+            }
+        )
 
-    return users.map_batches(finalize, batch_format="pandas")
+    return users.map_batches(finalize, batch_format="pyarrow")
 
 
 RFM_SQL = """
@@ -3324,19 +3371,27 @@ def rate_limit_audit(sf_dir: str, quota_per_day: int = 2, k: int = 20):
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    def over(b: pd.DataFrame) -> pd.DataFrame:
-        if "n" not in b.columns or not len(b):
-            return empty()
-        b = b[b["n"] > quota_per_day]
+    def over(b: pa.Table) -> pa.Table:
+        if "n" not in b.column_names or not len(b):
+            return pa.Table.from_pandas(empty(), preserve_index=False)
+        b = b.filter(pc.greater(b["n"], quota_per_day))
         if not len(b):
-            return empty()
-        g = b.groupby("user_id", as_index=False).agg(
-            days_over=("n", "size"), peak_per_day=("n", "max")
+            return pa.Table.from_pandas(empty(), preserve_index=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts, keys = _arrow_grouped(b, ["user_id"])
+        sn = n[order]
+        return pa.table(
+            {
+                "user_id": keys["user_id"].astype(np.int64),
+                "days_over": _group_sizes(order, starts),
+                "peak_per_day": np.maximum.reduceat(sn, starts)
+                if len(starts)
+                else sn[:0],
+            }
         )
-        return g.astype(cols)
 
     offenders = (
-        per_day.map_batches(over, batch_format="pandas")
+        per_day.map_batches(over, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(
             Sum("days_over", alias_name="days_over"),
@@ -3346,14 +3401,15 @@ def rate_limit_audit(sf_dir: str, quota_per_day: int = 2, k: int = 20):
 
     order_cols = ["days_over", "peak_per_day", "user_id"]
 
-    def pre_topk(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b) or "days_over" not in b.columns:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in ("user_id", "days_over", "peak_per_day")}
-            )
-        return b.sort_values(order_cols, ascending=[False, False, True], kind="mergesort").head(k)
+    def pre_topk(b: pa.Table) -> pa.Table:
+        if not len(b) or "days_over" not in b.column_names:
+            return pa.table({c: pa.array([], type=pa.int64()) for c in ("user_id", "days_over", "peak_per_day")})
+        d = b["days_over"].to_numpy(zero_copy_only=False)
+        p = b["peak_per_day"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.take(pa.array(np.lexsort((u, -p, -d))[:k]))
 
-    out = offenders.map_batches(pre_topk, batch_format="pandas").to_pandas()
+    out = offenders.map_batches(pre_topk, batch_format="pyarrow").to_pandas()
     if not len(out):
         return pd.DataFrame(
             {c: pd.Series(dtype="int64") for c in ("user_id", "days_over", "peak_per_day")}
