@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from .pool import auto_pool
 
 
@@ -89,12 +90,12 @@ def ann_topk(sf_dir: str, k: int = 10):
         batch_format="pyarrow", concurrency=auto_pool(),
     ).drop_columns(["query_id"])
 
-    def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(
-            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
+    def pre_topk(b: pa.Table) -> pa.Table:
+        cs = b["cos_sim"].to_numpy(zero_copy_only=False)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.take(pa.array(np.lexsort((vid, -cs))[:k]))
 
-    survivors = scored.map_batches(pre_topk, batch_format="pandas")
+    survivors = scored.map_batches(pre_topk, batch_format="pyarrow")
     return survivors.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
@@ -459,12 +460,15 @@ def _cov_partial(batch: pa.Table) -> pd.DataFrame:
     )
 
 
-def _cov_merge(batch: pd.DataFrame) -> pd.DataFrame:
+def _cov_merge(batch: pa.Table) -> pa.Table:
     if not len(batch):
-        return pd.DataFrame({"n": pd.Series(dtype="int64"), "s": pd.Series(dtype=object), "g": pd.Series(dtype=object)})
-    s = np.sum([np.frombuffer(b, np.float64) for b in batch["s"]], axis=0)
-    g = np.sum([np.frombuffer(b, np.float64) for b in batch["g"]], axis=0)
-    return pd.DataFrame({"n": [int(batch["n"].sum())], "s": [s.tobytes()], "g": [g.tobytes()]})
+        return pa.table(
+            {"n": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.binary()), "g": pa.array([], type=pa.binary())}
+        )
+    s = np.sum([np.frombuffer(b, np.float64) for b in batch["s"].to_pylist()], axis=0)
+    g = np.sum([np.frombuffer(b, np.float64) for b in batch["g"].to_pylist()], axis=0)
+    n = int(pc.sum(batch["n"]).as_py())
+    return pa.table({"n": [n], "s": [s.tobytes()], "g": [g.tobytes()]})
 
 
 def _cov_reduce(sf_dir: str):
@@ -477,11 +481,11 @@ def _cov_reduce(sf_dir: str):
     nb = parts.count()
     while nb > max(1, _rs._MERGE_THRESHOLD_ROWS):
         parts = parts.map_batches(
-            _cov_merge, batch_size=_rs._MERGE_FANIN, batch_format="pandas"
+            _cov_merge, batch_size=_rs._MERGE_FANIN, batch_format="pyarrow"
         ).materialize()
         nb = parts.count()
-    final = _cov_merge(parts.to_pandas())
-    r = final.iloc[0]
+    final = _cov_merge(pa.Table.from_pandas(parts.to_pandas(), preserve_index=False))
+    r = final.to_pylist()[0]
     n = int(r["n"])
     s = np.frombuffer(r["s"], np.float64)
     dim = len(s)
@@ -648,10 +652,10 @@ def pq_topk(sf_dir: str, k: int = 10, m_sub: int = 32, codebook_k: int = 64,
         batch_format="pyarrow", concurrency=auto_pool(),
     )
 
-    def pre_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(
-            ["approx_dist", "vec_id"], ascending=[True, True], kind="mergesort"
-        ).head(k)
+    def pre_topk(b: pa.Table) -> pa.Table:
+        ad = b["approx_dist"].to_numpy(zero_copy_only=False)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.take(pa.array(np.lexsort((vid, ad))[:k]))
 
-    survivors = scored.map_batches(pre_topk, batch_format="pandas")
+    survivors = scored.map_batches(pre_topk, batch_format="pyarrow")
     return survivors.sort(["approx_dist", "vec_id"]).limit(k)
