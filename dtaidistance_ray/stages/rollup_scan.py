@@ -549,11 +549,27 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
         import ray.data as rd
 
         LAST_TIMINGS["key_shards"] = nshards
+        # SINGLE-PASS split (round-4 review #3): each input block is
+        # read by exactly one remote task that partitions its rows into
+        # nshards sub-tables (num_returns=nshards object refs); the
+        # per-shard datasets are assembled from those refs with
+        # from_arrow_refs. The materialized input is scanned ONCE —
+        # the old path re-filtered the full dataset once per shard.
+        split = ray.remote(num_returns=nshards)(_split_block_by_key_shard)
+        block_refs = ds.to_arrow_refs()
+        LAST_TIMINGS["key_shard_split_tasks"] = len(block_refs)
+        try:
+            LAST_TIMINGS["key_shard_input_blocks"] = int(ds.num_blocks())
+        except Exception:
+            LAST_TIMINGS["key_shard_input_blocks"] = len(block_refs)
+        per_shard: list[list] = [[] for _ in range(nshards)]
+        for ref in block_refs:
+            out_refs = split.remote(ref, nshards)
+            for s, r in enumerate(out_refs):
+                per_shard[s].append(r)
         outs = []
         for s in range(nshards):
-            sub = ds.map_batches(
-                _make_key_shard_filter(s, nshards), batch_format="pyarrow"
-            ).materialize()
+            sub = rd.from_arrow_refs(per_shard[s])
             outs.append(_scan_rollup_single(sub, cfg))
         out0 = outs[0]
         return out0.union(*outs[1:]) if len(outs) > 1 else out0
@@ -579,22 +595,17 @@ def _key_shard_of(sources, buckets, nshards: int) -> np.ndarray:
     return (h % np.uint64(nshards)).astype(np.int64)
 
 
-def _make_key_shard_filter(shard: int, nshards: int):
-    # Arrow in/out: a pandas roundtrip would re-infer the token list
-    # column (tensor ext. type on uniform lengths) and break the
-    # zero-copy offsets access in _stats_partial
+def _split_block_by_key_shard(block, nshards: int):
+    """One input block -> nshards Arrow sub-tables (remote task body;
+    num_returns=nshards). Arrow in/out: a pandas roundtrip would
+    re-infer the token list column (tensor ext. type on uniform
+    lengths) and break the zero-copy offsets access in _stats_partial."""
     import pyarrow as _pa
 
-    def flt(batch):
-        keep = (
-            _key_shard_of(
-                batch["source"].to_pandas(), batch["bucket"].to_numpy(), nshards
-            )
-            == shard
-        )
-        return batch.filter(_pa.array(keep))
-
-    return flt
+    shard = _key_shard_of(
+        block["source"].to_pandas(), block["bucket"].to_numpy(), nshards
+    )
+    return tuple(block.filter(_pa.array(shard == s)) for s in range(nshards))
 
 
 def _distinct_keys_upper_bound(ds) -> int:

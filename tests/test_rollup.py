@@ -966,6 +966,11 @@ class TestKeyShardFallback:
             ).to_pandas()
         )
         assert rollup_scan.LAST_TIMINGS.get("key_shards", 1) >= 4
+        # single-pass split: exactly one split task per input block —
+        # the input is scanned once, not once per shard
+        assert rollup_scan.LAST_TIMINGS["key_shard_split_tasks"] == (
+            rollup_scan.LAST_TIMINGS["key_shard_input_blocks"]
+        )
         assert len(got) == len(base)
         for col in ("source", "bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"):
             assert (got[col].to_numpy() == base[col].to_numpy()).all(), col
