@@ -21,8 +21,22 @@ from ..kernels.elastic import distance as dtw_distance
 from ..settings import DTWSettings
 
 
+MAX_DRIVER_PAIRS = 2_000_000
+
+
 def _full_triu_matrix(seqs, settings: Optional[DTWSettings], use_ray: bool = True) -> np.ndarray:
     n = len(seqs)
+    npairs = n * (n - 1) // 2
+    if npairs > MAX_DRIVER_PAIRS:
+        # loud-fail guard (merge_partials.max_driver_rows contract):
+        # the n^2 contraction is driver-side by design — a series set
+        # this large must go through the tiled distance-matrix service
+        # + an out-of-core clustering plan, not this path
+        raise ValueError(
+            f"_full_triu_matrix: {npairs} pairs (n={n}) exceeds "
+            f"MAX_DRIVER_PAIRS={MAX_DRIVER_PAIRS}; cluster per-group or "
+            "use the tiled distance_matrix service directly"
+        )
     m = np.full((n, n), np.inf)
     if use_ray and n > 8:
         import ray

@@ -86,6 +86,23 @@ def merge_partials(parts, keys, spec, fan_in=32, max_driver_rows=2_000_000):
     return out
 
 
+MAX_DRIVER_GRID_ROWS = 2_000_000
+
+
+def _guard_driver_rows(n: int, label: str, max_rows: int | None = None) -> None:
+    """Loud-fail guard for every driver-frame assembly (same contract
+    as merge_partials.max_driver_rows): the paths that assemble a
+    bounded (type x hour/day) grid on the driver must raise — not
+    silently serialize — when a corpus with an unbounded key-space is
+    mis-routed onto them."""
+    limit = MAX_DRIVER_GRID_ROWS if max_rows is None else max_rows
+    if n > limit:
+        raise ValueError(
+            f"{label}: {n} driver rows exceeds max {limit}; this key-space "
+            "is not bounded - use the distributed (groupby/exchange) plan"
+        )
+
+
 def _per_type(grid: pd.DataFrame, fn) -> pd.DataFrame:
     """Apply ``fn`` per event_type over a BOUNDED (type x hour/day) grid
     frame (the merged output of the distributed rollup). The sequential
@@ -93,6 +110,7 @@ def _per_type(grid: pd.DataFrame, fn) -> pd.DataFrame:
     per-type ordered recurrences over rows = #types x #span — key-space
     bounded, so a shuffle to co-partition them is pure overhead; the
     heavy lifting (raw events -> grid) already ran distributed."""
+    _guard_driver_rows(len(grid), "_per_type")
     parts = [fn(g) for _, g in grid.groupby("event_type", sort=False)]
     if not parts:
         return grid.iloc[0:0]
@@ -1256,6 +1274,7 @@ def hourly_xcorr_lags(sf_dir: str, max_lag: int = 6, max_types: int = 16):
     import ray
 
     hourly = rollup_hourly_gapfill(sf_dir)
+    _guard_driver_rows(len(hourly), "hourly_xcorr_lags grid")
     vol = (
         hourly.groupby("event_type", as_index=False)["n_events"]
         .sum()
@@ -3287,6 +3306,7 @@ def profile_dtw_anomaly(sf_dir: str, window: int = 4, max_it: int = 10, k: int =
     from ..settings import DTWSettings
 
     hourly = rollup_hourly_gapfill(sf_dir)
+    _guard_driver_rows(len(hourly), "profile_dtw_anomaly grid")
     settings = DTWSettings(window=window)
 
     def score(g: pd.DataFrame) -> pd.DataFrame:

@@ -1360,3 +1360,49 @@ class TestNtileMapping:
             "FROM t ORDER BY user_id"
         ).df()
         assert (got["q"].to_numpy() == want["q"].to_numpy()).all()
+
+
+class TestDriverFrameGuards:
+    """Round-4 ask #4: every driver-frame assembly must loud-fail above
+    a row threshold (the merge_partials.max_driver_rows contract),
+    so a corpus with an unbounded key-space mis-routed onto a
+    bounded-grid path raises instead of silently serializing."""
+
+    def test_per_type_guard(self, ray_session, monkeypatch):
+        import pandas as pd
+
+        from dtaidistance_ray.stages import events
+
+        grid = pd.DataFrame(
+            {"event_type": ["a"] * 6 + ["b"] * 6, "n_events": range(12)}
+        )
+        monkeypatch.setattr(events, "MAX_DRIVER_GRID_ROWS", 10)
+        with pytest.raises(ValueError, match="_per_type.*not bounded"):
+            events._per_type(grid, lambda g: g)
+        monkeypatch.setattr(events, "MAX_DRIVER_GRID_ROWS", 12)
+        assert len(events._per_type(grid, lambda g: g)) == 12
+
+    def test_xcorr_grid_guard(self, ray_session, monkeypatch):
+        from dtaidistance_ray.stages import events
+
+        monkeypatch.setattr(events, "MAX_DRIVER_GRID_ROWS", 5)
+        with pytest.raises(ValueError, match="hourly_xcorr_lags grid"):
+            events.hourly_xcorr_lags("/root/testdata/sf0.001")
+
+    def test_profile_dtw_grid_guard(self, ray_session, monkeypatch):
+        from dtaidistance_ray.stages import events
+
+        monkeypatch.setattr(events, "MAX_DRIVER_GRID_ROWS", 5)
+        with pytest.raises(ValueError, match="profile_dtw_anomaly grid"):
+            events.profile_dtw_anomaly("/root/testdata/sf0.001")
+
+    def test_clustering_pairs_guard(self, ray_session, monkeypatch):
+        from dtaidistance_ray.stages import clustering
+
+        seqs = [np.arange(4, dtype=float) + i for i in range(4)]  # 6 pairs
+        monkeypatch.setattr(clustering, "MAX_DRIVER_PAIRS", 3)
+        with pytest.raises(ValueError, match="_full_triu_matrix.*6 pairs"):
+            clustering._full_triu_matrix(seqs, None, use_ray=False)
+        monkeypatch.setattr(clustering, "MAX_DRIVER_PAIRS", 6)
+        m = clustering._full_triu_matrix(seqs, None, use_ray=False)
+        assert np.isfinite(m[0, 1])
