@@ -2400,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram_daily": events.value_histogram_daily,
         "events_histogram_quantile": events.histogram_quantile,
         "events_slo_burn_rate": events.slo_burn_rate,
+        "events_grouping_sets_cube": events.grouping_sets_cube,
         # relational ops
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
@@ -2568,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram_daily": events.VALUE_HISTOGRAM_SQL,
         "events_histogram_quantile": events.HISTOGRAM_QUANTILE_SQL,
         "events_slo_burn_rate": events.SLO_BURN_RATE_SQL,
+        "events_grouping_sets_cube": events.GROUPING_SETS_CUBE_SQL,
         "lineitem_pricing_summary": LINEITEM_PRICING_SQL,
         "revenue_by_nation": REVENUE_BY_NATION_SQL,
         "customers_dormant": CUSTOMERS_DORMANT_SQL,

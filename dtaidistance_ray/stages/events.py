@@ -3549,3 +3549,101 @@ SELECT g.event_type, g.digit,
 FROM grid g LEFT JOIN counts c
   ON g.event_type = c.event_type AND g.digit = c.digit
 """
+
+
+def _add_day_as_bucket(batch: pa.Table) -> pa.Table:
+    return batch.append_column("bucket", pc.floor_temporal(batch["ts"], unit="day"))
+
+
+_CUBE_SENTINEL_DAY = pd.Timestamp("1970-01-01").as_unit("us")
+
+
+def grouping_sets_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE(event_type, day) over events: all four grains ((type, day),
+    (type), (day), ()) of count / exact-cent sum / min / max from ONE
+    scan of the data.
+
+    Physical plan: only the FINEST grain (event_type x day -- bounded
+    key-space) touches the raw table, as per-batch Arrow combiner
+    partials merged by the bounded-key fan-in tree; the three coarser
+    grains are re-rollups of that merged frame (sums of sums, min of
+    mins -- associative and exact on integer cents), so the cube costs
+    one pass instead of one all-to-all per grain. At 100 TB the scan
+    dominates and the re-rollup is O(types x days) driver work behind
+    the loud-fail guard. Grouped-out dimensions are emitted as
+    'ALL' / the 1970-01-01 sentinel plus a grouping_id in the SQL
+    GROUPING() convention (grouping(event_type)*2 + grouping(day))."""
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+    parts = ds.map_batches(_add_day_as_bucket, batch_format="pyarrow").map_batches(
+        _hourly_partial_arrow, batch_format="pyarrow"
+    )
+    fine = merge_partials(
+        parts,
+        ["event_type", "bucket"],
+        {"n_events": "sum", "cents": "sum", "value_min": "min", "value_max": "max"},
+    )
+    _guard_driver_rows(len(fine), "grouping_sets_cube")
+    fine = fine.rename(columns={"bucket": "day"})
+    fine["day"] = fine["day"].astype("datetime64[us]")
+    spec = dict(
+        n_events=("n_events", "sum"),
+        cents=("cents", "sum"),
+        value_min=("value_min", "min"),
+        value_max=("value_max", "max"),
+    )
+    g_et = fine.groupby("event_type", as_index=False).agg(**spec)
+    g_et["day"] = _CUBE_SENTINEL_DAY
+    g_day = fine.groupby("day", as_index=False).agg(**spec)
+    g_day["event_type"] = "ALL"
+    g_all = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": [_CUBE_SENTINEL_DAY],
+            "n_events": [int(fine["n_events"].sum())],
+            "cents": [int(fine["cents"].sum())],
+            "value_min": [fine["value_min"].min()],
+            "value_max": [fine["value_max"].max()],
+        }
+    )
+    outs = []
+    for df, gid in ((fine, 0), (g_et, 1), (g_day, 2), (g_all, 3)):
+        o = df.copy()
+        o["grouping_id"] = np.int64(gid)
+        o["n_events"] = o["n_events"].astype("int64")
+        o["value_sum"] = o["cents"] / 100.0
+        outs.append(
+            o[
+                [
+                    "event_type",
+                    "day",
+                    "grouping_id",
+                    "n_events",
+                    "value_sum",
+                    "value_min",
+                    "value_max",
+                ]
+            ]
+        )
+    out = pd.concat(outs, ignore_index=True)
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out
+
+
+GROUPING_SETS_CUBE_SQL = """
+WITH base AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         value,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, TIMESTAMP '1970-01-01') AS day,
+       CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(cents) / 100.0 AS value_sum,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM base
+GROUP BY CUBE (event_type, day)
+"""

@@ -1406,3 +1406,40 @@ class TestDriverFrameGuards:
         monkeypatch.setattr(clustering, "MAX_DRIVER_PAIRS", 6)
         m = clustering._full_triu_matrix(seqs, None, use_ray=False)
         assert np.isfinite(m[0, 1])
+
+
+class TestGroupingSetsCube:
+    def test_grains_consistent_and_oracle(self, ray_session):
+        import duckdb
+
+        from dtaidistance_ray.stages import events
+
+        import pandas as pd
+
+        sf = "/root/testdata/sf0.001"
+        got = events.grouping_sets_cube(sf)
+        # internal consistency: every coarser grain is an exact re-rollup
+        fine = got[got["grouping_id"] == 0]
+        tot = got[got["grouping_id"] == 3].iloc[0]
+        assert int(tot["n_events"]) == int(fine["n_events"].sum())
+        assert np.isclose(float(tot["value_sum"]), float(fine["value_sum"].sum()), rtol=1e-12)
+        byday = got[got["grouping_id"] == 2]
+        bytype = got[got["grouping_id"] == 1]
+        assert int(byday["n_events"].sum()) == int(tot["n_events"])
+        assert int(bytype["n_events"].sum()) == int(tot["n_events"])
+        assert float(bytype["value_min"].min()) == float(tot["value_min"])
+        assert float(byday["value_max"].max()) == float(tot["value_max"])
+        # SQL oracle (DuckDB GROUP BY CUBE): exact equality — int sums of
+        # cents divide to identical doubles on both engines
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = con.execute(events.GROUPING_SETS_CUBE_SQL).df()
+        key = ["grouping_id", "event_type", "day"]
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        w["day"] = w["day"].astype("datetime64[us]")
+        w["n_events"] = w["n_events"].astype("int64")
+        w["grouping_id"] = w["grouping_id"].astype("int64")
+        pd.testing.assert_frame_equal(g[w.columns], w, check_exact=True)
