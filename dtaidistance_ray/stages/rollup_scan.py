@@ -457,44 +457,81 @@ def _merge_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return _repack_stats(_fold_stats_rows(batch))
 
 
-def _tree_reduce(parts_ds, merge_fn, label: str, expected_rows: Optional[int] = None):
-    """Distributed fan-in rounds until <= _MERGE_THRESHOLD_ROWS rows
-    remain; returns the final (bounded) pandas frame. Records the row
-    count handed to the driver in LAST_TIMINGS['<label>_driver_rows'].
+def _ref_tree_reduce(
+    block_refs,
+    leaf_fn,
+    merge_fn,
+    label: str,
+    num_cpus: Optional[float] = None,
+):
+    """Scan-reduce over the materialized input's Arrow block refs with
+    PLAIN RAY TASKS: one leaf task per block (whole-block kernel calls
+    amortize the width-bucketed DP best and emit ONE partial row each),
+    then fan-in folds of _MERGE_FANIN refs until <=
+    _MERGE_THRESHOLD_ROWS one-row frames remain for the driver fold.
 
-    Each round is a materialize barrier on purpose — two cheaper-looking
-    plans were A/B'd and rejected:
-    (a) chaining the merges into the producers' streaming execution
-        (merge overlaps sweep stragglers) measured WORSE at 32p
-        (15.2-17.8s vs 11.3-12.1s flagship, same window): the merge
-        tasks deserialize 16 x multi-MB accumulator blobs while every
-        core runs a sweep task, and that contention costs more than the
-        barrier saves;
-    (b) chaining merge ROUNDS onto each other statically silently
-        breaks the fan-in — Ray fuses equal-resource MapBatches stages,
-        so round k+1 only ever sees its own task's single row and the
-        reduction stops after round 1 (caught by
-        test_bounded_driver_rows_bit_identical).
-    expected_rows is accepted for API stability and ignored — count()
-    on a materialized dataset is metadata-only."""
+    Replaces the map_batches/materialize `_tree_reduce` formulation,
+    which paid a streaming-executor launch + materialize + count per
+    stage AND per fan-in round — ~0.2-0.6 s each of
+    parallelism-INDEPENDENT wall on this host, the round-4 fixed-cost
+    tax that bounded raw 8->32 scaling (~4 s total across the stats
+    pass + two sweep rounds). The input refs are fetched once by the
+    caller and reused by every round, so after the single input
+    materialize barrier the whole tier-0 reduction is raw-task
+    scheduling (microseconds per task).
+
+    Leaves are barriered (ray.wait) before the folds on purpose:
+    overlapping merges with compute stragglers was A/B'd in round 3
+    and measured WORSE at 32p (15.2-17.8 s vs 11.3-12.1 s flagship,
+    same window) under blob-deserialize contention. All folds are
+    associative and exact (int64 counters, f64 sums of integer member
+    values), so the tree shape cannot change any result bit
+    (tests/test_rollup.py test_bounded_driver_rows_bit_identical)."""
     import time as _time
 
+    import ray
+
+    if not block_refs:
+        for k, v in (("exec", 0.0), ("merge_wall", 0.0), ("merge_rounds", 0), ("driver_rows", 0)):
+            LAST_TIMINGS[f"{label}_{k}"] = v
+        return pd.DataFrame()
     _t0 = _time.perf_counter()
-    parts_ds = parts_ds.materialize()
+
+    def _leaf(block):
+        # empty blocks (e.g. checkpoint-resume drop_done filtered a
+        # block to zero rows, possibly with a degenerate schema) were
+        # silently skipped by the old map_batches batching; skip them
+        # here too instead of handing leaf_fn a schema-less table
+        if block.num_rows == 0:
+            return pd.DataFrame()
+        return leaf_fn(block)
+
+    leaf = ray.remote(num_cpus=(num_cpus or 1))(_leaf)
+    refs = [leaf.remote(r) for r in block_refs]
+    ray.wait(refs, num_returns=len(refs), fetch_local=False)
     LAST_TIMINGS[f"{label}_exec"] = round(_time.perf_counter() - _t0, 2)
-    nb = parts_ds.count()
-    rounds = 0
     _t0 = _time.perf_counter()
-    while nb > max(1, _MERGE_THRESHOLD_ROWS):  # floor 1: a single row can't reduce
-        parts_ds = parts_ds.map_batches(
-            merge_fn, batch_size=_MERGE_FANIN, batch_format="pandas"
-        ).materialize()
-        nb = parts_ds.count()
+
+    def _fold(*frames):
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame()
+        return merge_fn(pd.concat(frames, ignore_index=True))
+
+    fold = ray.remote(_fold)
+    rounds = 0
+    while len(refs) > max(1, _MERGE_THRESHOLD_ROWS):  # floor 1: one row can't reduce
+        refs = [
+            fold.remote(*refs[i : i + _MERGE_FANIN])
+            for i in range(0, len(refs), _MERGE_FANIN)
+        ]
         rounds += 1
+    frames = [f for f in ray.get(list(refs)) if len(f)]
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     LAST_TIMINGS[f"{label}_merge_wall"] = round(_time.perf_counter() - _t0, 2)
     LAST_TIMINGS[f"{label}_merge_rounds"] = rounds
-    LAST_TIMINGS[f"{label}_driver_rows"] = int(nb)
-    return parts_ds.to_pandas()
+    LAST_TIMINGS[f"{label}_driver_rows"] = int(len(out))
+    return out
 
 
 def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
@@ -630,18 +667,17 @@ def _scan_rollup_single(ds, cfg: RollupConfig):
     import ray.data as rd
 
     _t = _time.perf_counter()
-    try:
-        nblocks = int(ds.num_blocks())
-    except Exception:
-        nblocks = None
+    # ONE ref fetch serves the stats pass and every sweep round: the
+    # bucketized blocks are already Arrow (bucketize emits pyarrow), so
+    # to_arrow_refs is a metadata pass, and everything after the input
+    # materialize barrier is raw-task scheduling — no per-round
+    # streaming-executor launches (round-4 review #5 fixed-cost tax).
+    block_refs = ds.to_arrow_refs()
+    LAST_TIMINGS["block_refs_wall"] = round(_time.perf_counter() - _t, 2)
+    _t = _time.perf_counter()
     # one packed partial row per block; distributed fan-in rounds keep
     # the final driver fold bounded to _MERGE_THRESHOLD_ROWS rows
-    stats_parts = _tree_reduce(
-        ds.map_batches(_stats_partial, batch_format="pyarrow"),
-        _merge_stats_batch,
-        "stats",
-        expected_rows=nblocks,
-    )
+    stats_parts = _ref_tree_reduce(block_refs, _stats_partial, _merge_stats_batch, "stats")
     LAST_TIMINGS["stats_scan"] = round(_time.perf_counter() - _t, 2)
     _t = _time.perf_counter()
     if "keys" not in stats_parts.columns:  # zero-block input (full resume skip)
@@ -674,14 +710,12 @@ def _scan_rollup_single(ds, cfg: RollupConfig):
         packed = _pack_centers(active)
         pkeys, poffsets, _pflat = packed
         centers_ref = ray.put(packed)
-        parts = _tree_reduce(
-            ds.map_batches(
-                _make_sweep_fn(centers_ref, cfg.dtw), batch_format="pyarrow",
-                num_cpus=_SWEEP_NUM_CPUS,
-            ),
+        parts = _ref_tree_reduce(
+            block_refs,
+            _make_sweep_fn(centers_ref, cfg.dtw),
             _make_merge_sweep(centers_ref),
             f"sweep{rnd}",
-            expected_rows=nblocks,
+            num_cpus=_SWEEP_NUM_CPUS,
         )
         LAST_TIMINGS[f"sweep_round{rnd}"] = round(_time.perf_counter() - _t, 2)
         if len(parts):
