@@ -2118,6 +2118,22 @@ def _q_multimodal_audio_g711(sf_dir: str):
     return audio_features(rd.from_arrow(synth_audio_table_g711(90, seed=13)))
 
 
+def _q_multimodal_audio_flac(sf_dir: str):
+    """REAL FLAC decode: payloads compressed by the own encoder across
+    every subframe type (constant/verbatim/fixed0-4/LPC), Rice
+    partition orders 0-2 and all stereo decorrelation modes, decoded
+    by the own spec-anchored decoder (codec/flac.py; hand-built
+    bitstream fixtures in tests/test_codec.py) -> rms / zero-crossing
+    rate / dominant frequency. Golden verified decoder-independently:
+    tools/make_goldens.py recomputes the features from the PRE-ENCODE
+    source samples (lossless codec => bit-equal doubles)."""
+    import ray.data as rd
+
+    from dtaidistance_ray.stages.multimodal import audio_features, synth_audio_table_flac
+
+    return audio_features(rd.from_arrow(synth_audio_table_flac(90, seed=17)))
+
+
 def _q_explain_pairs(sf_dir: str):
     """DSW warping-path explanations (stages/explain.py ExplainPair)
     for token sequence pairs — one row per simplified segment."""
@@ -2329,6 +2345,7 @@ GOLDEN_QUERIES = (
     "multimodal_decode_real",
     "multimodal_audio_features",
     "multimodal_audio_g711",
+    "multimodal_audio_flac",
     "multimodal_decode_gif",
     "multimodal_gif_frames",
     "multimodal_video_mjpeg",
@@ -2473,6 +2490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode_real": _q_multimodal_decode_real,
         "multimodal_audio_features": _q_multimodal_audio_features,
         "multimodal_audio_g711": _q_multimodal_audio_g711,
+        "multimodal_audio_flac": _q_multimodal_audio_flac,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "multimodal_gif_frames": _q_multimodal_gif_frames,
         "multimodal_video_mjpeg": _q_multimodal_video_mjpeg,

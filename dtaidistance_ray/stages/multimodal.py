@@ -434,7 +434,7 @@ def synth_media_table_real(n: int, seed: int = 0) -> pa.Table:
 
 #: audio codecs the stage decodes for real (all carried in WAV
 #: containers; the codec column distinguishes the companding scheme)
-REAL_AUDIO_CODECS = frozenset({"wav", "ulaw", "alaw", "adpcm"})
+REAL_AUDIO_CODECS = frozenset({"wav", "ulaw", "alaw", "adpcm", "flac"})
 
 
 def synth_media_table_gif(n: int, seed: int = 0) -> pa.Table:
@@ -537,6 +537,56 @@ def synth_video_table_mjpeg(n: int, seed: int = 0) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_flac_wave(rng, i: int):
+    """Deterministic source wave + encode parameters for corpus row i:
+    cycles every subframe type the encoder emits (constant / verbatim /
+    fixed0-4 / LPC), Rice partition orders 0-2, mono plus all three
+    stereo decorrelation modes, and rates 8000/16000/44100."""
+    rate = (8000, 16000, 44100)[i % 3]
+    n_samp = int(rng.integers(rate // 8, rate // 3))
+    n_samp -= n_samp % 8  # keep every partition order 0-2 valid
+    t = np.arange(n_samp) / rate
+    freq = float(rng.uniform(100, 2000))
+    mode = ("fixed2", "constant", "verbatim", "fixed1", "fixed3", "lpc", "fixed4")[i % 7]
+    if mode == "constant":
+        wave = np.full(n_samp, int(rng.integers(-2000, 2000)), dtype=np.int16)
+    else:
+        wave = (np.sin(2 * np.pi * freq * t) * 11000 + rng.normal(0, 150, n_samp)).astype(np.int16)
+    porder = i % 3
+    stereo = None
+    if i % 4 == 3:
+        stereo = ("independent", "left_side", "right_side", "mid_side")[(i // 4) % 4]
+        right = np.roll(wave, 7) // 2
+        wave = np.stack([wave.astype(np.int16), right.astype(np.int16)], axis=1)
+    return wave, rate, mode, porder, stereo
+
+
+def synth_audio_table_flac(n: int, seed: int = 0) -> pa.Table:
+    """Audio corpus of REAL FLAC payloads compressed by the own
+    encoder (codec/flac.py) across every subframe type, Rice partition
+    orders 0-2 and all stereo decorrelation modes; the decode stage
+    losslessly recovers the PCM (golden features are recomputed from
+    the pre-encode sources, fully decoder-independent)."""
+    from ..codec.flac import encode_flac
+
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width", "height", "duration_ms", "codec")}
+    for i in range(n):
+        wave, rate, mode, porder, stereo = synth_flac_wave(rng, i)
+        kwargs = dict(mode=mode, partition_order=porder, blocksize=4096)
+        if stereo is not None:
+            kwargs["stereo_mode"] = stereo
+        payload = encode_flac(wave, rate, **kwargs)
+        rows["media_id"].append(f"f{i:08d}")
+        rows["media_type"].append("audio")
+        rows["payload"].append(payload)
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["duration_ms"].append(int(1000 * len(wave) / rate))
+        rows["codec"].append("flac")
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def synth_audio_table_g711(n: int, seed: int = 0) -> pa.Table:
     """Audio corpus of REAL compressed payloads: seeded waveforms
     encoded as G.711 mu-law / A-law and IMA ADPCM WAV files (format
@@ -565,19 +615,38 @@ def synth_audio_table_g711(n: int, seed: int = 0) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def decode_audio_payload(payload: bytes):
+    """Audio payload -> (mono float64 samples in [-1, 1), rate).
+
+    Container dispatch: RIFF/WAVE (PCM16 / G.711 / IMA ADPCM via
+    decode_wav) or native FLAC (own codec/flac.py decoder; lossless, so
+    features computed from the decode are bit-equal to features from
+    the pre-encode source — the decoder-independent golden anchor).
+    Stereo FLAC downmixes by the channel mean."""
+    if payload[:4] == b"fLaC":
+        from ..codec.flac import decode_flac
+
+        samples, rate = decode_flac(payload)
+        x = samples.astype(np.float64)
+        if x.ndim == 2:
+            x = x.mean(axis=1)
+        return x / 32768.0, rate
+    samples, rate = decode_wav(payload)
+    return samples.astype(np.float64) / 32768.0, rate
+
+
 class AudioFeatures:
-    """Actor-pool stage: WAV payloads -> (rms, zero-crossing rate,
+    """Actor-pool stage: audio payloads -> (rms, zero-crossing rate,
     dominant frequency via numpy FFT) — a real decode + real features,
-    no audio library needed: PCM16 parses directly, G.711 and IMA
-    ADPCM payloads run through the own codecs in codec/."""
+    no audio library needed: PCM16 parses directly, G.711 / IMA ADPCM /
+    FLAC payloads run through the own codecs in codec/."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for mid, payload, codec in zip(batch["media_id"], batch["payload"], batch["codec"]):
             if codec not in REAL_AUDIO_CODECS:
                 continue  # opus etc. stay stubbed
-            samples, rate = decode_wav(bytes(payload))
-            x = samples.astype(np.float64) / 32768.0
+            x, rate = decode_audio_payload(bytes(payload))
             rms = float(np.sqrt(np.mean(x * x)))
             zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
             spec = np.abs(np.fft.rfft(x))

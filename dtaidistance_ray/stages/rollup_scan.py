@@ -12,7 +12,7 @@ tier needs is an associative partial:
 So tier 0 runs as rounds of *scans*:
 
   round C   map_batches partial stats per (source, bucket) fragment
-            -> distributed fan-in tree merge (_tree_reduce) -> bounded
+            -> raw-task fan-in tree merge (_ref_tree_reduce) -> bounded
             driver fold -> continuous aggregates + initial centers
             (tokens of the min-doc_id row, the reference dba_loop
             c=None seed)

@@ -304,3 +304,175 @@ class TestAviMjpeg:
             encode_avi_mjpeg([])
         with pytest.raises(ValueError):
             encode_avi_mjpeg([np.zeros((8, 8, 3), np.uint8), np.zeros((8, 9, 3), np.uint8)])
+
+
+class _HandBits:
+    """Test-local MSB-first bit assembler — independent of the codec's
+    own _BitWriter so the fixture can't inherit an encoder bug."""
+
+    def __init__(self):
+        self.v = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        self.v = (self.v << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        return self
+
+    def bytes(self):
+        assert self.n % 8 == 0
+        return self.v.to_bytes(self.n // 8, "big")
+
+
+def _hand_streaminfo(rate, channels, bps, total, blocksize):
+    b = _HandBits()
+    b.put(blocksize, 16).put(blocksize, 16)        # min/max blocksize
+    b.put(0, 24).put(0, 24)                        # min/max frame size
+    b.put(rate, 20).put(channels - 1, 3).put(bps - 1, 5)
+    b.put(total, 36)
+    body = b.bytes() + bytes(16)                   # md5 = zeros
+    assert len(body) == 34
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + body
+
+
+def _hand_frame(subframe_bits: "_HandBits", blocksize: int):
+    """Frame header (mono, 16-bit, rate from STREAMINFO, frame #0,
+    16-bit blocksize field) + CRC-8, the given subframe, pad, CRC-16 —
+    every field placed per the spec document, not via the encoder."""
+    from dtaidistance_ray.codec.flac import crc8, crc16
+
+    h = _HandBits()
+    h.put(0b11111111111110, 14).put(0, 1).put(0, 1)
+    h.put(7, 4)      # blocksize: 16-bit value-1 follows header
+    h.put(0, 4)      # sample rate: from STREAMINFO
+    h.put(0, 4)      # channel assignment: 1 channel
+    h.put(0b100, 3)  # sample size: 16 bit
+    h.put(0, 1)
+    h.put(0, 8)      # UTF-8 frame number 0
+    h.put(blocksize - 1, 16)
+    hdr = h.bytes()
+    hdr += bytes([crc8(hdr)])
+    body = _HandBits()
+    body.put(int.from_bytes(hdr, "big"), len(hdr) * 8)
+    body.v = (body.v << subframe_bits.n) | subframe_bits.v
+    body.n += subframe_bits.n
+    if body.n % 8:
+        body.put(0, 8 - body.n % 8)
+    frame = body.bytes()
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+class TestFLACCodec:
+    def test_hand_built_constant_frame(self):
+        """Spec fixture: mono 16-bit stream, one CONSTANT subframe of
+        value -321 over 4 samples — every bit placed by hand."""
+        from dtaidistance_ray.codec.flac import decode_flac, parse_streaminfo
+
+        sub = _HandBits()
+        sub.put(0, 1).put(0, 6).put(0, 1)   # pad, type=CONSTANT, no wasted bits
+        sub.put(-321, 16)
+        payload = _hand_streaminfo(8000, 1, 16, 4, 4) + _hand_frame(sub, 4)
+        info = parse_streaminfo(payload)
+        assert info["sample_rate"] == 8000
+        assert info["channels"] == 1
+        assert info["bits_per_sample"] == 16
+        assert info["total_samples"] == 4
+        dec, rate = decode_flac(payload)
+        assert rate == 8000
+        np.testing.assert_array_equal(dec, np.full(4, -321, dtype=np.int32))
+
+    def test_hand_built_fixed1_rice_frame(self):
+        """Spec fixture: FIXED order-1 subframe, Rice method 0,
+        partition order 0, parameter k=1. Samples [5, 7, 4, 4]:
+        residuals (first differences) [2, -3, 0] -> zigzag [4, 5, 0]
+        -> rice(k=1) quotients [2, 2, 0] remainders [0, 1, 0]."""
+        from dtaidistance_ray.codec.flac import decode_flac
+
+        sub = _HandBits()
+        sub.put(0, 1).put(0b001001, 6).put(0, 1)  # FIXED order 1
+        sub.put(5, 16)                            # warmup sample
+        sub.put(0, 2).put(0, 4)                   # residual method 0, porder 0
+        sub.put(1, 4)                             # rice parameter k=1
+        sub.put(0b001, 3).put(0, 1)               # u=4: q=2 (001), r=0
+        sub.put(0b001, 3).put(1, 1)               # u=5: q=2, r=1
+        sub.put(1, 1).put(0, 1)                   # u=0: q=0, r=0
+        payload = _hand_streaminfo(16000, 1, 16, 4, 4) + _hand_frame(sub, 4)
+        dec, rate = decode_flac(payload)
+        assert rate == 16000
+        np.testing.assert_array_equal(dec, np.array([5, 7, 4, 4], dtype=np.int32))
+
+    def test_hand_built_wasted_bits_and_escape_rice2(self):
+        """Spec fixture: VERBATIM subframe with 2 wasted bits (values
+        shift left on output), then a FIXED-0 frame whose residual uses
+        coding method 1 (5-bit parameters) with an ESCAPE partition of
+        raw 3-bit values."""
+        from dtaidistance_ray.codec.flac import decode_flac
+
+        sub = _HandBits()
+        sub.put(0, 1).put(1, 6)                  # VERBATIM
+        sub.put(1, 1).put(0b01, 2)               # wasted flag, unary 1+1 = 2
+        for v in (3, -2, 1, 0):                  # 14-bit effective samples
+            sub.put(v, 14)
+        p1 = _hand_streaminfo(8000, 1, 16, 4, 4) + _hand_frame(sub, 4)
+        dec, _ = decode_flac(p1)
+        np.testing.assert_array_equal(dec, np.array([12, -8, 4, 0], dtype=np.int32))
+
+        sub = _HandBits()
+        sub.put(0, 1).put(0b001000, 6).put(0, 1)  # FIXED order 0
+        sub.put(1, 2).put(0, 4)                   # method 1 (rice2), porder 0
+        sub.put(31, 5)                            # escape parameter
+        sub.put(3, 5)                             # raw bit width 3
+        for v in (1, -2, 3, 0):
+            sub.put(v, 3)
+        p2 = _hand_streaminfo(8000, 1, 16, 4, 4) + _hand_frame(sub, 4)
+        dec, _ = decode_flac(p2)
+        np.testing.assert_array_equal(dec, np.array([1, -2, 3, 0], dtype=np.int32))
+
+    def test_round_trip_every_mode_and_partition(self):
+        from dtaidistance_ray.codec.flac import decode_flac, encode_flac
+
+        rng = np.random.default_rng(7)
+        for mode in ("constant", "verbatim", "fixed0", "fixed1", "fixed2",
+                     "fixed3", "fixed4", "lpc", "auto"):
+            x = (
+                np.full(768, 99, dtype=np.int16)
+                if mode == "constant"
+                else (np.sin(np.arange(768) / 9) * 7000 + rng.normal(0, 90, 768)).astype(np.int16)
+            )
+            for po in (0, 1, 2):
+                dec, rate = decode_flac(encode_flac(x, 22050, mode=mode, partition_order=po, blocksize=256))
+                assert rate == 22050
+                np.testing.assert_array_equal(dec, x.astype(np.int32)), (mode, po)
+
+    def test_round_trip_stereo_decorrelation(self):
+        from dtaidistance_ray.codec.flac import decode_flac, encode_flac
+
+        x = (np.sin(np.arange(640) / 12) * 8000).astype(np.int16)
+        st = np.stack([x, (np.roll(x, 5) // 2).astype(np.int16)], axis=1)
+        for sm in ("independent", "left_side", "right_side", "mid_side"):
+            dec, _ = decode_flac(encode_flac(st, 44100, mode="fixed2", stereo_mode=sm, blocksize=128))
+            np.testing.assert_array_equal(dec, st.astype(np.int32)), sm
+
+    def test_multiframe_and_odd_tail(self):
+        from dtaidistance_ray.codec.flac import decode_flac, encode_flac
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 2500, 10007).astype(np.int16)
+        dec, _ = decode_flac(encode_flac(x, 8000, mode="auto", blocksize=4096))
+        np.testing.assert_array_equal(dec, x.astype(np.int32))
+
+    def test_crc_tamper_detection(self):
+        from dtaidistance_ray.codec.flac import decode_flac, encode_flac, parse_streaminfo
+
+        x = (np.sin(np.arange(512) / 8) * 5000).astype(np.int16)
+        enc = bytearray(encode_flac(x, 16000, mode="fixed2"))
+        off = parse_streaminfo(bytes(enc))["frames_offset"]
+        enc[-3] ^= 0x40  # flip a bit inside the last frame body
+        with pytest.raises(ValueError):
+            decode_flac(bytes(enc))
+        with pytest.raises(ValueError):
+            decode_flac(b"RIFF not flac")
+        hdr_tamper = bytearray(encode_flac(x, 16000))
+        hdr_tamper[off + 2] ^= 0x01  # flip a frame-header bit
+        with pytest.raises(ValueError):
+            decode_flac(bytes(hdr_tamper))

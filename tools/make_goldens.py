@@ -706,6 +706,38 @@ def check_multimodal_audio_g711(got: pd.DataFrame):
     )
 
 
+def check_multimodal_audio_flac(got: pd.DataFrame):
+    """Decoder-INDEPENDENT verification: regenerate the pre-encode
+    source waves (synth_flac_wave is deterministic in the rng walk)
+    and recompute the features directly from them — the FLAC decoder
+    never runs here. Lossless codec => the engine's decoded features
+    must match these source-side features to the same rounding."""
+    from dtaidistance_ray.stages.multimodal import synth_flac_wave
+
+    rng = np.random.default_rng(17)
+    waves = {}
+    for i in range(90):
+        wave, rate, _mode, _po, _stereo = synth_flac_wave(rng, i)
+        waves[f"f{i:08d}"] = (wave, rate)
+    assert len(got) == 90
+    for mid, rms, zcr, dom in zip(got["media_id"], got["rms"], got["zcr"], got["dominant_hz"]):
+        wave, rate = waves[mid]
+        x = wave.astype(np.float64)
+        if x.ndim == 2:
+            x = x.mean(axis=1)  # the stage's stereo downmix
+        x = x / 32768.0
+        assert round(float(np.sqrt(np.mean(x * x))), 6) == rms, mid
+        want_zcr = round(float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))), 6)
+        assert want_zcr == zcr, mid
+        spec = np.abs(np.fft.rfft(x))
+        want = round(float(np.fft.rfftfreq(len(x), 1.0 / rate)[int(np.argmax(spec[1:])) + 1]), 2)
+        assert want == dom, (mid, dom, want)
+    return (
+        "feature recompute from the PRE-ENCODE source samples (FLAC decoder never "
+        "runs; lossless codec => exact equality at the stage's own rounding)"
+    )
+
+
 def check_ann_ivf_topk(got: pd.DataFrame):
     # independent recompute: same deterministic centroids (train sample
     # = first train_size rows by storage order), probing, and scoring
@@ -1010,6 +1042,7 @@ CHECKS = {
     "multimodal_decode_real": check_multimodal_decode_real,
     "multimodal_audio_features": check_multimodal_audio,
     "multimodal_audio_g711": check_multimodal_audio_g711,
+    "multimodal_audio_flac": check_multimodal_audio_flac,
     "multimodal_decode_gif": check_multimodal_decode_gif,
     "multimodal_gif_frames": check_multimodal_gif_frames,
     "multimodal_video_mjpeg": check_multimodal_video_mjpeg,
