@@ -163,7 +163,10 @@ def _decode_residual(br: _Bits, blocksize: int, pred_order: int) -> np.ndarray:
     if blocksize % nparts:
         raise ValueError("flac: partition order does not divide block size")
     psize = blocksize >> porder
-    if psize <= pred_order and nparts == 1:
+    if psize < pred_order or (psize == pred_order and nparts == 1):
+        # first partition holds psize - pred_order samples: negative is
+        # always spec-invalid; zero leaves an empty frame when it is
+        # the only partition
         raise ValueError("flac: first partition has no samples")
     out = np.empty(blocksize - pred_order, dtype=np.int64)
     w = 0
@@ -431,6 +434,15 @@ def _rice_param_for(res: np.ndarray) -> int:
 
 def _write_residual(bw: _BitWriter, res: np.ndarray, blocksize: int,
                     pred_order: int, partition_order: int) -> None:
+    # clamp for the frame actually being written: 2^po must divide the
+    # block size AND leave the first partition at least one residual
+    # (a short tail block would otherwise emit a spec-invalid or
+    # silently-corrupt layout — caught by review, regression-tested)
+    while partition_order > 0 and (
+        blocksize % (1 << partition_order)
+        or (blocksize >> partition_order) <= pred_order
+    ):
+        partition_order -= 1
     bw.write(0, 2)  # method 0: 4-bit Rice
     bw.write(partition_order, 4)
     nparts = 1 << partition_order
@@ -456,6 +468,12 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int, mode: str,
                      lpc: Optional[Tuple[List[int], int, int]] = None) -> None:
     x = x.astype(np.int64)
     blocksize = len(x)
+    # a tail block shorter than the predictor order cannot carry the
+    # declared warmup: degrade to VERBATIM (always valid, still lossless)
+    if mode.startswith("fixed") and blocksize <= int(mode[-1]):
+        mode = "verbatim"
+    if mode == "lpc" and blocksize <= len((lpc or ([3, -1], 4, 1))[0]):
+        mode = "verbatim"
     if mode == "constant":
         bw.write(0, 1); bw.write(0, 6); bw.write(0, 1)
         bw.write_signed(int(x[0]), bps)

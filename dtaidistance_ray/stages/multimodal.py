@@ -754,8 +754,9 @@ class SampleFrames:
         self.every_ms = every_ms
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..codec.avi import decode_avi_mjpeg, frame_index_at
+        from ..codec.avi import frame_index_at, parse_avi
         from ..codec.gif import decode_gif_frames
+        from ..codec.jpeg import decode_jpeg
 
         rows = []
         codecs = batch["codec"] if "codec" in batch.columns else [""] * len(batch)
@@ -773,11 +774,19 @@ class SampleFrames:
                     rows.append((mid, t, digest))
                 continue
             if codec == "mjpeg":
-                frames, info = decode_avi_mjpeg(bytes(payload))
+                # lazy parse + memoized per-frame decode (the
+                # VideoFrameFeatures pattern): only frames landing on
+                # ticks are JPEG-decoded — an eager decode_avi_mjpeg
+                # paid the full frame count for ~duration/every_ms uses
+                info = parse_avi(bytes(payload))
+                decoded: dict = {}
                 for t in range(0, max(info.duration_ms, 1), self.every_ms):
                     fi = frame_index_at(info, t)
-                    digest = hashlib.blake2b(frames[fi].tobytes(), digest_size=8).hexdigest()
-                    rows.append((mid, t, digest))
+                    if fi not in decoded:
+                        decoded[fi] = hashlib.blake2b(
+                            decode_jpeg(info.frame_chunks[fi]).tobytes(), digest_size=8
+                        ).hexdigest()
+                    rows.append((mid, t, decoded[fi]))
                 continue
             rows.append((mid, -1, f"unsupported:{codec}"))
         return pd.DataFrame(rows, columns=["media_id", "frame_ms", "frame_digest"])

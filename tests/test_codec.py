@@ -476,3 +476,32 @@ class TestFLACCodec:
         hdr_tamper[off + 2] ^= 0x01  # flip a frame-header bit
         with pytest.raises(ValueError):
             decode_flac(bytes(hdr_tamper))
+
+    def test_short_tail_block_partition_clamp(self):
+        """Regression (round-5 review): a final short block whose size
+        is not divisible by 2^partition_order, or whose first partition
+        would hold <= predictor-order samples, must still round-trip —
+        the encoder clamps the order per frame instead of emitting a
+        spec-invalid or silently-corrupt layout."""
+        from dtaidistance_ray.codec.flac import decode_flac, encode_flac
+
+        for n, mode in ((4104, "fixed4"), (4106, "fixed2"), (4097, "lpc")):
+            x = (np.sin(np.arange(n) / 9) * 7000).astype(np.int16)
+            dec, _ = decode_flac(encode_flac(x, 8000, mode=mode, partition_order=2, blocksize=4096))
+            np.testing.assert_array_equal(dec, x.astype(np.int32)), (n, mode)
+
+    def test_decoder_rejects_negative_first_partition(self):
+        """Spec-invalid residual layout (first partition count < 0 with
+        partition_order > 0) must raise, not write through negative
+        indices."""
+        from dtaidistance_ray.codec.flac import decode_flac
+
+        sub = _HandBits()
+        sub.put(0, 1).put(0b001100, 6).put(0, 1)  # FIXED order 4
+        for v in (1, 2, 3, 4):                    # warmup
+            sub.put(v, 16)
+        sub.put(0, 2).put(1, 4)                   # method 0, porder 1: psize 2 < 4
+        sub.put(0, 4).put(0, 4)                   # two empty-ish partitions
+        payload = _hand_streaminfo(8000, 1, 16, 4, 4) + _hand_frame(sub, 4)
+        with pytest.raises(ValueError):
+            decode_flac(payload)
