@@ -413,9 +413,13 @@ def downstream_fused(tier0, cfg: RollupConfig):
     chunks = [
         pd.concat(groups[i::nchunks], ignore_index=True) for i in range(nchunks)
     ]
-    return rd.from_pandas(chunks).map_batches(
-        per_chunk, batch_size=None, batch_format="pandas"
-    )
+    # raw tasks + from_pandas_refs instead of from_pandas().map_batches:
+    # the chunk list is already task-shaped (bounded by 2 x ncpu), so a
+    # streaming-executor launch here is pure fixed cost (same argument
+    # as rollup_scan._ref_tree_reduce); the returned Dataset wraps the
+    # computed block refs and downstream consumers read them directly.
+    chunk_task = ray.remote(per_chunk)
+    return rd.from_pandas_refs([chunk_task.remote(c) for c in chunks])
 
 
 def run_flagship(
