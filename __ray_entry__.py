@@ -2360,6 +2360,8 @@ GOLDEN_QUERIES = (
     "embedding_pca_top",
     "tokens_repr_drift",
     "tokens_repr_fidelity",
+    "bpe_train_merges",
+    "bpe_encode_documents",
 )
 
 
@@ -2373,7 +2375,7 @@ def _golden_oracles() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from dtaidistance_ray.stages import ann, dedup, events, text
+    from dtaidistance_ray.stages import ann, bpe, dedup, events, text
     from dtaidistance_ray.stages.relational import lineitem_pricing_summary, revenue_by_nation
 
     return {
@@ -2434,6 +2436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_scores": text.repetition_scores,
         "doc_dup_window_ratio": text.dup_window_ratio,
         "doc_curriculum_deciles": text.curriculum_deciles,
+        "bpe_train_merges": bpe.bpe_train_merges,
+        "bpe_encode_documents": bpe.bpe_encode_documents,
         # near-dup suite
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,

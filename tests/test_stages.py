@@ -1443,3 +1443,73 @@ class TestGroupingSetsCube:
         w["n_events"] = w["n_events"].astype("int64")
         w["grouping_id"] = w["grouping_id"].astype("int64")
         pd.testing.assert_frame_equal(g[w.columns], w, check_exact=True)
+
+
+class TestBPE:
+    def test_sennrich_example_merge_order(self):
+        """Classic corpus from Sennrich et al. 2016 §3.2 (low, lower,
+        newest, widest): 'es' must merge first (freq 9), then 'est</w>',
+        then 'lo' (freq 7) — hand-derivable from the pair counts."""
+        import pandas as pd
+
+        from dtaidistance_ray.stages.bpe import learn_bpe
+
+        wc = pd.DataFrame(
+            {"word": ["low", "lower", "newest", "widest"], "count": [5, 2, 6, 3]}
+        )
+        merges = learn_bpe(wc, num_merges=4, min_freq=2)
+        assert merges[0] == ("e", "s")  # 6+3 = 9
+        assert merges[1] == ("es", "t</w>")  # still 9
+        assert merges[2] == ("l", "o")  # 5+2 = 7
+
+    def test_encode_round_trip_and_greedy_termination(self):
+        import pandas as pd
+
+        from dtaidistance_ray.stages.bpe import encode_word, learn_bpe
+
+        wc = pd.DataFrame(
+            {"word": ["low", "lower", "newest", "widest", "lowest"], "count": [5, 2, 6, 3, 1]}
+        )
+        merges = learn_bpe(wc, num_merges=20, min_freq=1)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in ["low", "lowest", "newest", "slowest", "wide", "news"]:
+            toks = encode_word(w, ranks)
+            # round trip: tokens concatenate back to word + </w>
+            assert "".join(toks) == w + "</w>"
+            # termination: no adjacent pair is still mergeable
+            assert all((a, b) not in ranks for a, b in zip(toks, toks[1:]))
+
+    def test_distributed_word_counts_match_direct(self, ray_session):
+        import pandas as pd
+
+        from dtaidistance_ray.stages import text
+        from dtaidistance_ray.stages.bpe import _WORD_RE, word_counts
+
+        sf = "/root/testdata/sf0.001"
+        ds = text.read_documents(sf, columns=["text"])
+        got = word_counts(ds).set_index("word")["count"]
+        docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        want = docs["text"].map(_WORD_RE.findall).explode().dropna().value_counts()
+        assert got.to_dict() == {str(k): int(v) for k, v in want.items()}
+
+    def test_encode_documents_invariants(self, ray_session):
+        import pandas as pd
+
+        from dtaidistance_ray.stages.bpe import _WORD_RE, bpe_encode_documents
+
+        sf = "/root/testdata/sf0.001"
+        got = bpe_encode_documents(sf, num_merges=50).to_pandas()
+        docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        merged = got.merge(docs, on="doc_id")
+        for _, r in merged.head(50).iterrows():
+            words = _WORD_RE.findall(r["text"])
+            assert r["n_words"] == len(words)
+            n_chars = sum(len(w) for w in words)
+            # token count bounded by [n_words, n_chars] (merges only shrink)
+            assert r["n_words"] <= r["n_bpe_tokens"] <= max(n_chars, r["n_words"])
+        # with zero merges every token is a single char (+</w> on the last)
+        zero = bpe_encode_documents(sf, num_merges=0).to_pandas()
+        mz = zero.merge(docs, on="doc_id")
+        for _, r in mz.head(20).iterrows():
+            n_chars = sum(len(w) for w in _WORD_RE.findall(r["text"]))
+            assert r["n_bpe_tokens"] == n_chars == r["n_single_char"]

@@ -1027,7 +1027,110 @@ def check_storage_efficiency(got: pd.DataFrame):
     )
 
 
+def _bpe_independent_merges(num_merges=200, min_freq=2):
+    """Independent BPE learner: pandas word counting (explode +
+    value_counts, not Counter partials) and the original Sennrich-script
+    representation — each word as a SPACE-JOINED symbol string mutated
+    with str.split scans — instead of bpe.py's tuple-dict vocab."""
+    word_re = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+    docs = _read_docs()
+    wc = docs["text"].map(word_re.findall).explode().dropna().value_counts()
+    vocab = {}
+    for w, c in wc.items():
+        syms = list(w)
+        syms[-1] += "</w>"
+        key = " ".join(syms)
+        vocab[key] = vocab.get(key, 0) + int(c)
+    merges = []
+    for _ in range(num_merges):
+        stats = {}
+        for key, cnt in vocab.items():
+            syms = key.split(" ")
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + cnt
+        if not stats:
+            break
+        best = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (a, b), freq = best
+        if freq < min_freq:
+            break
+        merges.append((a, b))
+        nv = {}
+        for key, cnt in vocab.items():
+            syms = key.split(" ")
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k2 = " ".join(out)
+            nv[k2] = nv.get(k2, 0) + cnt
+        vocab = nv
+    return merges
+
+
+def check_bpe_train_merges(got: pd.DataFrame):
+    merges = _bpe_independent_merges()
+    want = pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(merges)), dtype="int64"),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "merged": [m[0] + m[1] for m in merges],
+        }
+    )
+    pd.testing.assert_frame_equal(canon(want), canon(got.reset_index(drop=True)))
+    return "independent learner (pandas explode/value_counts word table + space-joined-symbol Sennrich loop) reproduces the full merge table"
+
+
+def _bpe_independent_encode(word, ranks):
+    syms = list(word)
+    syms[-1] += "</w>"
+    while len(syms) > 1:
+        ranked = [(ranks[(x, y)], i) for i, (x, y) in enumerate(zip(syms, syms[1:])) if (x, y) in ranks]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+    return syms
+
+
+def check_bpe_encode_documents(got: pd.DataFrame):
+    word_re = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+    merges = _bpe_independent_merges()
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = _read_docs()
+    want = {}
+    memo = {}
+    for d, t in zip(docs["doc_id"].astype(int), docs["text"]):
+        n_words = n_tok = n_single = crc = 0
+        for w in word_re.findall(t):
+            n_words += 1
+            toks = memo.get(w)
+            if toks is None:
+                toks = _bpe_independent_encode(w, ranks)
+                memo[w] = toks
+            n_tok += len(toks)
+            for tk in toks:
+                if len(tk) == 1 or (len(tk) == 5 and tk.endswith("</w>")):
+                    n_single += 1
+                crc = zlib.crc32(tk.encode(), crc)
+        want[int(d)] = (n_words, n_tok, n_single, crc)
+    for d, nw, nt, ns, c in zip(
+        got["doc_id"], got["n_words"], got["n_bpe_tokens"], got["n_single_char"], got["token_crc"]
+    ):
+        assert want[int(d)] == (int(nw), int(nt), int(ns), int(c)), d
+    return "independent learner + independent lowest-rank-greedy encoder reproduce per-doc token counts and the order-sensitive token-stream CRC"
+
+
 CHECKS = {
+    "bpe_train_merges": check_bpe_train_merges,
+    "bpe_encode_documents": check_bpe_encode_documents,
     "tokens_repr_fidelity": check_repr_fidelity,
     "tokens_storage_efficiency": check_storage_efficiency,
     "tokens_repr_drift": check_repr_drift,
