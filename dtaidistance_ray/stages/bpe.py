@@ -68,16 +68,42 @@ def _word_count_partial(batch: pa.Table) -> pd.DataFrame:
     return pd.DataFrame({"word": list(words), "count": pd.Series(counts, dtype="int64")})
 
 
-def word_counts(ds) -> pd.DataFrame:
+def word_counts(ds, via: str = "tree", min_count: int = 1) -> pd.DataFrame:
     """Reduce a documents Dataset to a (word, count) frequency table.
 
-    Map-only partials + fan-in tree fold; see module docstring for the
-    boundedness argument. Returns a driver-side frame sorted by
-    (count DESC, word ASC)."""
-    from .events import merge_partials
+    ``via="tree"`` (default): map-only partials + the merge_partials
+    fan-in tree — fastest when the vocabulary fits on the driver, and
+    it loud-fails above ``max_driver_rows`` instead of OOMing.
 
+    ``via="shuffle"``: the unbounded-key scale path — Dataset hash
+    groupby on the word (per-batch Counter partials still pre-combine,
+    so only (word, count) rows shuffle, never text), with the
+    ``min_count`` threshold applied DISTRIBUTEDLY before collection.
+    This is the path for web-scale corpora whose raw vocabulary
+    (typos, codes, rare strings) exceeds the driver bound: production
+    BPE trainers threshold rare words anyway, and post-threshold
+    vocabularies are Zipf-bounded to driver size.
+
+    Returns a driver-side frame sorted by (count DESC, word ASC)."""
     parts = ds.map_batches(_word_count_partial, batch_format="pyarrow")
-    wc = merge_partials(parts, keys=["word"], spec={"count": "sum"})
+    if via == "shuffle":
+        from ray.data.aggregate import Sum
+
+        agg = parts.groupby("word").aggregate(Sum("count", alias_name="count"))
+        if min_count > 1:
+            import pyarrow.compute as pc
+
+            agg = agg.map_batches(
+                lambda t: t.filter(pc.greater_equal(t.column("count"), min_count)),
+                batch_format="pyarrow",
+            )
+        wc = agg.to_pandas()
+    else:
+        from .events import merge_partials
+
+        wc = merge_partials(parts, keys=["word"], spec={"count": "sum"})
+        if min_count > 1:
+            wc = wc[wc["count"] >= min_count]
     return wc.sort_values(["count", "word"], ascending=[False, True], kind="mergesort").reset_index(
         drop=True
     )

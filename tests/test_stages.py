@@ -1513,3 +1513,20 @@ class TestBPE:
         for _, r in mz.head(20).iterrows():
             n_chars = sum(len(w) for w in _WORD_RE.findall(r["text"]))
             assert r["n_bpe_tokens"] == n_chars == r["n_single_char"]
+
+    def test_shuffle_path_matches_tree_path(self, ray_session):
+        from dtaidistance_ray.stages import text
+        from dtaidistance_ray.stages.bpe import word_counts
+
+        sf = "/root/testdata/sf0.001"
+        ds = text.read_documents(sf, columns=["text"])
+        tree = word_counts(ds, via="tree")
+        shuf = word_counts(text.read_documents(sf, columns=["text"]), via="shuffle")
+        assert tree.to_dict("records") == shuf.to_dict("records")
+        # min_count thresholds identically on both paths; pick a threshold
+        # between the corpus's min and max word counts so it actually prunes
+        cut = int(tree["count"].median())
+        t2 = word_counts(text.read_documents(sf, columns=["text"]), via="tree", min_count=cut)
+        s2 = word_counts(text.read_documents(sf, columns=["text"]), via="shuffle", min_count=cut)
+        assert t2.to_dict("records") == s2.to_dict("records")
+        assert (t2["count"] >= cut).all() and 0 < len(t2) < len(tree)
