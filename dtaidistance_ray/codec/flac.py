@@ -297,7 +297,10 @@ def decode_flac(payload: bytes) -> Tuple[np.ndarray, int]:
     channels_out: List[np.ndarray] = []
     total = info["total_samples"]
     got = 0
-    while got < total:
+    # total_samples == 0 is spec-legal "unknown length" (RFC 9639 §8.2):
+    # decode frames until the byte region is exhausted instead of stopping
+    # at zero samples.
+    while (got < total) if total else (br.byte_pos() < len(region)):
         frame_start = br.byte_pos()
         sync = br.read(14)
         if sync != 0x3FFE:
@@ -529,6 +532,14 @@ def encode_flac(samples: np.ndarray, rate: int = 16000, *, bps: int = 16,
     mono = samples.ndim == 1
     n = len(samples)
     nch = 1 if mono else samples.shape[1]
+    # Field-width limits: blocksize-1 must fit the 16-bit frame-header
+    # field and the STREAMINFO min/max blocksize fields; rate must fit
+    # STREAMINFO's 20-bit field. Silently truncating either emits a
+    # structurally inconsistent stream that fails far away at decode.
+    if not 1 <= blocksize <= 65535:
+        raise ValueError(f"flac: blocksize {blocksize} outside 1..65535")
+    if not 0 < rate < (1 << 20):
+        raise ValueError(f"flac: sample rate {rate} outside 1..2^20-1")
     # STREAMINFO
     si = 0
     si |= min(blocksize, 65535) << 256

@@ -91,9 +91,9 @@ def ann_topk(sf_dir: str, k: int = 10):
     ).drop_columns(["query_id"])
 
     def pre_topk(b: pa.Table) -> pa.Table:
-        cs = b["cos_sim"].to_numpy(zero_copy_only=False)
-        vid = b["vec_id"].to_numpy(zero_copy_only=False)
-        return b.take(pa.array(np.lexsort((vid, -cs))[:k]))
+        from .events import _pre_topk_take
+
+        return _pre_topk_take(b, [("cos_sim", True), ("vec_id", False)], k)
 
     survivors = scored.map_batches(pre_topk, batch_format="pyarrow")
     return survivors.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
@@ -653,9 +653,9 @@ def pq_topk(sf_dir: str, k: int = 10, m_sub: int = 32, codebook_k: int = 64,
     )
 
     def pre_topk(b: pa.Table) -> pa.Table:
-        ad = b["approx_dist"].to_numpy(zero_copy_only=False)
-        vid = b["vec_id"].to_numpy(zero_copy_only=False)
-        return b.take(pa.array(np.lexsort((vid, ad))[:k]))
+        from .events import _pre_topk_take
+
+        return _pre_topk_take(b, [("approx_dist", False), ("vec_id", False)], k)
 
     survivors = scored.map_batches(pre_topk, batch_format="pyarrow")
     return survivors.sort(["approx_dist", "vec_id"]).limit(k)

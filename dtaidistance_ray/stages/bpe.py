@@ -48,9 +48,11 @@ import pyarrow as pa
 
 from .pool import auto_pool
 
-# Same pre-tokenizer convention as text.TokenCounter ("bpeish"): words,
-# integer runs, or single non-space symbols.
-_WORD_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+# Same pre-tokenizer convention as text.TokenCounter ("bpeish") —
+# enforced by sharing the pattern constant, not a comment.
+from .text import BPEISH_PATTERN as _BPEISH_PATTERN
+
+_WORD_RE = re.compile(_BPEISH_PATTERN)
 
 # End-of-word sentinel appended to a word's final symbol (Sennrich
 # convention) so merges never cross word boundaries and the encoder
@@ -251,7 +253,9 @@ def bpe_encode_documents(sf_dir: str, num_merges: int = 200, min_freq: int = 2):
     from .text import read_documents
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
-    wc = word_counts(ds)
+    # the corpus-sized counting pass only needs the text column; the
+    # doc_id+text dataset is for the encode stage below
+    wc = word_counts(read_documents(sf_dir, columns=["text"]))
     merges = learn_bpe(wc, num_merges=num_merges, min_freq=min_freq)
     merges_ref = ray.put(merges)
     return ds.map_batches(

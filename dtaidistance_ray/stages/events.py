@@ -31,9 +31,13 @@ def _add_hour(batch: pa.Table) -> pa.Table:
     return batch.append_column("bucket", pc.floor_temporal(batch["ts"], unit="hour"))
 
 
-def _add_cents(batch: pd.DataFrame) -> pd.DataFrame:
-    batch["value_cents"] = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
-    return batch
+def _cents(values) -> np.ndarray:
+    """Exact integer cents for a float value column. This rounding is
+    the repo's bit-exactness contract with the DuckDB oracles (int cent
+    sums are associative under any partitioning; float sums are not) —
+    every partial that sums values must go through THIS helper so a
+    convention change cannot diverge between stages."""
+    return np.round(np.asarray(values) * 100).astype(np.int64)
 
 
 def _fold_frames(keys, spec, *frames):
@@ -117,13 +121,19 @@ def _per_type(grid: pd.DataFrame, fn) -> pd.DataFrame:
     return pd.concat(parts, ignore_index=True)
 
 
-def _hourly_partial(b: pd.DataFrame) -> pd.DataFrame:
-    return b.groupby(["event_type", "bucket"], as_index=False).agg(
-        n_events=("value", "size"),
-        cents=("value_cents", "sum"),
-        value_min=("value", "min"),
-        value_max=("value", "max"),
+def _pre_topk_take(b: pa.Table, order_cols, k: int) -> pa.Table:
+    """Per-batch pre-top-k: keep a block's top-k rows under the given
+    ``[(column, descending), ...]`` order so only k rows per block reach
+    the global sort. One np.lexsort with the PRIMARY key last (lexsort
+    convention); descending columns are sign-negated, which is the
+    subtle part every hand-rolled copy risks getting wrong — numeric
+    (int/float) columns only."""
+    keys = tuple(
+        (-v if desc else v)
+        for col, desc in reversed(order_cols)
+        for v in (b[col].to_numpy(zero_copy_only=False),)
     )
+    return b.take(pa.array(np.lexsort(keys)[:k]))
 
 
 def _grouped_reduceat(key: np.ndarray):
@@ -220,13 +230,13 @@ def _hourly_partial_arrow(b: pa.Table) -> pa.Table:
     views of the three pruned columns, event_type grouped via its
     DICTIONARY CODES (never materializing Python strings — the whole
     point of skipping the pandas conversion), one stable sort + exact
-    reduceat folds per batch. Same output schema as _hourly_partial."""
+    reduceat folds per batch."""
     et = pc.dictionary_encode(b["event_type"]).combine_chunks()
     codes = et.indices.to_numpy().astype(np.int64)
     names = et.dictionary
     buck = b["bucket"].combine_chunks().to_numpy()  # datetime64, zero-copy
     val = b["value"].to_numpy(zero_copy_only=False)
-    cents = np.round(val * 100).astype(np.int64)
+    cents = _cents(val)
     ub, binv = np.unique(buck, return_inverse=True)
     key = codes * len(ub) + binv
     order, starts, uk = _grouped_reduceat(key)
@@ -416,7 +426,7 @@ def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
         new_user[1:] = uid[1:] != uid[:-1]
         g = g.assign(
             _new_sess=(new_user | (gaps > gap_s)).astype(np.int64),
-            _cents=np.round(g["value"].to_numpy() * 100).astype(np.int64),
+            _cents=_cents(g["value"].to_numpy()),
         )
         out = g.groupby("user_id", as_index=False, sort=True).agg(
             n_sessions=("_new_sess", "sum"),
@@ -465,7 +475,7 @@ def top_users_by_value(sf_dir: str, k: int = 20):
 
     def partial(b: pa.Table) -> pa.Table:
         order, starts, keys = _arrow_grouped(b, ["user_id"])
-        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        cents = _cents(b["value"].to_numpy(zero_copy_only=False))
         return pa.table(
             {
                 "user_id": keys["user_id"].astype(np.int64),
@@ -490,9 +500,7 @@ def top_users_by_value(sf_dir: str, k: int = 20):
         )
 
     def pre_topk(b: pa.Table) -> pa.Table:
-        vs = b["value_sum"].to_numpy(zero_copy_only=False)
-        uid = b["user_id"].to_numpy(zero_copy_only=False)
-        return b.take(pa.array(np.lexsort((uid, -vs))[:k]))
+        return _pre_topk_take(b, [("value_sum", True), ("user_id", False)], k)
 
     scored = agg.map_batches(finish, batch_format="pyarrow")
     survivors = scored.map_batches(pre_topk, batch_format="pyarrow")
@@ -779,7 +787,7 @@ def top_users_per_type(sf_dir: str, k: int = 3):
 
     def partial(b: pa.Table) -> pa.Table:
         order, starts, keys = _arrow_grouped(b, ["event_type", "user_id"])
-        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        cents = _cents(b["value"].to_numpy(zero_copy_only=False))
         return pa.table(
             {
                 "event_type": keys["event_type"],
@@ -1026,7 +1034,7 @@ def counter_increase(sf_dir: str, n_buckets: int = 64):
     def inc_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         uid = g["user_id"].to_numpy(np.int64)
-        c = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        c = _cents(g["value"].to_numpy())
         delta = np.empty(len(g), dtype=np.int64)
         delta[0] = 0
         delta[1:] = c[1:] - c[:-1]
@@ -1697,7 +1705,7 @@ def value_percentiles_daily(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         day = pc.floor_temporal(b["ts"].combine_chunks(), unit="day")
-        c = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        c = _cents(b["value"].to_numpy(zero_copy_only=False))
         t = pa.table(
             {
                 "event_type": b["event_type"].combine_chunks(),
@@ -2650,7 +2658,7 @@ def user_rfm_segments(sf_dir: str):
     ds = read_events(sf_dir, columns=["user_id", "ts", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        cents = _cents(b["value"].to_numpy(zero_copy_only=False))
         us = b["ts"].combine_chunks().cast(pa.timestamp("us")).to_numpy().view("i8")
         order, starts, keys = _arrow_grouped(b, ["user_id"])
         return pa.table(
@@ -3424,10 +3432,9 @@ def rate_limit_audit(sf_dir: str, quota_per_day: int = 2, k: int = 20):
     def pre_topk(b: pa.Table) -> pa.Table:
         if not len(b) or "days_over" not in b.column_names:
             return pa.table({c: pa.array([], type=pa.int64()) for c in ("user_id", "days_over", "peak_per_day")})
-        d = b["days_over"].to_numpy(zero_copy_only=False)
-        p = b["peak_per_day"].to_numpy(zero_copy_only=False)
-        u = b["user_id"].to_numpy(zero_copy_only=False)
-        return b.take(pa.array(np.lexsort((u, -p, -d))[:k]))
+        return _pre_topk_take(
+            b, [("days_over", True), ("peak_per_day", True), ("user_id", False)], k
+        )
 
     out = offenders.map_batches(pre_topk, batch_format="pyarrow").to_pandas()
     if not len(out):
@@ -3483,7 +3490,7 @@ def value_benford(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         et = pc.dictionary_encode(b["event_type"]).combine_chunks()
         codes = et.indices.to_numpy().astype(np.int64)
-        cents = np.abs(np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64))
+        cents = np.abs(_cents(b["value"].to_numpy(zero_copy_only=False)))
         keep = cents > 0
         codes = codes[keep]
         c = cents[keep]

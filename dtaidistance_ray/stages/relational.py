@@ -34,16 +34,16 @@ def lineitem_pricing_summary(sf_dir: str):
         # Arrow-native combiner: flag columns grouped via dictionary
         # codes (no Python strings), money in exact scaled int64, one
         # stable sort + reduceat folds (events._grouped_reduceat)
-        from .events import _grouped_reduceat
+        from .events import _cents, _grouped_reduceat
 
         rf = pc.dictionary_encode(batch["l_returnflag"]).combine_chunks()
         ls = pc.dictionary_encode(batch["l_linestatus"]).combine_chunks()
         rfc = rf.indices.to_numpy().astype(np.int64)
         lsc = ls.indices.to_numpy().astype(np.int64)
         nls = len(ls.dictionary)
-        qty_c = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        ep_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        disc_c = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        qty_c = _cents(batch["l_quantity"].to_numpy(zero_copy_only=False))
+        ep_c = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_c = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
         dp_c = ep_c * (100 - disc_c)  # basis points (1e-4)
         key = rfc * nls + lsc
         order, starts, uk = _grouped_reduceat(key)
@@ -204,10 +204,10 @@ def revenue_by_nation(sf_dir: str, broadcast_row_limit: int = BROADCAST_ROW_LIMI
         orders_nation = joined_oc.map_batches(add_nation, batch_format="pandas")
 
     def derive_rev(batch: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+        from .events import _cents
 
-        ep_c = np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_c = np.round(batch["l_discount"].to_numpy() * 100).astype(np.int64)
+        ep_c = _cents(batch["l_extendedprice"].to_numpy())
+        disc_c = _cents(batch["l_discount"].to_numpy())
         return pd.DataFrame(
             {
                 "l_orderkey": batch["l_orderkey"].to_numpy(),

@@ -528,6 +528,18 @@ def _ref_tree_reduce(
         rounds += 1
     frames = [f for f in ray.get(list(refs)) if len(f)]
     out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    # The fan-in loop bounds the number of partial FRAMES; the driver-row
+    # guarantee additionally relies on every leaf/merge fn emitting ONE
+    # packed row per frame (the documented contract). Enforce it loudly
+    # (cf. merge_partials.max_driver_rows) instead of silently holding
+    # threshold x rows-per-frame rows if a future leaf emits per-key rows.
+    if len(out) > max(1, _MERGE_THRESHOLD_ROWS):
+        raise ValueError(
+            f"_ref_tree_reduce[{label}]: driver fold received {len(out)} rows from "
+            f"{len(frames)} frames (> threshold {_MERGE_THRESHOLD_ROWS}); a leaf or "
+            "merge fn emits multi-row frames - pack partials to one row per frame "
+            "or reduce them distributedly before this fan-in"
+        )
     LAST_TIMINGS[f"{label}_merge_wall"] = round(_time.perf_counter() - _t0, 2)
     LAST_TIMINGS[f"{label}_merge_rounds"] = rounds
     LAST_TIMINGS[f"{label}_driver_rows"] = int(len(out))
@@ -536,7 +548,16 @@ def _ref_tree_reduce(
 
 def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
     """Tier-0 rollup via combiner scans; returns a Ray Dataset with the
-    same schema (and bit-identical content) as rollup_base_tier."""
+    same schema (and bit-identical content) as rollup_base_tier.
+
+    The raw-task reduction (_ref_tree_reduce) operates on the input's
+    Arrow block refs, so the input is ALWAYS executed and its blocks
+    pinned in the object store for the duration of the tier-0 run —
+    there is no streaming tier-0 path anymore (the multi-round sweep
+    re-reads every block each round, so streaming would re-execute the
+    upstream pipeline per round). ``cache=False`` only skips the
+    parallelism repartition and the key-shard planning scan, using the
+    input's own block layout as-is; it does NOT avoid materialization."""
     import time as _time
 
     import ray

@@ -52,13 +52,18 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# BPE-ish pre-tokenizer: words, integer runs, or single non-space
+# symbols. SHARED with stages.bpe (the BPE learner/encoder must
+# tokenize under exactly the convention TokenCounter counts with).
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
 class TokenCounter:
     """Whitespace + BPE-ish regex token counting (actor-pool stage)."""
 
     def __init__(self):
         self.ws = re.compile(r"\s+")
-        # BPE-ish: words, numbers, or single non-space symbols
-        self.bpeish = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+        self.bpeish = re.compile(BPEISH_PATTERN)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"]

@@ -505,3 +505,38 @@ class TestFLACCodec:
         payload = _hand_streaminfo(8000, 1, 16, 4, 4) + _hand_frame(sub, 4)
         with pytest.raises(ValueError):
             decode_flac(payload)
+
+    def test_unknown_total_samples_decodes_all_frames(self):
+        """Regression (round-5 review): STREAMINFO total_samples == 0 is
+        spec-legal 'unknown length' (RFC 9639) — the decoder must decode
+        the frames present, not silently return zero samples."""
+        from dtaidistance_ray.codec.flac import decode_flac, encode_flac, parse_streaminfo
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(0, 3000, 9000).astype(np.int16)
+        enc = bytearray(encode_flac(x, 8000, mode="auto", blocksize=4096))
+        # zero the 36-bit total_samples field: bits 128..163 of the 34-byte
+        # STREAMINFO body starting at offset 8 (fLaC + 4-byte block header)
+        si = int.from_bytes(enc[8 : 8 + 34], "big")
+        si &= ~(0xFFFFFFFFF << 128)
+        enc[8 : 8 + 34] = si.to_bytes(34, "big")
+        assert parse_streaminfo(bytes(enc))["total_samples"] == 0
+        dec, rate = decode_flac(bytes(enc))
+        assert rate == 8000
+        np.testing.assert_array_equal(dec, x.astype(np.int32))
+
+    def test_encoder_rejects_out_of_range_fields(self):
+        """Regression (round-5 review): blocksize/rate beyond their FLAC
+        field widths must fail loudly at encode time instead of emitting
+        a stream that fails with an unrelated CRC error at decode."""
+        from dtaidistance_ray.codec.flac import encode_flac
+
+        x = np.zeros(16, dtype=np.int16)
+        with pytest.raises(ValueError, match="blocksize"):
+            encode_flac(x, 8000, blocksize=70000)
+        with pytest.raises(ValueError, match="blocksize"):
+            encode_flac(x, 8000, blocksize=0)
+        with pytest.raises(ValueError, match="rate"):
+            encode_flac(x, 1 << 20)
+        with pytest.raises(ValueError, match="rate"):
+            encode_flac(x, 0)
