@@ -1407,6 +1407,30 @@ class TestDriverFrameGuards:
         m = clustering._full_triu_matrix(seqs, None, use_ray=False)
         assert np.isfinite(m[0, 1])
 
+    def test_ref_tree_reduce_one_row_per_frame_guard(self, ray_session):
+        """Round-5 review: the raw-task fan-in bounds partial FRAMES;
+        the driver-row guarantee additionally needs one packed row per
+        frame. A leaf emitting per-key rows must trip the guard loudly."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray
+
+        from dtaidistance_ray.stages import rollup_scan
+
+        blocks = [
+            ray.put(pa.table({"x": list(range(b * 10, b * 10 + 10))}))
+            for b in range(4)
+        ]
+        multi_row_leaf = lambda block: block.to_pandas()  # 10 rows/frame
+        ident = lambda df: df
+        with pytest.raises(ValueError, match="_ref_tree_reduce.*multi-row"):
+            rollup_scan._ref_tree_reduce(blocks, multi_row_leaf, ident, "guardtest")
+        # the documented contract (one packed row per frame) still passes
+        one_row_leaf = lambda block: pd.DataFrame({"n": [block.num_rows]})
+        merge = lambda df: pd.DataFrame({"n": [int(df["n"].sum())]})
+        out = rollup_scan._ref_tree_reduce(blocks, one_row_leaf, merge, "guardtest2")
+        assert int(out["n"].sum()) == 40
+
 
 class TestGroupingSetsCube:
     def test_grains_consistent_and_oracle(self, ray_session):
