@@ -28,7 +28,6 @@ from ..sources.synth import TokenTableSpec, token_table, token_table_arrow, deri
 from ..stages.rollup import (
     RollupConfig,
     _rollup_group_base,
-    _rollup_group_upper,
     bucketize,
     encode_frame,
     encode_tier,
@@ -39,8 +38,6 @@ from ..stages.rollup import (
     rollup_next_tier,
 )
 from ..state.checkpoint import completed_shards, write_shard_atomic
-
-from ..stages.rollup import TIER_SCHEMA_COLS  # noqa: E402  (canonical schema)
 
 
 def source_shard(source: str, num_shards: int) -> int:
@@ -58,6 +55,10 @@ def _parquet_fingerprint(input_path: str) -> str:
     n_files = 0
     if os.path.isdir(input_path):
         for root, _dirs, files in os.walk(input_path):
+            _dirs.sort()  # os.walk yields dirs in arbitrary os.listdir
+            # order; unsorted traversal would make the fold order (and
+            # so the fingerprint) nondeterministic for partitioned
+            # (nested-dir) inputs, silently defeating resume validation
             for f in sorted(files):
                 p = os.path.join(root, f)
                 st = os.stat(p)
@@ -317,9 +318,13 @@ def downstream_fused(tier0, cfg: RollupConfig):
     df["sid"] = df["bucket"] // step
     mdf = _fused_markers(ext, step, ratio_total)
     if not len(df):  # empty tier0 (e.g. full resume skip): empty result
-        df["grid_lo"] = np.int64(-1)
-        df["grid_hi"] = np.int64(-1)
-        return rd.from_pandas(df)
+        # with the SAME schema as the non-empty path (tier + tier
+        # columns + encoded payload, no sid/grid bookkeeping) so
+        # consumers like the metrics tier_counts groupby("tier") work
+        empty = tier0_df.iloc[0:0].copy()
+        empty["repr_gorilla"] = pd.Series([], dtype=object)
+        empty.insert(0, "tier", pd.Series([], dtype="int64"))
+        return rd.from_pandas(empty)
 
     # ---- stage P: co-batched tier promotion ------------------------
     # The DBA promotion kernel's per-row numpy dispatch floor amortizes
@@ -464,7 +469,7 @@ def run_flagship(
     skip: Dict[int, set] = {}
     if out_dir and resume:
         for t in range(len(cfg.tier_widths)):
-            skip[t] = completed_shards(out_dir, t, shash, input_fp)
+            skip[t] = completed_shards(out_dir, t, shash, input_fp, num_shards=num_shards)
             metrics["skipped_shards"][t] = sorted(skip[t])
         done_all = set.intersection(*skip.values()) if skip else set()
         if done_all:
@@ -517,8 +522,17 @@ def run_flagship(
 
     tiers = build_tiers(ds, spec, cfg)
     metrics["phase_timings"] = tiers.pop("timings", {})
+    from ..state.checkpoint import prune_invalid_shards
+
     for t in range(len(cfg.tier_widths)):
         pt0 = time.perf_counter()
+        # drop shard dirs from other lineages/schemes BEFORE writing:
+        # the recompute only overwrites ids its sources hash to, so a
+        # stale-scheme leftover (e.g. post-compaction shard under the
+        # old count) would otherwise hold duplicate rows at rest
+        pruned = prune_invalid_shards(out_dir, t, shash, input_fp, num_shards)
+        if pruned:
+            metrics.setdefault("pruned_shards", {})[t] = pruned
         tier_ds = encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t])
         # checkpointed write: one task per shard, atomic rename + manifest
         def write_shard(g: pd.DataFrame, tier=t) -> pd.DataFrame:
@@ -527,7 +541,8 @@ def run_flagship(
             g = g.sort_values(["source", "bucket"], kind="mergesort").drop(columns=["shard"])
             table = pa.Table.from_pandas(g, preserve_index=False)
             m = write_shard_atomic(
-                out_dir, tier, shard, table, shash, input_fp, time.perf_counter() - ws
+                out_dir, tier, shard, table, shash, input_fp,
+                time.perf_counter() - ws, num_shards=num_shards,
             )
             return pd.DataFrame({"shard": [shard], "rows": [m.num_rows]})
 
@@ -589,8 +604,6 @@ def rollup_oracle(spec: TokenTableSpec, cfg: Optional[RollupConfig] = None) -> D
         tiers[t] = pd.concat(parts, ignore_index=True)
     # gap-fill (same semantics as stages.rollup.gap_fill_tier)
     for t in tiers:
-        from ..stages.rollup import gap_fill_tier as _  # noqa: F401
-
         filled = []
         for _, g in tiers[t].groupby("source", sort=True):
             g = g.sort_values("bucket", kind="mergesort")

@@ -38,9 +38,26 @@ class ShardManifest:
     wall_time_s: float
     written_at: float
     file: str
+    # the sharding scheme (total shard count) these rows were hashed
+    # under: resume validation must reject a manifest written under a
+    # DIFFERENT scheme (e.g. after compact_store renumbered shards), or
+    # a partial resume would recompute sources already present in the
+    # renumbered shards and duplicate rows. 0 = unknown (legacy stores).
+    num_shards: int = 0
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
+
+
+def _parse_shard_name(name: str) -> Optional[int]:
+    """shard dir name -> shard id, or None for anything that is not an
+    exact ``shard=<int>`` (``.tmp-`` / ``.old-`` swap leftovers must
+    never parse as live shards — they crashed compact_store/store_stats
+    with ValueError before this existed)."""
+    if not name.startswith("shard="):
+        return None
+    suffix = name.split("=", 1)[1]
+    return int(suffix) if suffix.isdigit() else None
 
 
 def shard_dir(out_dir: str, tier: int, shard: int) -> str:
@@ -55,6 +72,7 @@ def write_shard_atomic(
     settings_hash: str,
     input_fingerprint: str,
     wall_time_s: float,
+    num_shards: int = 0,
 ) -> ShardManifest:
     """Write one shard's parquet + manifest via tmp-dir rename."""
     final = shard_dir(out_dir, tier, shard)
@@ -73,6 +91,7 @@ def write_shard_atomic(
         wall_time_s=wall_time_s,
         written_at=time.time(),
         file=fname,
+        num_shards=num_shards,
     )
     with open(os.path.join(tmp, "_manifest.json"), "w") as f:
         f.write(manifest.to_json())
@@ -95,29 +114,69 @@ def read_manifest(out_dir: str, tier: int, shard: int) -> Optional[Dict]:
 
 
 def completed_shards(
-    out_dir: str, tier: int, settings_hash: str, input_fingerprint: str
+    out_dir: str,
+    tier: int,
+    settings_hash: str,
+    input_fingerprint: str,
+    num_shards: Optional[int] = None,
 ) -> Set[int]:
-    """Shards whose manifest validates against the current run's lineage."""
+    """Shards whose manifest validates against the current run's lineage.
+
+    When ``num_shards`` is given, a manifest written under a DIFFERENT
+    sharding scheme (or a legacy/compacted one that did not record it)
+    does NOT validate: shard ids are crc32(source) % num_shards, so a
+    resume under a stale count would skip renumbered shards' sources
+    while they are also recomputed into other shard ids — duplicating
+    rows. Safe failure mode is a full recompute (overwrites in place)."""
     tier_dir = os.path.join(out_dir, f"tier={tier}")
     done: Set[int] = set()
     if not os.path.isdir(tier_dir):
         return done
     for name in os.listdir(tier_dir):
-        if not name.startswith("shard="):
-            continue
-        try:
-            shard = int(name.split("=", 1)[1])
-        except ValueError:
+        shard = _parse_shard_name(name)
+        if shard is None:
             continue
         m = read_manifest(out_dir, tier, shard)
         if (
             m
             and m.get("settings_hash") == settings_hash
             and m.get("input_fingerprint") == input_fingerprint
+            and (num_shards is None or m.get("num_shards") == num_shards)
             and os.path.exists(os.path.join(tier_dir, name, m.get("file", "")))
         ):
             done.add(shard)
     return done
+
+
+def prune_invalid_shards(
+    out_dir: str,
+    tier: int,
+    settings_hash: str,
+    input_fingerprint: str,
+    num_shards: Optional[int] = None,
+) -> List[int]:
+    """Remove shard dirs that do NOT validate against the current run's
+    lineage (settings hash + input fingerprint + sharding scheme),
+    returning their ids. Called by the writer before recomputing a
+    tier: a recompute only overwrites the shard ids its sources hash
+    to, so a stale-scheme dir at an id the new data never touches
+    (e.g. a compacted ``shard=1`` after a resume under the original
+    count) would otherwise linger with rows that were also recomputed
+    into other shards — duplicate data at rest. Pruned dirs are by
+    definition recomputable from the input; crash-safe (a dir is
+    either fully removed or still invalid on the next run)."""
+    tier_dir = os.path.join(out_dir, f"tier={tier}")
+    if not os.path.isdir(tier_dir):
+        return []
+    valid = completed_shards(out_dir, tier, settings_hash, input_fingerprint, num_shards)
+    pruned = []
+    for name in sorted(os.listdir(tier_dir)):
+        shard = _parse_shard_name(name)
+        if shard is None or shard in valid:
+            continue
+        shutil.rmtree(os.path.join(tier_dir, name), ignore_errors=True)
+        pruned.append(shard)
+    return pruned
 
 
 def expire_checkpoint(
@@ -203,9 +262,13 @@ def _recover_shard_leftovers(tier_dir: str) -> None:
 
     if not os.path.isdir(tier_dir):
         return
-    leftovers = sorted(
-        _glob.glob(os.path.join(tier_dir, "shard=*.tmp-*"))
-        + _glob.glob(os.path.join(tier_dir, "shard=*.old-*"))
+    # .tmp- entries FIRST: a complete orphaned .tmp- is the finished
+    # rewrite and must win over the pre-sweep .old- copy (plain sorted()
+    # visits '.old-' first and would restore the stale copy, then throw
+    # the completed retention work away — safe but wasteful and the
+    # opposite of the documented promotion order).
+    leftovers = sorted(_glob.glob(os.path.join(tier_dir, "shard=*.tmp-*"))) + sorted(
+        _glob.glob(os.path.join(tier_dir, "shard=*.old-*"))
     )
     for path in leftovers:
         if not os.path.isdir(path):
@@ -284,20 +347,27 @@ def _compact_build_shard(
     os.makedirs(sdir, exist_ok=True)
     fname = "part-0.parquet"
     pq.write_table(part, os.path.join(sdir, fname))
-    man = {
-        "tier": tier,
-        "shard": k,
-        "num_rows": part.num_rows,
-        "settings_hash": settings_hash,
-        "input_fingerprint": input_fingerprint,
-        "sources": sorted(set(part["source"].to_pylist()))
-        if "source" in part.column_names
-        else [],
-        "wall_time_s": 0.0,
-        "written_at": time.time(),
-        "file": fname,
-        "compaction": comp_rec,
-    }
+    # reuse the writer's dataclass so the manifest schema cannot fork
+    # between write_shard_atomic and the compactor; num_shards records
+    # the NEW scheme so completed_shards(num_shards=old) rejects a
+    # stale-scheme resume instead of duplicating rows
+    man = asdict(
+        ShardManifest(
+            tier=tier,
+            shard=k,
+            num_rows=part.num_rows,
+            settings_hash=settings_hash,
+            input_fingerprint=input_fingerprint,
+            sources=sorted(set(part["source"].to_pylist()))
+            if "source" in part.column_names
+            else [],
+            wall_time_s=0.0,
+            written_at=time.time(),
+            file=fname,
+            num_shards=target_shards,
+        )
+    )
+    man["compaction"] = comp_rec
     if retention:
         man["retention"] = retention
     with open(os.path.join(sdir, "_manifest.json"), "w") as fh:
@@ -326,7 +396,9 @@ def compact_store(
     clears. Manifests keep their lineage fields (settings hash / input
     fingerprint, retention records) and gain a ``compaction`` record,
     so the merge is itself auditable lineage; shard numbering changes,
-    so a RESUME after compaction must pass the compacted shard count.
+    and the manifests record the NEW scheme (``num_shards`` =
+    target_shards), so completed_shards() rejects a resume under the
+    stale pre-compaction count instead of silently duplicating rows.
 
     Output shards build in PARALLEL as one ray.remote task each when a
     Ray session is up (parallel=None autodetects; the store must be on
@@ -364,12 +436,16 @@ def compact_store(
         if ".tmp-" in base or ".old-" in base:
             continue
         t = int(base.split("=", 1)[1])
+        # promote/restore any crashed per-shard expire swap first, so a
+        # completed .tmp- rewrite is compacted rather than discarded and
+        # a .old- leftover cannot crash the shard-name parse below
+        _recover_shard_leftovers(tier_path)
         shard_names = sorted(
-            n for n in os.listdir(tier_path) if n.startswith("shard=") and ".tmp-" not in n
+            n for n in os.listdir(tier_path) if _parse_shard_name(n) is not None
         )
         input_files, manifests = [], []
         for name in shard_names:
-            shard = int(name.split("=", 1)[1])
+            shard = _parse_shard_name(name)
             m = read_manifest(out_dir, t, shard)
             if not m:
                 continue
@@ -445,9 +521,9 @@ def store_stats(out_dir: str, tiers=(0, 1, 2)):
         man_n = 0
         mn = mx = None
         for sd in sorted(_glob.glob(os.path.join(out_dir, f"tier={t}", "shard=*"))):
-            if ".tmp-" in os.path.basename(sd):
+            shard = _parse_shard_name(os.path.basename(sd))
+            if shard is None:  # .tmp-/.old- swap leftovers: not live shards
                 continue
-            shard = int(os.path.basename(sd).split("=", 1)[1])
             m = read_manifest(out_dir, t, shard)
             man_n += int(m["num_rows"]) if m else 0
             for fp in _glob.glob(os.path.join(sd, "*.parquet")):

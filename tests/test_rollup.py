@@ -1237,3 +1237,115 @@ class TestCLIMaintenanceVerbs:
         served = json.loads(capsys.readouterr().out)["serve"]
         assert [r["hour"] for r in served] == list(range(lo, lo + 4))
         assert all(r["served_tier"] in (-1, 0, 1, 2) for r in served)
+
+
+class TestRound5ReviewFixes:
+    """Regressions for the round-5 maintenance-path review findings:
+    .old- swap leftovers crashing compact_store/store_stats, recovery
+    order discarding a completed rewrite, stale-scheme resume after
+    compaction duplicating rows, nondeterministic nested-dir input
+    fingerprints, and the fused empty-tier0 schema mismatch."""
+
+    def _small_store(self, tmp_path, num_shards=4):
+        out = str(tmp_path / "store")
+        spec = TokenTableSpec(num_rows=120, num_sources=4, max_len=24, ts_span=12 * 3600)
+        cfg = RollupConfig(tier_widths=(3600, 7200), dba_max_it=1)
+        run_flagship(spec, cfg, out_dir=out, num_shards=num_shards)
+        return out, spec, cfg
+
+    def test_old_leftover_does_not_crash_maintenance(self, ray_session, tmp_path):
+        import glob
+
+        from dtaidistance_ray.state.checkpoint import compact_store, store_stats
+
+        out, _, _ = self._small_store(tmp_path)
+        # crashed expire swap state: a .old- copy next to the live shard
+        os.makedirs(f"{out}/tier=0/shard=0.old-dead", exist_ok=True)
+        stats = store_stats(out, tiers=(0, 1))  # used to raise ValueError
+        assert stats[0]["n_rows"] > 0
+        compact_store(out, target_shards=2, parallel=False)  # ditto
+        assert not glob.glob(f"{out}/tier=0/shard=*.old-*")
+
+    def test_recovery_promotes_complete_tmp_over_old(self, tmp_path):
+        import json
+
+        from dtaidistance_ray.state.checkpoint import _recover_shard_leftovers
+
+        tier_dir = str(tmp_path / "tier=0")
+        for name, rows in (("shard=5.old-aa", 10), ("shard=5.tmp-bb", 7)):
+            d = os.path.join(tier_dir, name)
+            os.makedirs(d)
+            with open(os.path.join(d, "_manifest.json"), "w") as f:
+                json.dump({"num_rows": rows}, f)
+        _recover_shard_leftovers(tier_dir)
+        # the COMPLETE .tmp- rewrite wins (it is the finished retention
+        # work); plain sorted order would restore the stale .old- copy
+        with open(os.path.join(tier_dir, "shard=5", "_manifest.json")) as f:
+            assert json.load(f)["num_rows"] == 7
+        assert sorted(os.listdir(tier_dir)) == ["shard=5"]
+
+    def test_resume_after_compaction_recomputes_not_duplicates(self, ray_session, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from dtaidistance_ray.state.checkpoint import (
+            compact_store,
+            completed_shards,
+            store_stats,
+        )
+
+        out, spec, cfg = self._small_store(tmp_path, num_shards=4)
+        rows_before = {
+            t: sum(
+                pq.read_table(f).num_rows
+                for f in glob.glob(f"{out}/tier={t}/shard=*/*.parquet")
+            )
+            for t in (0, 1)
+        }
+        compact_store(out, target_shards=2, parallel=False)
+        # compacted manifests record the NEW scheme; a resume under the
+        # stale pre-compaction count must validate NOTHING...
+        m = run_flagship(spec, cfg, out_dir=out, num_shards=4)
+        assert all(len(v) == 0 for v in m["skipped_shards"].values())
+        # ...and the full recompute leaves a consistent, non-duplicated
+        # store (overwrite-in-place): same rows per tier as originally
+        stats = store_stats(out, tiers=(0, 1))
+        for t in (0, 1):
+            got = sum(
+                pq.read_table(f).num_rows
+                for f in glob.glob(f"{out}/tier={t}/shard=*/*.parquet")
+            )
+            assert got == rows_before[t], t
+        # and a SAME-scheme resume still skips everything
+        shash, fp = m["settings_hash"], m["input_fingerprint"]
+        assert completed_shards(out, 0, shash, fp, num_shards=4)
+        assert not completed_shards(out, 0, shash, fp, num_shards=2)
+
+    def test_fingerprint_nested_dirs_deterministic(self, tmp_path):
+        from dtaidistance_ray.pipelines.flagship import _parquet_fingerprint
+
+        root = tmp_path / "pq"
+        for sub in ("b=2", "a=1", "c=3"):
+            (root / sub).mkdir(parents=True)
+            (root / sub / "part-0.parquet").write_bytes(sub.encode() * 10)
+        fp1 = _parquet_fingerprint(str(root))
+        fp2 = _parquet_fingerprint(str(root))
+        assert fp1 == fp2
+        (root / "a=1" / "part-0.parquet").write_bytes(b"changed!!")
+        assert _parquet_fingerprint(str(root)) != fp1
+
+    def test_fused_empty_tier0_schema(self, ray_session):
+        from dtaidistance_ray.pipelines.flagship import downstream_fused
+        from dtaidistance_ray.stages.rollup import TIER_SCHEMA_COLS
+
+        empty = pd.DataFrame({c: [] for c in TIER_SCHEMA_COLS})
+        fused = downstream_fused(empty, CFG)
+
+        def tier_counts(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.groupby("tier", as_index=False).size()
+
+        parts = fused.map_batches(tier_counts, batch_format="pandas").to_pandas()
+        assert len(parts) == 0  # no KeyError: 'tier' on the empty block
+        cols = fused.schema().names
+        assert cols[0] == "tier" and "repr_gorilla" in cols and "sid" not in cols
