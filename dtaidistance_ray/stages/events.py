@@ -203,6 +203,24 @@ def _group_sizes(order: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return np.diff(np.r_[starts, len(order)]).astype(np.int64)
 
 
+def _session_breaks(uid: np.ndarray, ts: np.ndarray, gap_s: int):
+    """Session-boundary rule shared by sessionize / session_intervals
+    (and mirrored by the SQL oracles' lag() window): rows sorted by
+    (user_id, ts); a session starts at each user's first row or when
+    the gap to the previous event exceeds gap_s. Returns (new_user,
+    new_sess) boolean arrays. One definition — the two ops (and their
+    oracles) must never drift apart on this invariant."""
+    gaps = np.empty(len(uid))
+    if len(uid):
+        gaps[0] = np.inf
+        gaps[1:] = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+    new_user = np.empty(len(uid), dtype=bool)
+    if len(uid):
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+    return new_user, new_user | (gaps > gap_s)
+
+
 def _bucket_mod(col: str, n: int, name: str = "user_bucket"):
     """Arrow-in/out pre-shuffle bucketing stage: name = col % n.
     Keeping the block Arrow means the groupby exchange moves Arrow
@@ -370,6 +388,14 @@ def rollup_hourly_gapfill(sf_dir: str):
         out["n_events"] = out["n_events"].fillna(0).astype("int64")
         return out[["event_type", "bucket", "n_events"]]
 
+    # merge_partials guards the SPARSE frame; densifying to each type's
+    # full [min, max] hour span can multiply rows, so guard the DENSE
+    # size (computable from the bounds) before building it
+    spans = hourly.groupby("event_type")["bucket"].agg(["min", "max"])
+    dense_rows = int(
+        ((spans["max"] - spans["min"]).dt.total_seconds() // 3600 + 1).sum()
+    )
+    _guard_driver_rows(dense_rows, "rollup_hourly_gapfill dense grid")
     return pd.concat(
         [fill(g) for _, g in hourly.groupby("event_type")], ignore_index=True
     )
@@ -407,25 +433,13 @@ def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
     groupby-agg. Results are identical to the per-user formulation."""
     ds = read_events(sf_dir, columns=["ts", "user_id", "value"])
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        # Arrow in/out: keeps the pre-shuffle blocks zero-copy Arrow
-        # (a pandas block would pickle through the groupby exchange)
-        ub = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % n_buckets
-        return batch.append_column("user_bucket", pa.array(ub, type=pa.int64()))
-
     def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
         uid = g["user_id"].to_numpy(np.int64)
         ts = g["ts"].to_numpy()
-        gaps = np.empty(len(g))
-        gaps[0] = np.inf
-        if len(g) > 1:
-            gaps[1:] = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
-        new_user = np.empty(len(g), dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
+        _, new_sess = _session_breaks(uid, ts, gap_s)
         g = g.assign(
-            _new_sess=(new_user | (gaps > gap_s)).astype(np.int64),
+            _new_sess=new_sess.astype(np.int64),
             _cents=_cents(g["value"].to_numpy()),
         )
         out = g.groupby("user_id", as_index=False, sort=True).agg(
@@ -440,7 +454,7 @@ def sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
         return out[["user_id", "n_sessions", "n_events", "value_sum"]]
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(_bucket_mod("user_id", n_buckets), batch_format="pyarrow")
         .groupby("user_bucket")
         .map_groups(sess_bucket, batch_format="pandas")
     )
@@ -592,7 +606,7 @@ def events_asof_hourly_baseline(sf_dir: str, n_buckets: int = 64):
             self.hourly = ray.get(href)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch[["event_id", "ts", "event_type", "value"]].copy()
+            b = batch[["event_id", "ts", "event_type"]].copy()
             # strictly-before semantics: compare against the event's own
             # hour, exclusive -> allow_exact_matches=False on the hour
             # (unify timestamp resolution: parquet us vs pandas ns)
@@ -620,7 +634,9 @@ def events_asof_hourly_baseline(sf_dir: str, n_buckets: int = 64):
             )
             return out
 
-    ds = read_events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    # value is never used by the join or the output — keep it out of
+    # the big-side projection (parquet decode + convert + copy per batch)
+    ds = read_events(sf_dir, columns=["event_id", "ts", "event_type"])
     from .pool import auto_pool
 
     return ds.map_batches(AsofJoiner, batch_format="pandas", concurrency=auto_pool())
@@ -652,14 +668,7 @@ def session_intervals(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
         uid = g["user_id"].to_numpy(np.int64)
         ts = g["ts"].to_numpy()
-        gaps = np.empty(len(g))
-        gaps[0] = np.inf
-        if len(g) > 1:
-            gaps[1:] = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
-        new_user = np.empty(len(g), dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        new_sess = new_user | (gaps > gap_s)
+        new_user, new_sess = _session_breaks(uid, ts, gap_s)
         # session ordinal within user: cumulative new-session count per
         # user (vectorized: global cumsum minus the user's offset)
         global_sid = np.cumsum(new_sess)
@@ -803,6 +812,18 @@ def top_users_per_type(sf_dir: str, k: int = 3):
         .aggregate(Sum("cents", alias_name="cents"), Sum("n_events", alias_name="n_events"))
     )
 
+    def pre_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # post-aggregate rows are unique per (type, user), so a per-BLOCK
+        # top-k per type is a safe superset of the global top-k — without
+        # it the final per-type group holds O(users) rows in one task
+        # (the unbounded-key pathology this module bans elsewhere)
+        df = df.sort_values(
+            ["event_type", "cents", "user_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("event_type", sort=False).head(k)
+
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cents", "user_id"], ascending=[False, True], kind="mergesort").head(k)
         out = pd.DataFrame(
@@ -816,7 +837,8 @@ def top_users_per_type(sf_dir: str, k: int = 3):
         )
         return out
 
-    return agg.groupby("event_type").map_groups(topk, batch_format="pandas")
+    survivors = agg.map_batches(pre_topk, batch_format="pandas")
+    return survivors.groupby("event_type").map_groups(topk, batch_format="pandas")
 
 
 TOP_USERS_PER_TYPE_SQL = """
@@ -1970,7 +1992,6 @@ def retention_cohorts(sf_dir: str, n_buckets: int = 64):
     seen in the bucket, and the final groupby-aggregate merge runs over
     a key-space bounded by days^2/2 — independent of user count and
     row count. The driver only holds the merged triangle."""
-    from ray.data.aggregate import Sum
 
     ds = read_events(sf_dir, columns=["ts", "user_id"])
 
@@ -2135,13 +2156,11 @@ def dau_wau_stickiness(sf_dir: str, n_buckets: int = 64):
     round() of one f64 division of exact ints — bit-equal to the
     oracle. Days beyond the data's max day are not emitted, and days
     with an empty trailing window are absent on both sides."""
-    from ray.data.aggregate import Sum
 
     ds = read_events(sf_dir, columns=["ts", "user_id"])
 
 
     # global day bounds: tiny exact reduction (2 ints)
-    import ray.data as rd
 
     def day_bounds(b: pa.Table) -> pa.Table:
         ns = (
@@ -2154,7 +2173,6 @@ def dau_wau_stickiness(sf_dir: str, n_buckets: int = 64):
 
     bounds = ds.map_batches(day_bounds, batch_format="pyarrow").to_pandas()
     day_ns = 86_400 * 10**9
-    lo_d = int(bounds["lo"].min()) // day_ns
     hi_d = int(bounds["hi"].max()) // day_ns
 
     def window_partial(g: pd.DataFrame) -> pd.DataFrame:
@@ -2230,7 +2248,6 @@ def out_of_order_audit(sf_dir: str, shard_width: int = 1024):
 
     Exactness: timestamps are int64 microseconds throughout; counts and
     max-skews are integers under any partitioning."""
-    from ray.data.aggregate import Max, Sum
 
     import ray
 
@@ -2424,7 +2441,6 @@ def last_touch_attribution(sf_dir: str, window_s: int = 3600, n_buckets: int = 6
 
     Exactness: the window test is pure int64 microseconds; counts are
     integers under any partitioning."""
-    from ray.data.aggregate import Sum
 
     ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "event_type"])
 
@@ -2505,7 +2521,6 @@ def props_extract_rollup(sf_dir: str):
     key-space."""
     import json as _json
 
-    from ray.data.aggregate import Max, Min, Sum
 
     ds = read_events(sf_dir, columns=["event_type", "props"])
 
@@ -3370,7 +3385,6 @@ def rate_limit_audit(sf_dir: str, quota_per_day: int = 2, k: int = 20):
     Exactness: counts are exact int64; the ranking is integer-ordered.
     An input where nobody exceeds the quota yields an empty result
     (every stage is empty-block-safe)."""
-    import ray.data as rd
     from ray.data.aggregate import Max, Sum
 
     ds = read_events(sf_dir, columns=["ts", "user_id"])

@@ -22,17 +22,34 @@ def _token_ds(spec):
     return token_table(spec)
 
 
+def _limit_docs_filter(batch: pd.DataFrame, limit_docs: int) -> pd.DataFrame:
+    """Vectorized "first limit_docs docs by id" prefilter: parse ids once
+    per batch (str.slice + astype) instead of a per-row Python int()
+    over the whole corpus — at scale the discarded rows dominate these
+    stages' cost, so the filter must be the cheap part."""
+    ids = batch["doc_id"].str.slice(1).astype("int64").to_numpy()
+    return batch[ids < limit_docs]
+
+
 def tokens_derivative(spec, limit_docs: int = 200):
     """Keogh DDTW derivative per sequence, long format; deterministic
     doc subset (first limit_docs by doc_id)."""
     ds = _token_ds(spec)
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _limit_docs_filter(batch, limit_docs)
         rows = []
         for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
-            if int(doc_id[1:]) >= limit_docs:
+            t = np.asarray(toks, dtype=np.float64)
+            if len(t) == 0:
+                continue  # SQL: no flat rows, no output
+            if len(t) == 1:
+                # SQL oracle convention: a single-point series has one
+                # (pos=1, NULL) row; the derivative kernel needs >= 2
+                # points (reference semantics) and would IndexError
+                rows.append((doc_id, 1, np.nan))
                 continue
-            d = derivative(np.asarray(toks, dtype=np.float64))
+            d = derivative(t)
             for pos, v in enumerate(d):
                 rows.append((doc_id, pos + 1, float(v)))
         return pd.DataFrame(rows, columns=["doc_id", "pos", "dval"])
@@ -74,10 +91,9 @@ def tokens_znormal(spec, limit_docs: int = 200):
     ds = _token_ds(spec)
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _limit_docs_filter(batch, limit_docs)
         rows = []
         for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
-            if int(doc_id[1:]) >= limit_docs:
-                continue
             z = znormal(np.asarray(toks, dtype=np.float64))
             for pos, v in enumerate(z):
                 rows.append((doc_id, pos + 1, round(float(v), 6)))
@@ -151,10 +167,9 @@ def tokens_paa(spec, n_seg: int = 8, limit_docs: int = 200):
     ds = _token_ds(spec)
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _limit_docs_filter(batch, limit_docs)
         rows = []
         for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
-            if int(doc_id[1:]) >= limit_docs:
-                continue
             t = np.asarray(toks, dtype=np.int64)
             n = len(t)
             if n == 0:
@@ -242,10 +257,9 @@ def tokens_lttb(spec, m: int = 12, limit_docs: int = 150):
     ds = _token_ds(spec)
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _limit_docs_filter(batch, limit_docs)
         rows = []
         for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
-            if int(doc_id[1:]) >= limit_docs:
-                continue
             y = np.asarray(toks, dtype=np.float64)
             n = len(y)
             if n <= m:
@@ -333,10 +347,9 @@ def tokens_sax(spec, n_seg: int = 8, limit_docs: int = 200):
     brk = (-0.67449, 0.0, 0.67449)
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _limit_docs_filter(batch, limit_docs)
         rows = []
         for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
-            if int(doc_id[1:]) >= limit_docs:
-                continue
             t = np.asarray(toks, dtype=np.int64)
             n = len(t)
             if n == 0:
@@ -427,10 +440,9 @@ def tokens_matrix_profile(spec, m: int = 16, limit_docs: int = 40):
     ds = _token_ds(spec)
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _limit_docs_filter(batch, limit_docs)
         rows = []
         for doc_id, toks in zip(batch["doc_id"], batch["tokens"]):
-            if int(doc_id[1:]) >= limit_docs:
-                continue
             t = np.asarray(toks, dtype=np.int64)
             n = len(t)
             p = n - m + 1
@@ -818,16 +830,35 @@ def tokens_ngram_novelty(spec, n: int = 8, limit_docs: int = 2000):
         out = pd.DataFrame({"day": pd.array(rows_d, dtype="int64"), "win": rows_w})
         return out.drop_duplicates()
 
-    pairs = _token_ds(spec).map_batches(shingles, batch_format="pyarrow")
+    pairs = ds.map_batches(shingles, batch_format="pyarrow")
+
+    # ONE Ray group per distinct shingle would pay the per-group Python
+    # machinery (~ms/group) linearly in corpus size; hash shingles into
+    # a BOUNDED bucket count instead (a (win, day) pair always lands
+    # whole in one bucket) and first-seen marking is one vectorized
+    # groupby-transform inside each bucket — identical results.
+    NB = 64
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["wb"] = (
+            pd.util.hash_pandas_object(df["win"], index=False).to_numpy()
+            % np.uint64(NB)
+        ).astype(np.int64)
+        return df
 
     def dedup_mark(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["day"])
-        md = int(g["day"].min())
-        g = g.copy()
-        g["is_new"] = (g["day"] == md).astype(np.int64)
-        return g[["day", "is_new"]]
+        g = g.drop_duplicates(["win", "day"])
+        md = g.groupby("win")["day"].transform("min")
+        return pd.DataFrame(
+            {"day": g["day"], "is_new": (g["day"] == md.to_numpy()).astype(np.int64)}
+        )
 
-    marked = pairs.groupby("win").map_groups(dedup_mark, batch_format="pandas")
+    marked = (
+        pairs.map_batches(add_bucket, batch_format="pandas")
+        .groupby("wb")
+        .map_groups(dedup_mark, batch_format="pandas")
+    )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("day", as_index=False).agg(

@@ -1386,15 +1386,24 @@ class TestDriverFrameGuards:
         from dtaidistance_ray.stages import events
 
         monkeypatch.setattr(events, "MAX_DRIVER_GRID_ROWS", 5)
-        with pytest.raises(ValueError, match="hourly_xcorr_lags grid"):
+        # the shared gapfill dense-grid guard (upstream of this path)
+        # may trip first; either way the assembly loud-fails
+        with pytest.raises(ValueError, match="exceeds max"):
             events.hourly_xcorr_lags("/root/testdata/sf0.001")
 
     def test_profile_dtw_grid_guard(self, ray_session, monkeypatch):
         from dtaidistance_ray.stages import events
 
         monkeypatch.setattr(events, "MAX_DRIVER_GRID_ROWS", 5)
-        with pytest.raises(ValueError, match="profile_dtw_anomaly grid"):
+        with pytest.raises(ValueError, match="exceeds max"):
             events.profile_dtw_anomaly("/root/testdata/sf0.001")
+
+    def test_gapfill_dense_grid_guard(self, ray_session, monkeypatch):
+        from dtaidistance_ray.stages import events
+
+        monkeypatch.setattr(events, "MAX_DRIVER_GRID_ROWS", 5)
+        with pytest.raises(ValueError, match="rollup_hourly_gapfill dense grid"):
+            events.rollup_hourly_gapfill("/root/testdata/sf0.001")
 
     def test_clustering_pairs_guard(self, ray_session, monkeypatch):
         from dtaidistance_ray.stages import clustering
