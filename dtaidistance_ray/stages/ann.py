@@ -21,8 +21,14 @@ def read_embeddings(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
-def _stack(batch_col) -> np.ndarray:
+def _stack(batch_col, dim: int = 0) -> np.ndarray:
     """(B, dim) float64 matrix from an embedding column.
+
+    ``dim`` is the row width used for a ZERO-ROW batch — Arrow cannot
+    tell the list width of an empty list column, and np.stack([])
+    raises, so scorers that know their width (query / centroid /
+    plane matrix) pass it to keep downstream matmuls shape-correct
+    when an empty block reaches them (round-5 review finding).
 
     Arrow input (ChunkedArray / ListArray of float) takes the ZERO-COPY
     path: one flat buffer view + reshape, no per-row Python objects —
@@ -30,6 +36,8 @@ def _stack(batch_col) -> np.ndarray:
     row-loop fallback remains only for driver-side odds and ends."""
     if isinstance(batch_col, pa.ChunkedArray):
         batch_col = batch_col.combine_chunks()
+    if len(batch_col) == 0:
+        return np.zeros((0, dim), dtype=np.float64)
     if isinstance(batch_col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
         arr = batch_col
         if isinstance(arr, pa.FixedSizeListArray):
@@ -54,10 +62,12 @@ class CosineScorer:
         import ray
 
         q = ray.get(query_ref)  # (nq, dim) float64
-        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0  # zero-vector query scores 0 everywhere, not NaN
+        self.q = q / qn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _stack(batch["embedding"])  # zero-copy Arrow list -> matrix
+        m = _stack(batch["embedding"], dim=self.q.shape[1])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (m / norms) @ self.q.T  # (batch, nq)
@@ -121,6 +131,15 @@ def label_centroids(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         # vectorized per-label vector sums: zero-copy matrix, one sort,
         # row-wise reduceat (no per-label or per-pos Python loops)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "val_sum": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         m = _stack(batch["embedding"])
         labels = batch["label"].to_numpy()
         order = np.argsort(labels, kind="stable")
@@ -171,6 +190,14 @@ def znormal_embeddings(sf_dir: str):
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
 
     def zn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "zval": pa.array([], pa.float64()),
+                }
+            )
         m = _stack(batch["embedding"])  # (n, dim) zero-copy
         mu = m.mean(axis=1, keepdims=True)
         sd = m.std(axis=1, keepdims=True)
@@ -236,12 +263,13 @@ class IvfScorer:
 
         cent, q, probe_lists = ray.get(state_ref)
         self.cent = cent
-        self.q = q / np.linalg.norm(q)
+        qn = float(np.linalg.norm(q))
+        self.q = q / (qn if qn else 1.0)  # zero-vector query: 0s, not NaN
         self.probe = probe_lists
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _stack(batch["embedding"])  # zero-copy Arrow list -> matrix
+        m = _stack(batch["embedding"], dim=self.cent.shape[1])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
@@ -303,7 +331,7 @@ class LshBander:
         self.bpb = bits_per_band
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _stack(batch["embedding"])  # zero-copy Arrow list -> matrix
+        m = _stack(batch["embedding"], dim=self.planes.shape[0])
         n = len(m)
         bits = ((m @ self.planes) > 0).reshape(n, self.bands, self.bpb)
         sig = (bits * (1 << np.arange(self.bpb))).sum(axis=2).astype(np.int64)
@@ -604,7 +632,7 @@ class PqScorer:
         self.bounds, self.books, self.tables = ray.get(model_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _stack(batch["embedding"])  # zero-copy Arrow list -> matrix
+        m = _stack(batch["embedding"], dim=int(self.bounds[-1]))
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         m = m / norms

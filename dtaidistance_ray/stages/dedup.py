@@ -256,7 +256,29 @@ def _explode_bands(bands: int, rows_per_band: int):
     shingles (one uint64 matrix pass per batch)."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "band": pd.Series(dtype="int64"),
+                "band_hash": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(batch):
+            return empty
         sigs = np.stack([np.asarray(s, dtype=np.int64) for s in batch["minhash"]])
+        # Drop the all-zero sentinel signature (doc with an EMPTY shingle
+        # set: normalized text shorter than k bytes). Shingle-set Jaccard
+        # is undefined for empty sets, and at scale every such doc lands
+        # in the SAME band_hash bucket — one synthetic hot bucket emitting
+        # C(m, 2) candidate pairs that verification can never score above
+        # the threshold (round-5 review finding). Byte-identical empty /
+        # tiny docs are exact-dedup's job (text.dedup_exact_documents).
+        nonzero = sigs.any(axis=1)
+        if not nonzero.all():
+            batch = batch[nonzero]
+            sigs = sigs[nonzero]
+            if not len(batch):
+                return empty
         sigs = sigs.view(np.uint64).reshape(len(batch), bands, rows_per_band)
         h = np.zeros((len(batch), bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -450,7 +472,12 @@ def verify_pairs_jaccard(pairs_ds, sketches_ds, cand_ids: set):
                 union = sa.size + sb.size - inter
                 out_a.append(int(a[i]))
                 out_b.append(int(b[i]))
-                out_j.append(round(inter / union, 6) if union else 0.0)
+                # union == 0 means BOTH shingle sets are empty, i.e. two
+                # byte-identical (post-normalization) tiny docs: jaccard
+                # of two equal sets is 1, not 0 (round-5 review finding;
+                # banding no longer emits such pairs, but verify_pairs is
+                # a public entry point fed by arbitrary pair datasets).
+                out_j.append(round(inter / union, 6) if union else 1.0)
                 i += 2
             else:
                 i += 1  # sketch missing for one side: pair unverifiable
@@ -512,6 +539,12 @@ class SimHasher:
     means high hit rates), sign-bit rows are gathered and folded per
     document with one reduceat."""
 
+    # Cache inserts stop at this size: the Zipf head (which carries the
+    # hit rate) is cached long before the cap, while the unbounded tail
+    # of ids / numbers / typos would otherwise grow actor RSS for the
+    # life of the pool (round-5 review finding). 2^20 entries ~ 80 MB.
+    CACHE_CAP = 1 << 20
+
     def __init__(self):
         import re
 
@@ -525,7 +558,8 @@ class SimHasher:
             import hashlib
 
             h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            self.cache[w] = h
+            if len(self.cache) < self.CACHE_CAP:
+                self.cache[w] = h
         return h
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -468,7 +468,6 @@ def dup_window_ratio(sf_dir: str):
     uint64 first (same multiply-shift path as the MinHash shingles,
     dedup.py) and the shuffle carries 8 bytes per window instead of
     ~50. dup_ratio is one IEEE int/int division."""
-    import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
@@ -483,21 +482,22 @@ def dup_window_ratio(sf_dir: str):
                 rows_w.append(" ".join(ws[i : i + DUPWIN_N]))
         return pd.DataFrame({"doc_id": pd.array(rows_d, dtype="int64"), "win": rows_w})
 
+    from .pool import ncpus
+
     w = docs.map_batches(windows, batch_format="pandas")
     counts = w.groupby("win").aggregate(Count(alias_name="c"))
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
     joined = w.join(
-        counts, join_type="inner", num_partitions=max(2, min(32, ncpu)), on=("win",)
+        counts, join_type="inner", num_partitions=max(2, min(32, ncpus())), on=("win",)
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("doc_id", as_index=False).agg(
-            n_win=("c", "size"), dup_win=("c", lambda s: int((s > 1).sum()))
+        # one vectorized pass: no per-group Python lambda on the
+        # corpus-wide post-join stream (round-5 review finding)
+        return (
+            batch.assign(dup=(batch["c"].to_numpy() > 1).astype("int64"))
+            .groupby("doc_id", as_index=False)
+            .agg(n_win=("c", "size"), dup_win=("dup", "sum"))
         )
-        return g
 
     out = (
         joined.map_batches(partial, batch_format="pandas")

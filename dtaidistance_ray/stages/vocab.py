@@ -149,6 +149,15 @@ def heavy_hitters(ds, k: int = 20) -> pd.DataFrame:
     vocab-bounded counts frame, never over occurrences.
     """
     cnts = _source_token_counts(ds)
+    if not len(cnts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "rnk": pd.Series(dtype="int64"),
+                "token": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
     out = []
     for s, g in cnts.groupby("source", sort=True):
         g = g.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort").head(k)
@@ -515,21 +524,59 @@ def doc_bigram_xent(ds, num_partitions: int | None = None):
     V = len(toks)
     uni_ref = ray.put((toks, c1, np.int64(V)))
 
-    # corpus bigram counts (unbounded key space) -> Dataset for the
-    # join (unkeyed fan-in tree, same shape as bigram_collocations)
+    # corpus bigram counts (unbounded key space, up to vocab^2 distinct
+    # pairs): unlike the vocab-bounded ops above, this table must NEVER
+    # fold onto the driver (round-5 review finding: the previous fan-in
+    # tree contracted it into one driver-resident packed row, ~16 GB at
+    # a dense 32k vocab). Shape: per-block packed combiners are SPLIT by
+    # bkey % nshards (still packed — the shuffle moves 16 B/key blobs,
+    # not per-bigram rows; a plain groupby-sum over unpacked rows
+    # measured 3.5x slower), one keyed exchange co-locates each shard,
+    # and the per-shard merge UNPACKS INSIDE ITS TASK into the joinable
+    # (bkey, c2) rows. Per-task memory = distinct_bigrams / nshards.
+    # Counts are int64 sums — associative, exact under any partitioning.
     parts = ds.map_batches(_partial_bigrams_packed, batch_format="pyarrow").materialize()
-    nb = parts.count()
-    while nb > max(1, _rs._MERGE_THRESHOLD_ROWS):
-        parts = parts.map_batches(
-            _merge_bigrams, batch_size=_rs._MERGE_FANIN, batch_format="pandas"
-        ).materialize()
-        nb = parts.count()
-    packed = _merge_bigrams(parts.to_pandas())
-    bk = np.frombuffer(packed["keys"].iloc[0], np.int64) if len(packed) else np.zeros(0, np.int64)
-    bc = np.frombuffer(packed["cnts"].iloc[0], np.int64) if len(packed) else np.zeros(0, np.int64)
-    bigrams = rd.from_pandas(
-        pd.DataFrame({"bkey": bk, "c2": bc})
-    ).repartition(num_partitions)
+
+    def _shard_split(batch: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_k, out_c = [], [], []
+        for kb, cb in zip(batch.get("keys", ()), batch.get("cnts", ())):
+            bk = np.frombuffer(kb, np.int64)
+            bc = np.frombuffer(cb, np.int64)
+            sh = (bk % num_partitions).astype(np.int64)
+            order = np.argsort(sh, kind="stable")
+            sh_s, bk_s, bc_s = sh[order], bk[order], bc[order]
+            starts = np.flatnonzero(np.r_[True, sh_s[1:] != sh_s[:-1]])
+            ends = np.r_[starts[1:], len(sh_s)]
+            for s, e in zip(starts, ends):
+                out_s.append(int(sh_s[s]))
+                out_k.append(bk_s[s:e].tobytes())
+                out_c.append(bc_s[s:e].tobytes())
+        return pd.DataFrame(
+            {
+                "shard": pd.array(out_s, dtype="int64"),
+                "keys": pd.Series(out_k, dtype=object),
+                "cnts": pd.Series(out_c, dtype=object),
+            }
+        )
+
+    def _merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.concatenate([np.frombuffer(b, np.int64) for b in g["keys"]])
+        cnts = np.concatenate([np.frombuffer(b, np.int64) for b in g["cnts"]])
+        uk, inv = np.unique(keys, return_inverse=True)
+        acc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(acc, inv, cnts)
+        return pd.DataFrame({"bkey": uk, "c2": acc})
+
+    if parts.count() == 0:
+        bigrams = rd.from_pandas(
+            pd.DataFrame({"bkey": pd.Series(dtype="int64"), "c2": pd.Series(dtype="int64")})
+        )
+    else:
+        bigrams = (
+            parts.map_batches(_shard_split, batch_format="pandas")
+            .groupby("shard")
+            .map_groups(_merge_shard, batch_format="pandas")
+        )
 
     def explode(batch: pa.Table) -> pd.DataFrame:
         src, vals, lens = _flat_tokens(batch)
@@ -933,7 +980,11 @@ def zipf_slope(ds) -> pd.DataFrame:
         sx, sy = float(x.sum()), float(y.sum())
         sxx, sxy = float((x * x).sum()), float((x * y).sum())
         denom = n * sxx - sx * sx
-        slope = (n * sxy - sx * sy) / denom
+        # n == 1 (single distinct token): x-variance is 0 and the OLS is
+        # undefined — DuckDB's 0/0 is NULL, which lands as NaN in the
+        # oracle frame, so NaN here is exact parity (intercept follows:
+        # NaN * 0 is NaN in IEEE, matching SQL NULL propagation).
+        slope = (n * sxy - sx * sy) / denom if denom else float("nan")
         intercept = (sy - slope * sx) / n
         rows["source"].append(s)
         rows["n_distinct"].append(n)

@@ -1563,3 +1563,134 @@ class TestBPE:
         s2 = word_counts(text.read_documents(sf, columns=["text"]), via="shuffle", min_count=cut)
         assert t2.to_dict("records") == s2.to_dict("records")
         assert (t2["count"] >= cut).all() and 0 < len(t2) < len(tree)
+
+
+class TestRound5ReviewFixes:
+    """Regression tests for the round-5 review findings: empty-shingle
+    docs in the MinHash/LSH path, empty-block crashes in the embedding
+    stages, zero-norm query guards, and the SimHash cache cap."""
+
+    def test_empty_sig_docs_excluded_from_banding(self):
+        """All-zero signatures (empty shingle set) must not reach LSH
+        banding: at scale every such doc shares ONE band_hash bucket,
+        turning m empty docs into C(m, 2) unverifiable candidates."""
+        import pandas as pd
+
+        from dtaidistance_ray.stages.dedup import MinHasher, _explode_bands
+
+        mh = MinHasher()
+        sigs = mh.signatures_batch(["", "ab", "a definitely long enough document text"])
+        batch = pd.DataFrame(
+            {"doc_id": np.arange(3, dtype=np.int64), "minhash": [s.view(np.int64) for s in sigs]}
+        )
+        out = _explode_bands(16, 4)(batch)
+        # only the EMPTY doc is dropped: sub-k docs hash the whole buffer
+        # as a single shingle, so "ab" has a real (nonzero) signature
+        assert set(out["doc_id"]) == {1, 2}
+        assert len(out) == 32
+        # an all-empty batch (and a zero-row batch) produce typed empties
+        assert len(_explode_bands(16, 4)(batch.iloc[:1])) == 0
+        assert len(_explode_bands(16, 4)(batch.iloc[:0])) == 0
+
+    def test_verify_pairs_empty_sets_jaccard_one(self, ray_session):
+        """jaccard(empty, empty) is 1.0 (equal sets), not 0.0: two
+        byte-identical tiny docs fed to the public verify entry point
+        must verify as duplicates (round-5 review finding)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from dtaidistance_ray.stages.dedup import verify_pairs_jaccard
+
+        pairs = rd.from_pandas(pd.DataFrame({"doc_a": [0, 2], "doc_b": [1, 3]}))
+        z = np.zeros(0, dtype=np.int64)
+        sh = np.array([11, 22, 33], dtype=np.int64)
+        sketches = rd.from_pandas(
+            pd.DataFrame({"doc_id": [0, 1, 2, 3], "shingles": [z, z, sh, sh[:2]]})
+        )
+        got = (
+            verify_pairs_jaccard(pairs, sketches, {0, 1, 2, 3})
+            .to_pandas()
+            .sort_values("doc_a")
+            .reset_index(drop=True)
+        )
+        assert got.loc[got["doc_a"] == 0, "jaccard"].iloc[0] == 1.0
+        assert abs(got.loc[got["doc_a"] == 2, "jaccard"].iloc[0] - 2 / 3) < 1e-6
+
+    def test_minhash_dedup_short_docs_end_to_end(self, ray_session, tmp_path):
+        """Corpus with several sub-k docs: no quadratic empty-bucket
+        candidates, and the real near-dup pair still verifies."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dtaidistance_ray.stages.dedup import minhash_dedup_pairs, minhash_lsh_candidates
+
+        # diverse shingles so the appended tail moves jaccard only a little
+        long_a = " ".join(f"word{i} tok{(i * 7) % 101}" for i in range(150))
+        long_b = long_a + " tiny appended tail"
+        texts = ["", "a", "ab", "abc", long_a, long_b, "unrelated completely different content " * 25]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        cand = minhash_lsh_candidates(str(tmp_path)).to_pandas()
+        # the empty doc is excluded from banding entirely; the sub-k docs
+        # have distinct singleton shingle sets and never share a bucket
+        assert not (cand[["doc_a", "doc_b"]].to_numpy() < 4).any()
+        got = minhash_dedup_pairs(str(tmp_path)).to_pandas()
+        assert {(4, 5)} == set(zip(got["doc_a"], got["doc_b"]))
+        assert (got["jaccard"] >= 0.6).all()
+
+    def test_embedding_stages_handle_empty_blocks(self, ray_session):
+        """Zero-row Arrow blocks must flow through the scorers (round-5
+        review finding: np.stack([]) raised in every _stack caller)."""
+        import pyarrow as pa
+        import ray
+
+        from dtaidistance_ray.stages.ann import CosineScorer, LshBander, PqScorer, _stack
+
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+        assert _stack(empty["embedding"], dim=4).shape == (0, 4)
+        qref = ray.put(np.ones((1, 4), dtype=np.float64))
+        assert CosineScorer(qref)(empty).num_rows == 0
+        assert LshBander(dim=4)(empty).num_rows == 0
+        bounds = np.array([0, 2, 4], dtype=np.int64)
+        books = [np.zeros((2, 2)), np.zeros((2, 2))]
+        tables = [np.zeros(2), np.zeros(2)]
+        mref = ray.put((bounds, books, tables))
+        assert PqScorer(mref)(empty).num_rows == 0
+
+    def test_zero_norm_query_scores_zero_not_nan(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from dtaidistance_ray.stages.ann import CosineScorer
+
+        batch = pa.table(
+            {
+                "vec_id": pa.array([7], pa.int64()),
+                "embedding": pa.array([[1.0, 2.0, 3.0]], pa.list_(pa.float64())),
+            }
+        )
+        out = CosineScorer(ray.put(np.zeros((1, 3))))(batch)
+        sims = out["cos_sim"].to_numpy()
+        assert np.isfinite(sims).all() and (sims == 0).all()
+
+    def test_simhash_cache_cap(self):
+        """The per-actor word-hash cache must stop growing at the cap
+        while hashes stay correct for uncached words."""
+        from dtaidistance_ray.stages.dedup import SimHasher
+
+        h = SimHasher()
+        h.CACHE_CAP = 8
+        words = [f"w{i}" for i in range(50)]
+        vals = [h._word_hash(w) for w in words]
+        assert len(h.cache) <= 8
+        # uncached words still hash deterministically and identically
+        assert h._word_hash("w49") == vals[49]
+        fresh = SimHasher()
+        assert [fresh._word_hash(w) for w in words] == vals

@@ -303,3 +303,52 @@ class TestZeroLengthRows:
         got = _canon(vocab.source_vocab_overlap(token_table(self.SPEC0), self.SPEC0))
         want = _canon(_duck(vocab.source_vocab_overlap_sql(tok0_parquet)))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestRound5ReviewFixes:
+    def test_zipf_slope_single_token_source(self, ray_session):
+        """One distinct token: x-variance is 0 and the OLS slope is 0/0 —
+        DuckDB yields NULL (NaN in the frame); the engine must match
+        instead of raising ZeroDivisionError (round-5 review finding)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "source": pa.array(["s0", "s0"]),
+                "tokens": pa.array([[7, 7, 7], [7]], pa.list_(pa.int64())),
+            }
+        )
+        got = vocab.zipf_slope(rd.from_arrow(t))
+        assert len(got) == 1 and got["n_distinct"].iloc[0] == 1
+        assert np.isnan(got["slope"].iloc[0]) and np.isnan(got["intercept"].iloc[0])
+        p = "/tmp/dtair_test_zipf_single.parquet"
+        pq.write_table(t, p)
+        want = _duck(vocab.zipf_slope_sql(p))
+        assert np.isnan(want["slope"].iloc[0]) and np.isnan(want["intercept"].iloc[0])
+
+    def test_heavy_hitters_empty_tokens(self, ray_session):
+        """All-empty token lists: typed empty frame, not a concat crash."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "source": pa.array(["s0"]),
+                "tokens": pa.array([[]], pa.list_(pa.int64())),
+            }
+        )
+        got = vocab.heavy_hitters(rd.from_arrow(t))
+        assert len(got) == 0
+        assert list(got.columns) == ["source", "rnk", "token", "cnt"]
+
+    def test_doc_bigram_xent_distributed_table_matches_sql(self, ray_session, tok_parquet):
+        """The bigram table now builds via distributed unpack +
+        groupby-sum (never a driver fold); results must stay identical
+        to the SQL oracle."""
+        got = _canon(vocab.doc_bigram_xent(token_table(SPEC)).to_pandas())
+        want = _canon(_duck(vocab.doc_bigram_xent_sql(tok_parquet)))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
