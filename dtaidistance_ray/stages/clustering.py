@@ -39,8 +39,6 @@ def _full_triu_matrix(seqs, settings: Optional[DTWSettings], use_ray: bool = Tru
         )
     m = np.full((n, n), np.inf)
     if use_ray and n > 8:
-        import ray
-
         from .distance_matrix import distance_matrix
 
         pairs = distance_matrix(seqs, settings).to_pandas()
@@ -141,11 +139,18 @@ class HierarchicalTree:
 
         def merge_hook(from_idx, to_idx, dist_):
             new_idx = n + len(self.linkage)
+            if new_nodes[from_idx] is None:
+                # reference hierarchical.py:452-453
+                raise ValueError("Trying to merge series that is already merged")
             self.linkage.append((new_nodes[from_idx], new_nodes[to_idx], dist_, 0))
             new_nodes[to_idx] = new_idx
             new_nodes[from_idx] = None
             if old_hook:
-                return old_hook(from_idx, to_idx, dist_)
+                # reference hierarchical.py:457-458 deliberately DISCARDS
+                # the wrapped hook's swap result: honoring a (keep, absorb)
+                # swap here would invalidate the linkage row recorded above
+                # (round-5 review finding — None ids leaked into Z)
+                old_hook(from_idx, to_idx, dist_)
 
         self._model.merge_hook = merge_hook
         result = self._model.fit(seqs)
@@ -380,18 +385,24 @@ class KMeans:
                     worst = int(np.argmax(dists))
                     clusters[worst] = c
                     dists[worst] = 0.0
-            new_means = []
             shift = 0.0
             for c in range(self.k):
                 members = [seqs[i] for i in np.flatnonzero((clusters == c) & mask)]
                 if not members:
                     members = [seqs[i] for i in np.flatnonzero(clusters == c)]
-                new_mean = dba_loop(members, c=self.means[c], max_it=2, thr=None,
-                                    settings=self.settings)
+                if not members:
+                    # the rescue above can empty an earlier cluster (its sole
+                    # member was the globally most-dissimilar point): the
+                    # reference's dba returns a zero-constant average for an
+                    # empty mask (dtw_barycenter.py:194-197) — mirror that
+                    # instead of crashing in dba_loop (round-5 review finding)
+                    new_mean = np.zeros(len(seqs[0]), dtype=np.float64)
+                else:
+                    new_mean = dba_loop(members, c=self.means[c], max_it=2, thr=None,
+                                        settings=self.settings)
                 if len(new_mean) == len(self.means[c]):
                     shift += float(np.abs(new_mean - self.means[c]).mean())
                 self.means[c] = np.asarray(new_mean)
-                new_means.append(new_mean)
             if prev_clusters is not None and (clusters == prev_clusters).all():
                 break
             if self.thr is not None and shift / self.k <= self.thr:

@@ -105,8 +105,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             pos = payload.index(b"\n", pos) + 1
             continue
         end = pos
-        while not payload[end : end + 1].isspace():
+        # bound the scan: past end-of-buffer the slice is b'' and
+        # isspace() is False, which looped forever on truncated headers
+        while end < len(payload) and not payload[end : end + 1].isspace():
             end += 1
+        if end >= len(payload) or end == pos:
+            raise ValueError("truncated PPM header")
         parts.append(int(payload[pos:end]))
         pos = end
     pos += 1  # single whitespace after maxval
@@ -647,8 +651,17 @@ class AudioFeatures:
             if codec not in REAL_AUDIO_CODECS:
                 continue  # opus etc. stay stubbed
             x, rate = decode_audio_payload(bytes(payload))
+            if len(x) == 0:
+                # fact=0 empty recording (decode_wav supports it): all-zero
+                # features, not an rfft crash on the whole batch
+                rows.append((mid, 0.0, 0.0, 0.0))
+                continue
             rms = float(np.sqrt(np.mean(x * x)))
-            zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+            zcr = (
+                float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+                if len(x) > 1
+                else 0.0
+            )
             spec = np.abs(np.fft.rfft(x))
             if len(spec) > 1:
                 dom_hz = float(np.fft.rfftfreq(len(x), 1.0 / rate)[int(np.argmax(spec[1:])) + 1])

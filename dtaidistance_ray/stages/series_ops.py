@@ -748,7 +748,9 @@ def tokens_motifs_discords(spec, k: int = 25, m: int = 16, limit_docs: int = 40)
     never leaves the cluster. All distances are the bit-deterministic
     exact-integer closed form of tokens_matrix_profile, so ranking and
     ties (doc_id, wpos asc) match the SQL oracle exactly."""
-    mp = tokens_matrix_profile(spec, m=m, limit_docs=limit_docs)
+    # materialized: consumed by BOTH picks() sorts below — without this
+    # the O(p^2)-per-doc profile lineage re-executes per consumer
+    mp = tokens_matrix_profile(spec, m=m, limit_docs=limit_docs).materialize()
 
     def picks(descending: bool, kind: str):
         def pre(batch: pd.DataFrame) -> pd.DataFrame:

@@ -95,7 +95,17 @@ class HllSketch:
 
     def estimate(self) -> float:
         m = float(self.m)
-        alpha = 0.7213 / (1.0 + 1.079 / m)
+        # standard HLL bias constants: the asymptotic formula only holds
+        # for m >= 128 (p >= 7); small register counts use the published
+        # exact values (Flajolet et al. 2007, figure 3)
+        if m <= 16:
+            alpha = 0.673
+        elif m <= 32:
+            alpha = 0.697
+        elif m <= 64:
+            alpha = 0.709
+        else:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
         e = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
         if e <= 2.5 * m:
             zeros = int(np.sum(self.registers == 0))
@@ -297,6 +307,9 @@ def cms_token_counts(tok_path: str, probe_tokens: np.ndarray,
     from .vocab import _tree_reduce_keyed
 
     packed = _tree_reduce_keyed(ds.map_batches(partial, batch_format="pandas"), merge, key="key")
-    s = CountMinSketch.unpack(packed["blob"].iloc[0], depth, width)
     probe = np.asarray(probe_tokens, dtype=np.int64)
+    if not len(packed):
+        # empty corpus: every count is exactly 0 (not an IndexError)
+        return pd.DataFrame({"token": probe, "est_count": np.zeros(len(probe), np.int64)})
+    s = CountMinSketch.unpack(packed["blob"].iloc[0], depth, width)
     return pd.DataFrame({"token": probe, "est_count": s.query_ints(probe)})

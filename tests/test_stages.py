@@ -1694,3 +1694,91 @@ class TestRound5ReviewFixes:
         assert h._word_hash("w49") == vals[49]
         fresh = SimHasher()
         assert [fresh._word_hash(w) for w in words] == vals
+
+
+class TestRound5ReviewFixesWave2:
+    """Round-5 review wave 2: clustering hook/rescue parity, multimodal
+    robustness, sketch edge cases."""
+
+    def test_hierarchical_tree_with_weighthook_linkage_intact(self):
+        """A wrapped swapping merge_hook must NOT corrupt the linkage:
+        the reference wrapper discards the hook's swap result
+        (hierarchical.py:457-458); previously the swap propagated and
+        None node ids leaked into Z (round-5 review finding)."""
+        from dtaidistance_ray.stages.clustering import Hierarchical, HierarchicalTree, Hooks
+
+        rng = np.random.default_rng(11)
+        seqs = [rng.normal(size=12).cumsum() for _ in range(5)]
+        weights = {i: 1.0 for i in range(5)}
+        model = Hierarchical(merge_hook=Hooks.create_weighthook(weights, seqs))
+        tree = HierarchicalTree(model=model)
+        tree.fit(seqs)
+        assert len(tree.linkage) == 4  # full tree: n-1 merges
+        used = set()
+        for a, b, d, _ in tree.linkage:
+            assert a is not None and b is not None
+            assert float(d) >= 0.0
+            used.update((int(a), int(b)))
+        # every node id is merged at most once and ids are in range
+        assert len(used) == 8 and all(0 <= u < 9 for u in used)
+
+    def test_kmeans_rescue_cascade_no_crash(self):
+        """Identical series with k > natural clusters: the empty-cluster
+        rescue can re-empty an earlier cluster; the update must emit the
+        reference's zero-constant mean (dtw_barycenter.py:194-197), not
+        crash in dba_loop (round-5 review finding)."""
+        from dtaidistance_ray.stages.clustering import KMeans
+
+        s = np.array([1.0, 2.0, 3.0, 4.0])
+        km = KMeans(k=3, max_it=2, seed=0, use_ray=False)
+        out = km.fit([s.copy(), s.copy()])
+        assert set(out.keys()) == {0, 1, 2}
+        assert any((m == 0).all() for m in km.means)  # zero-constant rescue mean
+
+    def test_decode_ppm_truncated_header_raises(self):
+        from dtaidistance_ray.stages.multimodal import decode_ppm
+
+        with pytest.raises(ValueError, match="truncated PPM header"):
+            decode_ppm(b"P6\n12 34")
+
+    def test_audio_features_empty_recording(self):
+        """fact=0 empty recordings (decode_wav supports them) must yield
+        an all-zero feature row, not an rfft crash."""
+        import pandas as pd
+
+        from dtaidistance_ray.stages.multimodal import AudioFeatures, encode_wav_g711
+
+        payload = encode_wav_g711(np.zeros(0, np.int16))
+        batch = pd.DataFrame(
+            {"media_id": [1], "payload": [payload], "codec": ["ulaw"]}
+        )
+        out = AudioFeatures()(batch)
+        assert len(out) == 1
+        assert out.iloc[0]["rms"] == 0.0 and out.iloc[0]["dominant_hz"] == 0.0
+
+    def test_cms_empty_corpus_zero_counts(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from dtaidistance_ray.stages.sketch import cms_token_counts
+
+        p = str(tmp_path / "tok.parquet")
+        pq.write_table(
+            pa.table({"tokens": pa.array([], pa.list_(pa.int64()))}), p
+        )
+        got = cms_token_counts(p, np.array([1, 5, 9], dtype=np.int64))
+        assert list(got["token"]) == [1, 5, 9]
+        assert (got["est_count"] == 0).all()
+
+    def test_hll_small_m_alpha(self):
+        """Small register counts use the published exact bias constants
+        (0.673 / 0.697 / 0.709), keeping small-p sketches inside the
+        advertised error envelope."""
+        from dtaidistance_ray.stages.sketch import HllSketch
+
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 2**62, size=5000)
+        for p, tol in [(4, 0.6), (5, 0.45), (6, 0.35)]:
+            est = HllSketch(p=p).add_ints(np.unique(vals)).estimate()
+            true = len(np.unique(vals))
+            assert abs(est - true) / true < tol, (p, est, true)
