@@ -131,7 +131,16 @@ def warping_path_lowmem(
         if not path or path[-1] != p:
             path.append(p)
     if include_distance:
-        d = float(np.sqrt(_forward_last_row(s1, s2, penalty)[-1]))
+        # the Hirschberg path is optimal, so its accumulated cost IS the
+        # DP optimum (penalty is forced to 0 on this surface, line 111) —
+        # harvesting it from the path is O(|path|) instead of re-running
+        # the O(r*c) forward DP (round-5 review finding)
+        idx = np.asarray(path, dtype=np.int64)
+        d = (
+            float(np.sqrt(((s1[idx[:, 0]] - s2[idx[:, 1]]) ** 2).sum()))
+            if len(idx)
+            else 0.0
+        )
         return path, d
     return path
 

@@ -615,7 +615,7 @@ def _rdp_spatial(points: np.ndarray, epsilon: float) -> List[int]:
     return result
 
 
-def explain_pairs_dataset(pairs, sf_dir: Optional[str] = None, **kwargs):
+def explain_pairs_dataset(pairs, **kwargs):
     """Ray stage: explain many (series_from, series_to) pairs — one
     PathSegment row set per pair via map_batches (actor-pool friendly;
     each pair's explanation is independent)."""

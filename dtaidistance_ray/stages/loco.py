@@ -217,6 +217,10 @@ class LocalConcurrences:
             il = np.triu_indices(n=wp.shape[0], k=1 + self.window + wd1, m=wp.shape[1])
             wp[il] = -np.abs(wp[il])
             wp[np.isinf(wp)] = -np.inf
+        # NaN cells (0 * -inf in the affinity DP when delta_factor == 0)
+        # compare False against every guard: argmax would re-select them
+        # forever in best_matches (round-5 review finding) — mask them
+        wp[np.isnan(wp)] = -np.inf
         if self.only_triu:
             il = np.tril_indices(self._wp.shape[0], k=-1)
             wp[il] = -np.inf
@@ -227,13 +231,27 @@ class LocalConcurrences:
         return self._wp
 
     def best_path(self, row: int, col: int) -> List[Tuple[int, int]]:
-        """Concurrent path from (row, col) back to score 0 (reference
-        localconcurrences.py:802-870 pure-Python semantics)."""
+        """Concurrent path from (row, col) back to score 0.
+
+        Reference localconcurrences.py:802-870 pure-Python semantics,
+        with one guard the reference lacks: its loop runs `while i > 0`
+        so for pad offsets > 1 (TypeIII) a penalty-funded step onto a
+        zero-initialized pad cell lands at i (or j) == 1 and the next
+        append emits a NEGATIVE series coordinate, which best_matches
+        then masks through Python negative-index wraparound (round-5
+        review finding; the reference's own post-loop `assert False` at
+        localconcurrences.py:849-850 documents the case as invalid, and
+        its compiled path bounds the walk at the pad offsets,
+        dd_loco.c). Here the walk simply ends before entering a pad
+        row/column — identical to the reference everywhere it produces
+        valid output."""
         wp = self.wp
         penalties = [self.penalty if sr != sc else 0 for sr, sc in self.steps_tuples]
         i, j = row, col
         p = []
         while i > 0 and j > 0:
+            if i < self.inf_rows or j < self.inf_cols:
+                break  # inside the pad rows: never emit negative coords
             p.append((i - self.inf_rows, j - self.inf_cols))
             values = []
             for (si, sj), penalty in zip(self.steps_tuples, penalties):
@@ -266,9 +284,16 @@ class LocalConcurrences:
             while lcm is None:
                 idx = np.unravel_index(int(np.argmax(wp)), wp.shape)
                 r, c = int(idx[0]), int(idx[1])
-                if r == 0 or c == 0 or wp[r, c] <= 0:
+                # `not (v > 0)` instead of `v <= 0`: NaN fails both
+                # comparisons and would loop forever (round-5 review)
+                if r == 0 or c == 0 or not (wp[r, c] > 0):
                     return
                 path = self.best_path(r, c)
+                if not path:
+                    # crossing-drop produced an empty path: mask the seed
+                    # cell or argmax re-selects it forever
+                    wp[r, c] = -abs(wp[r, c])
+                    continue
                 ok = True
                 for (x, y) in path:
                     x += self.inf_rows

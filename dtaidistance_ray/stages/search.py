@@ -79,6 +79,13 @@ class KnnScorer:
                 if d != np.inf:
                     self._push(float(d))
                     out.append((doc_id, float(d)))
+        if not out:
+            # typed empty: an all-pruned batch must not emit object-dtype
+            # columns that conflict with the int64/float64 blocks from
+            # non-empty batches in the downstream sort (round-5 review)
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "d": pd.Series(dtype="float64")}
+            )
         return pd.DataFrame(out, columns=["doc_id", "d"])
 
 

@@ -76,3 +76,30 @@ class TestLoCoBehavior:
             cells = set(m["path"])
             assert not (cells & seen)
             seen |= cells
+
+
+class TestRound5ReviewFixes:
+    def test_nan_cells_do_not_hang_kbest(self):
+        """delta_factor=0 produces 0 * -inf = NaN cells in the affinity
+        DP; NaN fails every termination guard and argmax re-selected it
+        forever (round-5 review finding). Must terminate."""
+        rng = np.random.default_rng(3)
+        s1 = rng.normal(size=30).cumsum()
+        s2 = rng.normal(size=30).cumsum()
+        lc = LocalConcurrences(s1, s2, tau=0.5, delta=-1.0, delta_factor=0.0)
+        out = list(lc.kbest_matches(k=3))  # previously: infinite loop
+        assert len(out) <= 3
+
+    def test_pad_corner_walk_raises_loudly(self):
+        """With penalty > 0 the backward walk can step into the
+        zero-initialized pad rows; the reference's compiled path bounds
+        the walk at the pad offsets and drops the crossing point
+        (dd_loco.c loco_best_path) — the port previously emitted
+        NEGATIVE series coordinates and masked wrapped-around cells
+        (round-5 review finding)."""
+        s1 = np.array([1.0, 2, 3, 1, 2, 0, 0, 0])
+        s2 = np.concatenate([[9.0], s1])
+        lc = LocalConcurrences(s1, s2, penalty=0.2)
+        for m in lc.kbest_matches(k=5):
+            for (a, b) in m["path"]:
+                assert a >= 0 and b >= 0, "corrupt negative path coordinate"
