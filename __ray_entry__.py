@@ -68,7 +68,7 @@ def entry() -> Any:
     spec = _token_spec("/root/testdata/sf0.001")
     cfg = RollupConfig()
     tiers = build_tiers(token_table(spec), spec, cfg)
-    return encode_tier(gap_fill_tier(tiers[0]), cfg.tier_widths[0])
+    return encode_tier(gap_fill_tier(tiers[0]))
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +351,7 @@ def _q_tokens_rollup_tier_full(sf_dir: str, tier: int):
 
     cfg = RollupConfig()
     tiers = _build_tiers_cached(sf_dir)
-    enc = encode_tier(gap_fill_tier(tiers[tier]), cfg.tier_widths[tier])
+    enc = encode_tier(gap_fill_tier(tiers[tier]))
     return enc.map_batches(_tier_full_view(tier), batch_format="pandas")
 
 
@@ -2176,7 +2176,7 @@ def _q_tokens_storage_efficiency(sf_dir: str):
     tiers = _build_tiers_cached(sf_dir)
     parts = None
     for t in range(len(cfg.tier_widths)):
-        enc = encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t])
+        enc = encode_tier(gap_fill_tier(tiers[t]))
 
         def pf(batch: pd.DataFrame, tier=t) -> pd.DataFrame:
             return pd.DataFrame(
@@ -2243,7 +2243,7 @@ def _q_tokens_rollup_payload_crc(sf_dir: str):
     # (the fused metrics path may differ by float-summation ULPs on
     # upper-tier averages — see downstream_fused docstring)
     parts = [
-        encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t]).map_batches(
+        encode_tier(gap_fill_tier(tiers[t])).map_batches(
             crc(t), batch_format="pandas"
         )
         for t in range(len(cfg.tier_widths))

@@ -278,7 +278,15 @@ def _dp_choices(
 
     C (B, R) padded centers, S (B, M) padded members; returns the int8
     choice matrix (B, R+1, M+1). Rows beyond a member's center length
-    are computed but never read by its traceback."""
+    are computed but never read by its traceback.
+
+    window must be None: every windowed call routes to the compact /
+    shrinking-prefix kernels in scan_dba_partials (its own comment at
+    the call site), so a banded arm here would be dead code that must
+    be kept bit-consistent for no benefit (round-5 review finding)."""
+    if window is not None:
+        raise AssertionError("_dp_choices is the full-matrix DP; windowed "
+                             "calls use the compact kernels")
     B, R = C.shape
     M = S.shape[1]
     col = np.arange(M)
@@ -286,14 +294,9 @@ def _dp_choices(
     prev = np.full((B, M + 1), INF)
     cur = np.full((B, M + 1), INF)
     prev[:, 0] = 0.0
-    if window is None:
-        d_rs = np.zeros(B, dtype=np.int64)
-        d_sr = np.zeros(B, dtype=np.int64)
-        wdefault = int(max(R, M))
-    else:
-        d_rs = np.maximum(0, c_lens - s_lens)  # r - m, clipped
-        d_sr = np.maximum(0, s_lens - c_lens)
-        wdefault = window
+    d_rs = np.zeros(B, dtype=np.int64)
+    d_sr = np.zeros(B, dtype=np.int64)
+    wdefault = int(max(R, M))
     # preallocated row workspaces (reused every row: the DP is
     # memory-bandwidth bound, so temporaries are the enemy)
     t_cost = np.empty((B, M))

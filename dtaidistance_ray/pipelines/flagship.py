@@ -286,13 +286,18 @@ def downstream_fused(tier0, cfg: RollupConfig):
     function of bucket) with a Ray groupby exchange and runs the SAME
     per_shard function per group — bit-identical output, different
     transport (round-3 review #2, second driver frame)."""
-    import os as _os
-
     import ray
     import ray.data as rd
 
-    max_driver_keys = int(_os.environ.get("DTAIR_MAX_DRIVER_KEYS", "2000000"))
+    from ..stages import rollup_scan as _rs
+
+    # SAME knob as the scan path's key-shard cutoff (one module attribute,
+    # read at call time — the env var is baked into it at import; round-5
+    # review: the two paths previously parsed the env independently and
+    # monkeypatching one left the other stale)
+    max_driver_keys = _rs._MAX_DRIVER_KEYS
     if hasattr(tier0, "to_pandas") and not isinstance(tier0, pd.DataFrame):
+        tier0 = tier0.materialize()  # consumed twice: count() + to_pandas()
         try:
             n0 = tier0.count()
         except Exception:
@@ -533,7 +538,7 @@ def run_flagship(
         pruned = prune_invalid_shards(out_dir, t, shash, input_fp, num_shards)
         if pruned:
             metrics.setdefault("pruned_shards", {})[t] = pruned
-        tier_ds = encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t])
+        tier_ds = encode_tier(gap_fill_tier(tiers[t]))
         # checkpointed write: one task per shard, atomic rename + manifest
         def write_shard(g: pd.DataFrame, tier=t) -> pd.DataFrame:
             ws = time.perf_counter()

@@ -9,10 +9,10 @@ Shuffle plan: ONE groupby per tier keyed (source, bucket); aggregates
 and the DBA representative are computed in the same map_groups pass so
 the shuffle is not paid twice. Tier t+1 consumes tier t representatives
 with a coarser bucket — the same key layout, so the sort order is
-reused. Skew: a hot source is still split across buckets; for hot
-(source, bucket) groups the salted path (rollup_salted_partials) splits
-members by hash(doc_id) % S and merges the associative (sum, count)
-DBA accumulators exactly.
+reused. Skew: a hot source is still split across buckets; hot
+(source, bucket) groups are the scan path's job (stages/rollup_scan.py:
+per-block combiner partials — the salt is the physical block — merged
+through associative (sum, count) DBA accumulators exactly).
 
 Determinism: members are processed in sorted doc_id order (tier 0) /
 child-bucket order (tier >= 1), so the pipeline's output is bit-equal
@@ -111,31 +111,6 @@ def _rollup_group_base(g: pd.DataFrame, cfg: RollupConfig) -> pd.DataFrame:
             "agg_token_min": [float(flat.min())],
             "agg_token_max": [float(flat.max())],
             "agg_token_mean": [float(flat.sum()) / flat.size],
-            "repr_series": [repr_series.tolist()],
-            "gap_filled": [False],
-        }
-    )
-
-
-def _rollup_group_upper(g: pd.DataFrame, cfg: RollupConfig) -> pd.DataFrame:
-    g = g.sort_values("child_bucket", kind="mergesort")
-    g = g[~g["gap_filled"]]
-    seqs = [np.asarray(t, dtype=np.float64) for t in g["repr_series"]]
-    repr_series = dba_loop(
-        seqs, c=None, max_it=cfg.dba_max_it, thr=cfg.dba_thr, settings=cfg.dtw
-    )
-    tok_sum = int(g["agg_token_sum"].sum())
-    ntk = int(g["agg_n_tok_sum"].sum())
-    return pd.DataFrame(
-        {
-            "source": [g["source"].iloc[0]],
-            "bucket": [int(g["bucket"].iloc[0])],
-            "agg_count": [int(g["agg_count"].sum())],
-            "agg_n_tok_sum": [ntk],
-            "agg_token_sum": [tok_sum],
-            "agg_token_min": [float(g["agg_token_min"].min())],
-            "agg_token_max": [float(g["agg_token_max"].max())],
-            "agg_token_mean": [tok_sum / ntk],
             "repr_series": [repr_series.tolist()],
             "gap_filled": [False],
         }
@@ -301,9 +276,10 @@ def encode_frame(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
-def encode_tier(tier_ds, width: int):
-    """Add the compressed payload columns: Gorilla XOR for the
-    representative series, delta-of-delta for the bucket start time."""
+def encode_tier(tier_ds):
+    """Add the Gorilla XOR payload column for the representative series
+    (the delta-of-delta time grid is a separate per-source artifact —
+    see tier_time_index)."""
     return tier_ds.map_batches(encode_frame, batch_format="pandas")
 
 

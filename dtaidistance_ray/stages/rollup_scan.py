@@ -626,9 +626,19 @@ def scan_rollup_base_tier(bucketed_ds, cfg: RollupConfig, cache: bool = True):
             for s, r in enumerate(out_refs):
                 per_shard[s].append(r)
         outs = []
+        agg_timings: dict = {}
         for s in range(nshards):
             sub = rd.from_arrow_refs(per_shard[s])
             outs.append(_scan_rollup_single(sub, cfg))
+            # accumulate per-shard timings: each _scan_rollup_single call
+            # overwrites the shared keys, so without this the reported
+            # tier-0 phase costs were the LAST shard's only (round-5
+            # review finding); shards run sequentially, so summed walls
+            # are the true totals
+            for tk, tv in LAST_TIMINGS.items():
+                if not tk.startswith("key_shard") and isinstance(tv, (int, float)):
+                    agg_timings[tk] = round(agg_timings.get(tk, 0) + tv, 4)
+        LAST_TIMINGS.update(agg_timings)
         out0 = outs[0]
         return out0.union(*outs[1:]) if len(outs) > 1 else out0
     return _scan_rollup_single(ds, cfg)

@@ -232,9 +232,9 @@ def expire_checkpoint(
         _recover_shard_leftovers(tier_dir)  # promote/restore a crashed swap first
         jobs = []
         for name in sorted(os.listdir(tier_dir)):
-            if not name.startswith("shard=") or ".tmp-" in name or ".old-" in name:
-                continue  # crashed-swap leftovers (cleared by the recovery pass)
-            shard = int(name.split("=", 1)[1])
+            shard = _parse_shard_name(name)  # None for leftovers/foreign dirs
+            if shard is None:
+                continue
             if read_manifest(out_dir, t, shard):
                 jobs.append((out_dir, t, shard, int(cut)))
         if parallel:
@@ -474,7 +474,11 @@ def compact_store(
                 staged,
                 shash.copy().pop() if len(shash) == 1 else "mixed",
                 ifp.copy().pop() if len(ifp) == 1 else "mixed",
-                retention,
+                # tier-level audit history rides in shard 0 ONLY: copying
+                # the union into every shard duplicated retention records
+                # ~target_shards-fold per expire+compact cycle (round-5
+                # review finding), over-counting rows_dropped in audits
+                retention if k == 0 else [],
                 comp_rec,
             )
             for k in range(target_shards)

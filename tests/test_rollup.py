@@ -99,7 +99,7 @@ class TestTierEquality:
 
     def test_encode_roundtrip(self, ray_session):
         ds = token_table(SPEC, override_num_blocks=3)
-        t0 = encode_tier(gap_fill_tier(build_tiers(ds, SPEC, CFG)[0]), 3600)
+        t0 = encode_tier(gap_fill_tier(build_tiers(ds, SPEC, CFG)[0]))
         df = t0.to_pandas()
         for r, enc in zip(df["repr_series"], df["repr_gorilla"]):
             np.testing.assert_array_equal(gorilla_decode(enc), np.asarray(r))
@@ -283,7 +283,7 @@ class TestFusedDownstream:
         from dtaidistance_ray.codec.gorilla import gorilla_decode
 
         for t in (0, 1):
-            staged = canon(encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t]).to_pandas())
+            staged = canon(encode_tier(gap_fill_tier(tiers[t])).to_pandas())
             got = canon(fused[fused["tier"] == t].drop(columns=["tier"]))
             got = got.reset_index(drop=True)[staged.columns]
             pd.testing.assert_frame_equal(got, staged, check_dtype=False)
@@ -315,7 +315,7 @@ class TestFusedDownstream:
         fused = downstream_fused(tiers[0], cfg).to_pandas()
         for t in range(3):
             staged = (
-                encode_tier(gap_fill_tier(tiers[t]), cfg.tier_widths[t])
+                encode_tier(gap_fill_tier(tiers[t]))
                 .to_pandas()
                 .sort_values(["source", "bucket"], kind="mergesort")
                 .reset_index(drop=True)
@@ -790,6 +790,23 @@ class TestCompaction:
         assert not glob.glob(f"{out}/tier=*.old-*") and not glob.glob(f"{out}/tier=*.tmp-*")
         for s, want in before.items():
             pd.testing.assert_frame_equal(serve_range(out, s, mb0 - 60, mb0 + 1), want)
+        # retention audit records must not duplicate across compactions:
+        # rows_dropped summed over ALL shard manifests still equals the
+        # expire sweep's count after TWO compact cycles (the union used
+        # to be copied into every output shard, multiplying the records
+        # ~target_shards-fold per cycle — round-5 review finding)
+        for t in (0, 1):
+            exp = m["expired"].get(t)
+            if not exp:
+                continue
+            tot = 0
+            for mp in glob.glob(f"{out}/tier={t}/shard=*/_manifest.json"):
+                with open(mp) as fh:
+                    tot += sum(
+                        r.get("rows_dropped", 0)
+                        for r in json.load(fh).get("retention", [])
+                    )
+            assert tot == exp["rows_dropped"]
 
 
 class TestStoreStats:
@@ -983,6 +1000,7 @@ class TestKeyShardFallback:
             build_tiers,
             downstream_fused,
         )
+        from dtaidistance_ray.stages import rollup_scan
 
         spec = TokenTableSpec(num_rows=150, num_sources=4, max_len=32, ts_span=12 * 3600)
         cfg = RollupConfig(tier_widths=(3600, 7200), dba_max_it=2)
@@ -1001,8 +1019,9 @@ class TestKeyShardFallback:
         want = canon(downstream_fused(tiers[0], cfg).to_pandas())
         got = canon(_downstream_fused_exchange(tiers[0], cfg).to_pandas())
         pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
-        # and the dispatcher itself switches on the threshold
-        monkeypatch.setenv("DTAIR_MAX_DRIVER_KEYS", "1")
+        # and the dispatcher itself switches on the threshold (same
+        # module attribute as the scan path's key-shard cutoff)
+        monkeypatch.setattr(rollup_scan, "_MAX_DRIVER_KEYS", 1)
         got2 = canon(downstream_fused(tiers[0], cfg).to_pandas())
         pd.testing.assert_frame_equal(got2[want.columns], want, check_dtype=False)
 
@@ -1167,7 +1186,7 @@ class TestTaskRetryWritePath:
         marker = str(tmp_path / "crash_write")
         num_shards = 4
 
-        tier0 = encode_tier(gap_fill_tier(build_tiers(token_table(spec), spec, cfg)[0]), 3600)
+        tier0 = encode_tier(gap_fill_tier(build_tiers(token_table(spec), spec, cfg)[0]))
         expect_rows = tier0.count()
 
         def add_shard(b: pd.DataFrame) -> pd.DataFrame:
