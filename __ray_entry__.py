@@ -35,6 +35,61 @@ def _token_spec(sf_dir: str):
     return TokenTableSpec(num_rows=max(400, int(sf * 200_000)))
 
 
+def _spec_fp(sf_dir: str) -> str:
+    """Stable fingerprint of everything that shapes the /tmp cached
+    artifacts: spec fields + RollupConfig.settings_hash() + retention
+    keeps. A code/default change invalidates the caches instead of
+    silently serving stale data across sessions."""
+    import zlib
+    from dataclasses import asdict
+
+    from dtaidistance_ray.stages.rollup import RollupConfig
+
+    spec = _token_spec(sf_dir)
+    key = (
+        repr(sorted(asdict(spec).items()))
+        + RollupConfig().settings_hash()
+        + repr(_RETENTION_KEEPS)
+    )
+    return f"{zlib.crc32(key.encode()) & 0xFFFFFFFF:08x}"
+
+
+def _ensure_swept_store(sf_dir: str) -> tuple:
+    """Build-once store + retention sweep shared by the serve / compact
+    / stats queries (was triplicated with hardcoded keeps — round-5
+    review finding). Returns (out_dir, max_bucket0). The marker embeds
+    the spec/config fingerprint so stale stores rebuild."""
+    import json as _json
+
+    from dtaidistance_ray.pipelines.flagship import run_flagship
+    from dtaidistance_ray.state.checkpoint import expire_checkpoint
+
+    tok = _ensure_token_parquet(sf_dir)
+    out = os.path.join("/tmp/dtair_store", f"sf{_sf_of(sf_dir)}")
+    marker = os.path.join(out, "_swept.json")
+    fp = _spec_fp(sf_dir)
+    m = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                m = _json.load(f)
+            if m.get("spec_fp") != fp:
+                m = None
+        except (ValueError, OSError):
+            m = None
+    if m is None:
+        import shutil as _sh
+
+        if os.path.isdir(out):
+            _sh.rmtree(out)
+        run_flagship(_token_spec(sf_dir), out_dir=out, num_shards=8, input_path=tok)
+        m = expire_checkpoint(out, keeps=_RETENTION_KEEPS)
+        m["spec_fp"] = fp
+        with open(marker, "w") as f:
+            _json.dump(m, f)
+    return out, int(m["max_bucket0"])
+
+
 def _ensure_token_parquet(sf_dir: str) -> str:
     """Materialize the synthetic token table (+ts/bucket cols) for the
     DuckDB oracle; driver-side pyarrow only, cached per sf."""
@@ -46,8 +101,18 @@ def _ensure_token_parquet(sf_dir: str) -> str:
 
     spec = _token_spec(sf_dir)
     path = os.path.join(_TOK_DIR, f"sf{_sf_of(sf_dir)}.parquet")
+    fp_path = path + ".fp"
+    fp = _spec_fp(sf_dir)
+    # sidecar fingerprint guards the cache: the parquet's NAME is baked
+    # into 40+ oracle SQL strings, but its CONTENT depends on spec /
+    # config code — without this, a code change silently served a stale
+    # table across sessions (round-5 review finding)
     if os.path.exists(path):
-        return path
+        try:
+            if open(fp_path).read().strip() == fp:
+                return path
+        except OSError:
+            pass
     os.makedirs(_TOK_DIR, exist_ok=True)
     t = token_table_arrow(spec)
     ids = np.arange(spec.num_rows, dtype=np.int64)
@@ -56,6 +121,8 @@ def _ensure_token_parquet(sf_dir: str) -> str:
     tmp = path + ".tmp"
     pq.write_table(t, tmp)
     os.replace(tmp, path)
+    with open(fp_path, "w") as fh:
+        fh.write(fp)
     return path
 
 
@@ -238,9 +305,6 @@ def _q_tokens_rollup_tier0_aggs(sf_dir: str):
     flagship rollup; the DBA representative is covered rows-only)."""
     import pandas as pd
 
-    from dtaidistance_ray.pipelines.flagship import build_tiers
-    from dtaidistance_ray.sources.synth import token_table
-    from dtaidistance_ray.stages.rollup import RollupConfig
 
     _ensure_token_parquet(sf_dir)
     t0 = _build_tiers_cached(sf_dir)[0]
@@ -275,9 +339,6 @@ GROUP BY 1, 2
 def _q_tokens_rollup_tier1_aggs(sf_dir: str):
     import pandas as pd
 
-    from dtaidistance_ray.pipelines.flagship import build_tiers
-    from dtaidistance_ray.sources.synth import token_table
-    from dtaidistance_ray.stages.rollup import RollupConfig
 
     _ensure_token_parquet(sf_dir)
     t1 = _build_tiers_cached(sf_dir)[1]
@@ -345,8 +406,6 @@ def _q_tokens_rollup_tier_full(sf_dir: str, tier: int):
     """Full rollup of one tier incl. DBA representative + gap-fill +
     Gorilla payload, flattened via _tier_full_view so the gate can
     hash it against a rollup_oracle golden (DTW/DBA are non-SQL)."""
-    from dtaidistance_ray.pipelines.flagship import build_tiers
-    from dtaidistance_ray.sources.synth import token_table
     from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
 
     cfg = RollupConfig()
@@ -601,7 +660,6 @@ def _q_tokens_source_skew(sf_dir: str):
     Scale shape: derives from the bounded tier-0 table; one vectorized
     argmax per bucket over a frame whose size is (source x hour)."""
     import numpy as np
-    import pandas as pd
 
     tiers = _build_tiers_cached(sf_dir)
     t0 = tiers[0].to_pandas()[["source", "bucket", "agg_count"]]
@@ -651,7 +709,6 @@ def _q_tokens_incremental_refresh(sf_dir: str):
     (dirty-group recompute + clean pass-through). The oracle is the
     plain full-table tier-0 aggregate — a correct refresh is
     indistinguishable from a full rerun, which is exactly the claim."""
-    import numpy as np
     import pandas as pd
     import ray.data as rd
 
@@ -662,12 +719,10 @@ def _q_tokens_incremental_refresh(sf_dir: str):
     path = _ensure_token_parquet(sf_dir)
     cfg = RollupConfig()
     comb = rd.read_parquet(path)
-    # exact integer cutoff at 80% of the span
-    mm = comb.map_batches(
-        lambda b: pd.DataFrame({"lo": [int(b["ts"].min())], "hi": [int(b["ts"].max())]}),
-        batch_format="pandas",
-    ).to_pandas()
-    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    # exact integer cutoff at 80% of the span (built-in reductions are
+    # empty-block-safe; the old per-block int(min) lambda raised on
+    # NaN from an empty block — round-5 review finding)
+    lo, hi = int(comb.min("ts")), int(comb.max("ts"))
     cut = lo + (hi - lo) * 4 // 5
 
     old = rd.read_parquet(path).filter(expr=f"ts < {cut}")
@@ -715,7 +770,6 @@ def _q_tokens_late_arrival_refresh(sf_dir: str):
     comb = rd.read_parquet(path)
 
     def _is_late(batch):
-        import numpy as np
 
         n = _pc.cast(
             _pc.utf8_slice_codeunits(batch["doc_id"], 1, 99), pa.int64()
@@ -1181,24 +1235,12 @@ def _q_tokens_serve_range(sf_dir: str):
     aggregates. The oracle re-derives the same picture from the raw
     table and the TTL rules alone, so a bug anywhere in write, sweep,
     or read breaks the hash."""
-    import json as _json
 
     import pandas as pd
 
-    from dtaidistance_ray.pipelines.flagship import run_flagship
     from dtaidistance_ray.pipelines.serve import serve_range
-    from dtaidistance_ray.state.checkpoint import expire_checkpoint
 
-    tok = _ensure_token_parquet(sf_dir)
-    out = os.path.join("/tmp/dtair_store", f"sf{_sf_of(sf_dir)}")
-    marker = os.path.join(out, "_swept.json")
-    if not os.path.exists(marker):
-        run_flagship(_token_spec(sf_dir), out_dir=out, num_shards=8, input_path=tok)
-        m = expire_checkpoint(out, keeps=(48, 42, None))
-        with open(marker, "w") as f:
-            _json.dump(m, f)
-    with open(marker) as f:
-        mb0 = int(_json.load(f)["max_bucket0"])
+    out, mb0 = _ensure_swept_store(sf_dir)
 
     import glob as _glob
 
@@ -1233,29 +1275,28 @@ def _q_tokens_store_compaction(sf_dir: str):
     import pandas as pd
     import pyarrow.parquet as _pq
 
-    from dtaidistance_ray.pipelines.flagship import run_flagship
     from dtaidistance_ray.pipelines.serve import serve_range
-    from dtaidistance_ray.state.checkpoint import compact_store, expire_checkpoint
+    from dtaidistance_ray.state.checkpoint import compact_store
 
-    tok = _ensure_token_parquet(sf_dir)
-    src_store = os.path.join("/tmp/dtair_store", f"sf{_sf_of(sf_dir)}")
-    marker = os.path.join(src_store, "_swept.json")
-    if not os.path.exists(marker):
-        run_flagship(_token_spec(sf_dir), out_dir=src_store, num_shards=8, input_path=tok)
-        m = expire_checkpoint(src_store, keeps=(48, 42, None))
-        with open(marker, "w") as f:
-            _json.dump(m, f)
-    with open(marker) as f:
-        mb0 = int(_json.load(f)["max_bucket0"])
+    src_store, mb0 = _ensure_swept_store(sf_dir)
 
     out = os.path.join("/tmp/dtair_store_compact", f"sf{_sf_of(sf_dir)}")
     cmarker = os.path.join(out, "_compacted.json")
-    if not os.path.exists(cmarker):
+    fp = _spec_fp(sf_dir)
+    stale = True
+    if os.path.exists(cmarker):
+        try:
+            with open(cmarker) as f:
+                stale = _json.load(f).get("spec_fp") != fp
+        except (ValueError, OSError):
+            stale = True
+    if stale:
         if os.path.isdir(out):
             _shutil.rmtree(out)
         _shutil.copytree(src_store, out)
         os.remove(os.path.join(out, "_swept.json"))
         metrics = compact_store(out, target_shards=3)
+        metrics["spec_fp"] = fp
         with open(cmarker, "w") as f:
             _json.dump(metrics, f)
 
@@ -1281,21 +1322,11 @@ def _q_tokens_store_stats(sf_dir: str):
     whose num_rows disagrees with its parquet fails loudly here). The
     oracle re-derives each tier's surviving (source, bucket) group count
     and span from the raw table + TTL rules alone."""
-    import json as _json
-
     import pandas as pd
 
-    from dtaidistance_ray.pipelines.flagship import run_flagship
-    from dtaidistance_ray.state.checkpoint import expire_checkpoint, store_stats
+    from dtaidistance_ray.state.checkpoint import store_stats
 
-    tok = _ensure_token_parquet(sf_dir)
-    out = os.path.join("/tmp/dtair_store", f"sf{_sf_of(sf_dir)}")
-    marker = os.path.join(out, "_swept.json")
-    if not os.path.exists(marker):
-        run_flagship(_token_spec(sf_dir), out_dir=out, num_shards=8, input_path=tok)
-        m = expire_checkpoint(out, keeps=(48, 42, None))
-        with open(marker, "w") as f:
-            _json.dump(m, f)
+    out, _mb0 = _ensure_swept_store(sf_dir)
 
     res = pd.DataFrame(store_stats(out))
     for c in res.columns:
@@ -1777,8 +1808,6 @@ def _q_tokens_rollup_time_index(sf_dir: str):
 
     import pandas as pd
 
-    from dtaidistance_ray.pipelines.flagship import build_tiers
-    from dtaidistance_ray.sources.synth import token_table
     from dtaidistance_ray.stages.rollup import RollupConfig, gap_fill_tier, tier_time_index
 
     cfg = RollupConfig()
@@ -2220,8 +2249,6 @@ def _q_tokens_rollup_payload_crc(sf_dir: str):
 
     import pandas as pd
 
-    from dtaidistance_ray.pipelines.flagship import build_tiers
-    from dtaidistance_ray.sources.synth import token_table
     from dtaidistance_ray.stages.rollup import RollupConfig, encode_tier, gap_fill_tier
 
     cfg = RollupConfig()
@@ -2286,9 +2313,6 @@ def _q_tokens_rollup_tier0_repr(sf_dir: str):
     import numpy as np
     import pandas as pd
 
-    from dtaidistance_ray.pipelines.flagship import build_tiers
-    from dtaidistance_ray.sources.synth import token_table
-    from dtaidistance_ray.stages.rollup import RollupConfig
 
     t0 = _build_tiers_cached(sf_dir)[0]
 

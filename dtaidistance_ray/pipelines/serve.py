@@ -27,6 +27,24 @@ import pyarrow.parquet as pq
 
 _AGG_COLS = ["bucket", "agg_count", "agg_n_tok_sum", "agg_token_sum"]
 
+# mtime+size-keyed read caches: a driver looping serves over many
+# sources re-opens the same tier files once per source otherwise
+# (round-5 review finding). Keyed by file identity, so expire/compact
+# rewrites (new mtime/inode content) invalidate naturally. FIFO-capped.
+_READ_CACHE_MAX = 64
+_PARQUET_CACHE: dict = {}
+_MANIFEST_CACHE: dict = {}
+
+
+def _cached(cache: dict, key, load):
+    hit = cache.get(key)
+    if hit is None:
+        hit = load()
+        if len(cache) >= _READ_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[key] = hit
+    return hit
+
 
 def _tier_rows(out_dir: str, tier: int, source: str) -> pd.DataFrame:
     """The one source's rows in one tier (source-hash sharding means a
@@ -38,21 +56,38 @@ def _tier_rows(out_dir: str, tier: int, source: str) -> pd.DataFrame:
     opening their parquet at all — a serve touches one file per tier,
     not one per shard. Shards without a readable manifest (foreign
     layouts) fall back to read-and-filter."""
+    from ..state.checkpoint import _parse_shard_name
+
     frames = []
     for d in glob.glob(os.path.join(out_dir, f"tier={tier}", "shard=*")):
+        # crashed-swap leftovers (shard=N.tmp-* / shard=N.old-*) hold
+        # stale pre-sweep copies: reading them would serve expired
+        # buckets back to life (round-5 review finding) — same name
+        # filter the other store readers use
+        if _parse_shard_name(os.path.basename(d)) is None:
+            continue
         mpath = os.path.join(d, "_manifest.json")
         if os.path.exists(mpath):
             try:
                 import json as _json
 
-                with open(mpath) as fh:
-                    srcs = _json.load(fh).get("sources")
+                st = os.stat(mpath)
+                srcs = _cached(
+                    _MANIFEST_CACHE,
+                    (mpath, st.st_mtime_ns, st.st_size),
+                    lambda: _json.load(open(mpath)).get("sources"),
+                )
                 if srcs is not None and source not in srcs:
                     continue
             except (ValueError, OSError):
                 pass
         for f in glob.glob(os.path.join(d, "*.parquet")):
-            t = pq.read_table(f, columns=["source"] + _AGG_COLS)
+            st = os.stat(f)
+            t = _cached(
+                _PARQUET_CACHE,
+                (f, st.st_mtime_ns, st.st_size),
+                lambda: pq.read_table(f, columns=["source"] + _AGG_COLS),
+            )
             mask = np.asarray(t["source"].to_pylist(), dtype=object) == source
             if mask.any():
                 frames.append(t.to_pandas()[mask])

@@ -72,7 +72,13 @@ def generate_batch(row_ids: np.ndarray, spec: TokenTableSpec) -> pa.Table:
     h3 = splitmix64(h2)
 
     cdf = _source_cdf(spec)
-    src_idx = np.searchsorted(cdf, _u01(h1), side="right")
+    # clamp: cumsum of normalized weights can end a few ULPs below 1.0,
+    # and a u01 draw in [cdf[-1], 1) would index one past the last
+    # source (round-5 review finding — parts-in-1e16 per row, but the
+    # module's contract is bit-determinism at 100-TB row counts)
+    src_idx = np.minimum(
+        np.searchsorted(cdf, _u01(h1), side="right"), spec.num_sources - 1
+    )
     u_len = _u01(h2)
     n_tok = (spec.min_len + np.floor((spec.max_len - spec.min_len + 1) * u_len**3)).astype(
         np.int32
@@ -92,7 +98,18 @@ def generate_batch(row_ids: np.ndarray, spec: TokenTableSpec) -> pa.Table:
     doc_id = np.array([f"d{int(k):010d}" for k in row_ids])
     source = np.array([f"source_{int(k):03d}" for k in src_idx])
 
-    tokens_arr = pa.ListArray.from_arrays(pa.array(offsets32, type=pa.int32()), pa.array(toks))
+    if offsets32[-1] <= np.iinfo(np.int32).max:
+        tokens_arr = pa.ListArray.from_arrays(
+            pa.array(offsets32, type=pa.int32()), pa.array(toks)
+        )
+    else:
+        # one generate_batch call past 2^31-1 total tokens (driver-side
+        # oracle path at large sf) overflows int32 list offsets — switch
+        # to large_list instead of crashing (round-5 review finding);
+        # block-sized batches below the ceiling keep the int32 layout
+        tokens_arr = pa.LargeListArray.from_arrays(
+            pa.array(offsets32, type=pa.int64()), pa.array(toks)
+        )
     return pa.table(
         {
             "doc_id": pa.array(doc_id, type=pa.string()),

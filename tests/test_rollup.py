@@ -723,6 +723,24 @@ class TestServeRange:
             want = pd.concat(rows)
             assert int(hit["agg_count"].iloc[0]) == int(want["agg_count"].iloc[0])
 
+        # crashed-swap leftovers must be INVISIBLE to the serve path: a
+        # shard=N.old-* dir holding a stale pre-sweep copy used to be
+        # matched by the shard glob and served expired buckets back to
+        # life (round-5 review finding)
+        import shutil
+
+        live = glob.glob(f"{out}/tier=0/shard=*")[0]
+        stale = f"{out}/tier=0/{os.path.basename(live)}.old-deadbeef"
+        shutil.copytree(live, stale)
+        # poison the stale copy so any read of it would shift results
+        for f in glob.glob(f"{stale}/*.parquet"):
+            df = pq.read_table(f).to_pandas()
+            df["agg_count"] = df["agg_count"] + 10_000
+            df.to_parquet(f, index=False)
+        res2 = serve_range(out, src, mb0 - 60, mb0 + 1)
+        pd.testing.assert_frame_equal(res2, res)
+        shutil.rmtree(stale)
+
 
 class TestCompaction:
     def test_compact_preserves_serves_and_layout(self, ray_session, tmp_path):
