@@ -388,17 +388,23 @@ def rollup_hourly_gapfill(sf_dir: str):
         out["n_events"] = out["n_events"].fillna(0).astype("int64")
         return out[["event_type", "bucket", "n_events"]]
 
+    if hourly.empty:
+        # deliberate loud failure for an empty corpus (the object-dtype
+        # empty frame would otherwise die in the .dt accessor below with
+        # a misleading dtype error — round-5 review finding)
+        raise ValueError("rollup_hourly_gapfill: no hourly rows to gap-fill")
     # merge_partials guards the SPARSE frame; densifying to each type's
     # full [min, max] hour span can multiply rows, so guard the DENSE
-    # size (computable from the bounds) before building it
-    spans = hourly.groupby("event_type")["bucket"].agg(["min", "max"])
+    # size (computable from the bounds) before building it. One grouper,
+    # reused by the guard agg and the fill loop (the frame can be up to
+    # MAX_DRIVER_GRID_ROWS — don't factorize event_type twice).
+    gb = hourly.groupby("event_type")
+    spans = gb["bucket"].agg(["min", "max"])
     dense_rows = int(
         ((spans["max"] - spans["min"]).dt.total_seconds() // 3600 + 1).sum()
     )
     _guard_driver_rows(dense_rows, "rollup_hourly_gapfill dense grid")
-    return pd.concat(
-        [fill(g) for _, g in hourly.groupby("event_type")], ignore_index=True
-    )
+    return pd.concat([fill(g) for _, g in gb], ignore_index=True)
 
 
 ROLLUP_GAPFILL_SQL = """
