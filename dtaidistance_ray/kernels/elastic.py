@@ -231,11 +231,20 @@ def ub_euclidean(s1, s2, inner_dist: str = SQEUCLIDEAN) -> float:
             for v in tail.tolist():
                 ub += v
         return math.sqrt(ub)
-    e = np.abs(s1[:n] - s2[:n])
+    def _eu_steps(a, b):
+        d = np.abs(a - b)
+        if d.ndim > 1:
+            # per-timestep ndim euclidean (ref EuclideanNdim): reduce the
+            # dims BEFORE accumulating — the 2-D array previously reached
+            # the scalar accumulation below and raised (round-5 review)
+            d = np.sqrt((d * d).sum(axis=1))
+        return d
+
+    e = _eu_steps(s1[:n], s2[:n])
     if len(s1) > n:
-        tail = np.abs(s1[n:] - s2[n - 1])
+        tail = _eu_steps(s1[n:], s2[n - 1])
     elif len(s2) > n:
-        tail = np.abs(s2[n:] - s1[n - 1])
+        tail = _eu_steps(s2[n:], s1[n - 1])
     else:
         tail = None
     ub = 0.0
@@ -256,7 +265,10 @@ def lb_keogh(s1, s2, settings: Optional[DTWSettings] = None) -> float:
     s = settings or DTWSettings()
     s1 = _as_f64(s1)
     s2 = _as_f64(s2)
-    window = max(len(s1), len(s2)) if s.window is None else s.window
+    # None AND 0 mean unconstrained (DTWSettings contract; distance()
+    # maps both via effective_window — a raw 0 made the envelope slice
+    # empty and crashed, round-5 review finding)
+    window = s.window if s.window else max(len(s1), len(s2))
     imin_diff = max(0, len(s1) - len(s2)) + window - 1
     imax_diff = max(0, len(s2) - len(s1)) + window
     n1 = len(s1)
@@ -328,6 +340,41 @@ def _sequential_band_dp(s1, s2, s: DTWSettings, window: int) -> float:
     return min(prev[ic], psi_shortest)
 
 
+def _prune_row(row, skip, js: int, je: int, sc: int, ec: int, max_dist, i: int):
+    """Shared sc/ec pruning step for one DP row (reference
+    dtw.py:366-389 semantics). ``row`` is the row buffer AFTER
+    _row_update (compact ``cur`` or the full-matrix ``dtw[i + 1]``);
+    cells past the break point are set to INF in place. Returns the
+    updated (sc, ec). One arange serves all the index tests (the two
+    previous inline copies each allocated three — round-5 review)."""
+    f = row[js + 1 : je + 1]
+    computed = ~skip
+    good = computed & (f <= max_dist)
+    bad = computed & ~good
+    idx = np.arange(je - js)
+    jj = idx + js
+    # break at first bad cell with j >= ec
+    brk = np.flatnonzero(bad & (jj >= ec))
+    if len(brk):
+        cut = brk[0]
+        row[js + cut + 2 :] = INF
+        good = good & (idx <= cut)
+        bad = bad & (idx <= cut)
+    good_idx = np.flatnonzero(good)
+    if len(good_idx):
+        first_bad_prefix = np.flatnonzero(bad & (idx < good_idx[0]))
+        if len(first_bad_prefix):
+            sc = js + int(first_bad_prefix[-1]) + 1
+        ec = js + int(good_idx[-1]) + 1
+    else:
+        bad_idx = np.flatnonzero(bad)
+        if len(bad_idx):
+            sc = js + int(bad_idx[-1]) + 1
+        ec = i
+    return sc, ec
+
+
+
 def distance(s1, s2, settings: Optional[DTWSettings] = None) -> float:
     """Banded, pruned, psi-relaxed DTW distance (two-row memory).
 
@@ -364,29 +411,7 @@ def distance(s1, s2, settings: Optional[DTWSettings] = None) -> float:
         if js < je:
             skip = _row_update(prev, cur, s1[i], s2, js, je, penalty, max_step, s.inner_dist)
             if pruning:
-                f = cur[js + 1 : je + 1]
-                computed = ~skip
-                good = computed & (f <= max_dist)
-                bad = computed & ~good
-                jj = np.arange(js, je)
-                # break at first bad cell with j >= ec
-                brk = np.flatnonzero(bad & (jj >= ec))
-                if len(brk):
-                    cut = brk[0]
-                    cur[js + cut + 2 :] = INF
-                    good = good & (np.arange(je - js) <= cut)
-                    bad = bad & (np.arange(je - js) <= cut)
-                good_idx = np.flatnonzero(good)
-                if len(good_idx):
-                    first_bad_prefix = np.flatnonzero(bad & (np.arange(je - js) < good_idx[0]))
-                    if len(first_bad_prefix):
-                        sc = js + int(first_bad_prefix[-1]) + 1
-                    ec = js + int(good_idx[-1]) + 1
-                else:
-                    bad_idx = np.flatnonzero(bad)
-                    if len(bad_idx):
-                        sc = js + int(bad_idx[-1]) + 1
-                    ec = i
+                sc, ec = _prune_row(cur, skip, js, je, sc, ec, max_dist, i)
         if psi_1e != 0 and je == c and r - 1 - i <= psi_1e:
             psi_shortest = min(psi_shortest, cur[je])
         prev, cur = cur, prev
@@ -396,7 +421,12 @@ def distance(s1, s2, settings: Optional[DTWSettings] = None) -> float:
     else:
         ic = min(c, c + window - 1)
         if psi_2e != 0:
-            vc = last[ic - psi_2e : ic + 1]
+            # clamp like warping_paths / _sequential_band_dp: without
+            # max(0, .) a psi_2e larger than the last column index wraps
+            # the slice negative and silently drops end candidates
+            # (round-5 review finding; internal consistency — the
+            # reference's flat-array slice here is accidental)
+            vc = last[max(0, ic - psi_2e) : ic + 1]
             d = min(float(vc.min()), psi_shortest)
         else:
             d = min(last[ic], psi_shortest)
@@ -461,28 +491,7 @@ def warping_paths(
             # boundary at column 0 was pre-set above and is never touched
             # because js+1 >= 1.
             if pruning:
-                f = dtw[i + 1, js + 1 : je + 1]
-                computed = ~skip
-                good = computed & (f <= max_dist)
-                bad = computed & ~good
-                jj = np.arange(js, je)
-                brk = np.flatnonzero(bad & (jj >= ec))
-                if len(brk):
-                    cut = brk[0]
-                    dtw[i + 1, js + cut + 2 :] = INF
-                    good = good & (np.arange(je - js) <= cut)
-                    bad = bad & (np.arange(je - js) <= cut)
-                good_idx = np.flatnonzero(good)
-                if len(good_idx):
-                    first_bad_prefix = np.flatnonzero(bad & (np.arange(je - js) < good_idx[0]))
-                    if len(first_bad_prefix):
-                        sc = js + int(first_bad_prefix[-1]) + 1
-                    ec = js + int(good_idx[-1]) + 1
-                else:
-                    bad_idx = np.flatnonzero(bad)
-                    if len(bad_idx):
-                        sc = js + int(bad_idx[-1]) + 1
-                    ec = i
+                sc, ec = _prune_row(dtw[i + 1], skip, js, je, sc, ec, max_dist, i)
     if not keep_int_repr:
         with np.errstate(invalid="ignore"):
             dtw = s.result(dtw)
@@ -758,17 +767,23 @@ def warping_path_prob(
 
 def warping_path_penalty(s1, s2, penalty_post=0, settings: Optional[DTWSettings] = None):
     """Path distance with post-hoc penalty per compression/expansion
-    (reference dtw.py:1064-1096)."""
-    d, paths = warping_paths(s1, s2, settings=settings)
+    (reference dtw.py:1064-1096): penalty_post is ADDED TO THE DTW
+    DISTANCE returned by warping_paths — which includes any per-step DP
+    penalty and the settings' inner distance — not to a re-summed raw
+    path cost (round-5 review finding: the re-sum dropped the DP
+    penalty and hardcoded squared-euclidean). Returns
+    [dist, path, path_stepsize, paths] like the reference."""
+    dist, paths = warping_paths(s1, s2, settings=settings)
     path = best_path(paths)
-    penalty_cost = 0
+    path_stepsize = []
     for k in range(1, len(path)):
-        if path[k][0] == path[k - 1][0] or path[k][1] == path[k - 1][1]:
-            penalty_cost += penalty_post
-    s1 = _as_f64(s1)
-    s2 = _as_f64(s2)
-    dist = sum((s1[i] - s2[j]) ** 2 for i, j in path)
-    return [math.sqrt(dist) + penalty_cost, path]
+        if path[k - 1][0] + 1 != path[k][0] or path[k - 1][1] + 1 != path[k][1]:
+            dist += penalty_post
+        path_stepsize.append(
+            paths[path[k][0] + 1, path[k][1] + 1]
+            - paths[path[k - 1][0] + 1, path[k - 1][1] + 1]
+        )
+    return [dist, path, path_stepsize, paths]
 
 
 def warping_amount(path) -> int:

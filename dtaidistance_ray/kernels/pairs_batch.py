@@ -172,7 +172,7 @@ def batched_pair_distances(
                     out[k] = INF
                 elif out[k] > md * (1.0 - 1e-9):
                     scalar_redo.append(k)
-    result = np.array([s.result(v) for v in out])
+    result = s.result(out)  # vectorized (np.sqrt keeps inf); was a per-pair Python loop
     if ndim_pairs or scalar_redo:
         # ndim pairs (vector inner cost) and cutoff-boundary pairs use
         # the scalar kernel, which applies s.result itself

@@ -46,6 +46,10 @@ class KnnScorer:
         self.settings = settings
         self.heap: List[float] = []  # max-heap via negation
         self.batched = pairs_supported(settings)
+        # lb_keogh ignores psi (reference semantics): with psi-relaxed
+        # DTW the bound is NOT a lower bound and the prune could drop
+        # true neighbors (round-5 review finding) — disable it then
+        self.use_lb = not any(settings.split_psi())
 
     def _push(self, d: float) -> None:
         if len(self.heap) < self.k:
@@ -58,7 +62,11 @@ class KnnScorer:
         docs, seqs = [], []
         for doc_id, seq in zip(batch["doc_id"], batch["tokens"]):
             seq = np.asarray(seq, dtype=np.float64)
-            if max_dist is not None and lb_keogh(self.query, seq, self.settings) > max_dist:
+            if (
+                self.use_lb
+                and max_dist is not None
+                and lb_keogh(self.query, seq, self.settings) > max_dist
+            ):
                 continue
             docs.append(doc_id)
             seqs.append(seq)

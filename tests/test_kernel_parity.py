@@ -404,3 +404,69 @@ class TestMinplusScanExactness:
                     if v < f[j]:
                         f[j] = v
                 np.testing.assert_array_equal(got, f)
+
+
+class TestRound5KernelReviewFixes:
+    def test_ub_euclidean_ndim_euclidean_inner(self):
+        """2-D series with inner_dist='euclidean' reduce per timestep
+        (ref EuclideanNdim) — previously raised TypeError through
+        use_pruning (round-5 review finding)."""
+        import dtaidistance.ed as red
+
+        rng = np.random.default_rng(7)
+        a, b = rng.random((6, 3)), rng.random((9, 3))
+        got = ub_euclidean(a, b, "euclidean")
+        want = red.distance(a, b, inner_dist="euclidean", use_ndim=True)
+        assert got == pytest.approx(want, abs=0)
+        # and the full pruned multivariate euclidean distance runs
+        d = distance(a, b, DTWSettings(inner_dist="euclidean", use_pruning=True))
+        assert np.isfinite(d)
+
+    def test_distance_psi2e_exceeding_length(self):
+        """psi_2e larger than the last column index must not wrap the
+        end-candidate slice negative: distance() now clamps like
+        warping_paths() (round-5 review finding)."""
+        s = DTWSettings(psi=(0, 0, 0, 5))
+        d1 = distance([1.0], [1.0, 50.0, 50.0], s)
+        d2, _ = warping_paths([1.0], [1.0, 50.0, 50.0], s)
+        assert d1 == d2 == 0.0
+
+    def test_lb_keogh_window_zero_unconstrained(self):
+        """window=0 means unconstrained (DTWSettings contract, same as
+        distance's effective_window) — previously an empty envelope
+        slice crashed (round-5 review finding)."""
+        s1 = np.arange(5, dtype=np.float64)
+        assert lb_keogh(s1, s1, DTWSettings(window=0)) == 0.0
+
+    def test_knn_scorer_disables_lb_under_psi(self):
+        """lb_keogh ignores psi (reference semantics), so it is NOT a
+        lower bound for psi-relaxed DTW; the k-NN prune must disable
+        itself then (round-5 review finding)."""
+        import ray
+
+        from dtaidistance_ray.stages.search import KnnScorer
+
+        q = np.array([5.0, 0, 0, 0, 5])
+        assert lb_keogh(q, np.zeros(5), DTWSettings(psi=2)) > 0.0
+        assert distance(q, np.zeros(5), DTWSettings(psi=2)) == 0.0
+        sc = KnnScorer(ray.put(q), k=1, settings=DTWSettings(psi=2))
+        assert sc.use_lb is False
+        assert KnnScorer(ray.put(q), k=1, settings=DTWSettings()).use_lb is True
+
+    def test_warping_path_penalty_reference_parity(self):
+        """penalty_post adds to the DP distance (incl. per-step penalty)
+        and the return carries [dist, path, stepsize, paths] — the old
+        re-summed raw path cost dropped the DP penalty (round-5
+        review finding)."""
+        from dtaidistance_ray.kernels import warping_path_penalty
+
+        rng = np.random.default_rng(7)
+        s1, s2 = rng.random(10), rng.random(12)
+        for kw in ({}, {"penalty": 0.3}):
+            ours = warping_path_penalty(
+                s1, s2, penalty_post=0.5, settings=DTWSettings(**kw)
+            )
+            ref = ref_dtw.warping_path_penalty(s1, s2, penalty_post=0.5, **kw)
+            assert ours[0] == pytest.approx(ref[0], abs=1e-12)
+            assert ours[1] == ref[1]
+            assert np.allclose(ours[2], ref[2])
