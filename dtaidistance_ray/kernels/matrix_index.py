@@ -14,14 +14,18 @@ import numpy as np
 
 
 def complete_block(block, n: int) -> Tuple[int, int, int, int, bool]:
-    """Normalize a block spec to (rb, re, cb, ce, triu)."""
+    """Normalize a block spec to (rb, re, cb, ce, triu).
+
+    Reference _complete_block semantics (dtw.py:887-901): triu is
+    disabled ONLY by ``block[2] is False`` (a falsy 0/None keeps the
+    upper triangle), and column ranges clamp to n at use — both fixed
+    to match in round 5 (review finding: a 0 flag flipped to the full
+    rectangle and unclamped columns indexed past the corpus)."""
     if block is None or block == 0:
         return 0, n, 0, n, True
     (rb, re_), (cb, ce) = block[0], block[1]
-    triu = True
-    if len(block) > 2:
-        triu = bool(block[2])
-    return rb, re_, cb, ce, triu
+    triu = not (len(block) > 2 and block[2] is False)
+    return rb, re_, cb, min(n, ce), triu
 
 
 def distance_matrix_length(block, n: int) -> int:
@@ -29,7 +33,7 @@ def distance_matrix_length(block, n: int) -> int:
     (reference _distance_matrix_length, dtw.py:928-947)."""
     rb, re_, cb, ce, triu = complete_block(block, n)
     if not triu:
-        return (re_ - rb) * (ce - cb)
+        return (re_ - rb) * max(0, ce - cb)
     length = 0
     for r in range(rb, re_):
         cbp = max(cb, r + 1)

@@ -25,8 +25,13 @@ def distance(x, y, sm_cost: float = 0.1) -> float:
     for j in range(1, n):
         cost[0, j] = cost[0, j - 1] + c(y[j], x[0], y[j - 1])
     # NOTE the reference iterates i over range(1, n) and j over
-    # range(1, m) (msm.py:48-55); replicated for exact parity (for
-    # equal-length series, the common case, this is the full matrix).
+    # range(1, m) (msm.py:48-55); replicated for exact parity. For
+    # equal-length series (the only case the reference supports) this
+    # is the full matrix; for UNEQUAL lengths the swapped bounds read
+    # x[i] with i up to n-1 (or y[j] up to m-1) and raise IndexError —
+    # in the reference exactly as here (round-5 review clarified the
+    # consequence: every unequal-length call crashes, not merely a
+    # partial matrix).
     for i in range(1, n):
         for j in range(1, m):
             cost[i, j] = min(

@@ -122,6 +122,11 @@ def derivative(series: np.ndarray, smooth=None) -> np.ndarray:
     """Keogh DDTW derivative ((q_i - q_{i-1}) + (q_{i+1} - q_{i-1})/2)/2,
     one-sided at the endpoints (preprocessing.py:91-138)."""
     series = np.asarray(series, dtype=np.float64)
+    if series.ndim > 1:
+        # reference preprocessing.differencing/derivative raise here;
+        # silently differencing ACROSS rows (axis 0) produced wrong DDTW
+        # values for batched 2-D input (round-5 review finding)
+        raise NotImplementedError("derivative expects a 1-D series")
     out = np.zeros_like(series)
     qim = series[:-2]
     qi = series[1:-1]

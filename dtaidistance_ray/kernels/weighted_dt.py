@@ -303,6 +303,11 @@ def dt_windows(features, targets, classifier, patternlen, max_clfs, min_ig, min_
         key=lambda t: (t[0], t[1]),
         reverse=True,
     )
+    if not scored:
+        # no window produced a non-trivial tree (pure targets, or
+        # min_ig cleared every split): nothing to merge (round-5 review
+        # finding — scored[-1] raised IndexError here)
+        return cl_values, [], importances
     min_score = scored[-1][0]
     max_score = scored[0][0]
     min_allowed = max_score - (max_score - min_score) / 5
@@ -317,8 +322,11 @@ def dt_windows(features, targets, classifier, patternlen, max_clfs, min_ig, min_
     for score, _neg_nodes, clf in kept:
         new_cl, _used = decisiontree_to_clweights(clf, min_purity)
         _merge_cl_values(cl_values, new_cl)
+        # max == min (single kept tree / all-tie scores): weight 1.0,
+        # not 0/0 = NaN (round-5 review finding)
+        span = max_score - min_score
         _merge_importances(
-            importances, new_cl, (score - min_score) / (max_score - min_score)
+            importances, new_cl, (score - min_score) / span if span else 1.0
         )
     return cl_values, kept, importances
 

@@ -137,6 +137,18 @@ class DTWSettings:
         d = self.kwargs()
         if isinstance(d["psi"], tuple):
             d["psi"] = list(d["psi"])
+        if not isinstance(d["inner_dist"], str):
+            # CustomInnerDist-style objects are documented settings but
+            # not JSON-serializable; identify them by class (plus repr,
+            # which custom dists may parameterize) so settings_hash —
+            # called at checkpoint-manifest time — works instead of
+            # raising TypeError (round-5 review finding)
+            obj = d["inner_dist"]
+            # default object.__repr__ embeds the memory address — not
+            # stable across processes, which would break resume
+            # fingerprints; use it only when the class customizes repr
+            rep = repr(obj) if type(obj).__repr__ is not object.__repr__ else ""
+            d["inner_dist"] = f"custom:{type(obj).__qualname__}:{rep}"
         return d
 
     def settings_hash(self) -> str:

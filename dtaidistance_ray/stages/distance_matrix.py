@@ -31,13 +31,16 @@ from ..kernels.elastic import distance
 from ..settings import DTWSettings
 
 
-def plan_tiles(n_rows: int, n_cols: int, tile: int, triu: bool) -> List[Tuple[int, int, int, int]]:
-    """Square tiles over the (n_rows x n_cols) pair grid; tiles entirely
-    below the diagonal are dropped when triu."""
+def plan_tiles(n_rows: int, n_cols: int, tile: int, triu: bool,
+               rb0: int = 0, cb0: int = 0) -> List[Tuple[int, int, int, int]]:
+    """Square tiles over the pair grid rows [rb0, n_rows) x cols
+    [cb0, n_cols); tiles entirely below the diagonal are dropped when
+    triu. The shipped distance_matrix() calls this same planner (it
+    previously carried an inline copy — round-5 review finding)."""
     tiles = []
-    for rb in range(0, n_rows, tile):
+    for rb in range(rb0, n_rows, tile):
         re_ = min(rb + tile, n_rows)
-        for cb in range(0, n_cols, tile):
+        for cb in range(cb0, n_cols, tile):
             ce = min(cb + tile, n_cols)
             if triu and ce <= rb + 1:
                 continue  # no j > i cells in this tile
@@ -113,25 +116,24 @@ def distance_matrix(
     import ray
     import ray.data as rd
 
+    from ..kernels.matrix_index import complete_block
+
     settings = settings or DTWSettings()
     n = len(seqs)
-    if block is None:
-        rb, re_, cb, ce = 0, n, 0, n
-    else:
-        (rb, re_), (cb, ce) = block
+    # reference block semantics via complete_block: accepts the 3-element
+    # (rows, cols, triu) form and clamps columns to n (round-5 review
+    # finding: a 3-element block raised and unclamped cols crashed the
+    # scorer actor)
+    rb, re_, cb, ce, triu = complete_block(block, n)
     corpus_ref = ray.put([np.asarray(s, dtype=np.float64) for s in seqs])
-    rel_tiles = []
-    for trb in range(rb, re_, tile):
-        tre = min(trb + tile, re_)
-        for tcb in range(cb, ce, tile):
-            tce = min(tcb + tile, ce)
-            if tce <= trb + 1:
-                continue
-            rel_tiles.append({"rb": trb, "re": tre, "cb": tcb, "ce": tce})
+    rel_tiles = [
+        {"rb": trb, "re": tre, "cb": tcb, "ce": tce}
+        for trb, tre, tcb, tce in plan_tiles(re_, ce, tile, triu, rb0=rb, cb0=cb)
+    ]
     tiles_ds = rd.from_items(rel_tiles)
     return tiles_ds.map_batches(
         TileScorer,
-        fn_constructor_kwargs={"corpus_ref": corpus_ref, "settings": settings, "triu": True},
+        fn_constructor_kwargs={"corpus_ref": corpus_ref, "settings": settings, "triu": triu},
         batch_format="pandas",
         batch_size=1,
         concurrency=concurrency,

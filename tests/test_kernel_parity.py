@@ -470,3 +470,78 @@ class TestRound5KernelReviewFixes:
             assert ours[0] == pytest.approx(ref[0], abs=1e-12)
             assert ours[1] == ref[1]
             assert np.allclose(ours[2], ref[2])
+
+
+class TestRound5KernelReviewFixesWave2:
+    def test_complete_block_reference_semantics(self):
+        """triu disabled only by block[2] is False; columns clamp to n
+        (reference _complete_block + the iteration clamp)."""
+        from dtaidistance_ray.kernels.matrix_index import (
+            complete_block,
+            distance_matrix_idxs,
+            distance_matrix_length,
+        )
+
+        assert complete_block(((0, 3), (0, 3), 0), 6)[4] is True  # falsy != False
+        assert complete_block(((0, 3), (0, 3), False), 6)[4] is False
+        # columns clamp to n: idxs stay in range, length matches
+        i, j = distance_matrix_idxs(((0, 3), (0, 10)), 6)
+        assert j.max() == 5 and len(i) == distance_matrix_length(((0, 3), (0, 10)), 6)
+        ri, rj = ref_dtw._distance_matrix_idxs(((0, 3), (0, 10)), 6)
+        assert list(i) == list(ri) and list(j) == list(rj)
+
+    def test_distance_matrix_three_element_block(self, ray_session):
+        """The Ray tile service accepts the reference's 3-element block
+        spec and clamps overhanging columns (round-5 review finding)."""
+        from dtaidistance_ray.stages.distance_matrix import distance_matrix
+
+        rng = np.random.default_rng(3)
+        seqs = [rng.random(12) for _ in range(5)]
+        full = distance_matrix(seqs, block=((0, 4), (0, 9), False)).to_pandas()
+        assert set(zip(full["i"], full["j"])) == {(r, c) for r in range(4) for c in range(5)}
+        tri = distance_matrix(seqs, block=((0, 4), (0, 9), 0)).to_pandas()
+        assert all(jj > ii for ii, jj in zip(tri["i"], tri["j"]))
+
+    def test_derivative_2d_raises(self):
+        from dtaidistance_ray.kernels.preprocessing import derivative
+
+        with pytest.raises(NotImplementedError):
+            derivative(np.zeros((3, 4)))
+
+    def test_settings_hash_custom_inner(self):
+        """settings_hash works for object inner_dist (checkpoint
+        manifests) and is process-stable (no id() in the payload)."""
+        class MyInner:
+            def inner_dist(self, a, b):
+                return abs(a - b)
+
+            def result(self, x):
+                return x
+
+            def inner_val(self, x):
+                return x
+
+        h1 = DTWSettings(inner_dist=MyInner()).settings_hash()
+        h2 = DTWSettings(inner_dist=MyInner()).settings_hash()
+        assert h1 == h2 and len(h1) == 16
+
+    def test_dt_windows_degenerate_inputs(self):
+        """Pure targets: no candidate trees -> empty result, not
+        IndexError; single kept tree -> weight 1.0, not NaN."""
+        from dtaidistance_ray.kernels.weighted_dt import DecisionTreeClassifier, dt_windows
+
+        rng = np.random.default_rng(5)
+        feats = rng.random((20, 12))
+        pure = np.zeros(20)
+        cl, kept, imp = dt_windows(
+            feats, pure, DecisionTreeClassifier, patternlen=4,
+            max_clfs=None, min_ig=0, min_purity=1.0,
+        )
+        assert kept == [] and cl == {} and len(imp) == 0
+        mixed = (feats[:, 0] > 0.5).astype(float)
+        cl2, kept2, imp2 = dt_windows(
+            feats, mixed, DecisionTreeClassifier, patternlen=12,
+            max_clfs=1, min_ig=0, min_purity=1.0,
+        )
+        for v in imp2.values():
+            assert np.isfinite(v).all()
